@@ -1,0 +1,100 @@
+"""Config-stack tests (reference surface: read_conf.py:41-279)."""
+
+import pytest
+
+from wide_deep_tpu.config import Config, ConfigError, parse_optimizer_spec
+
+
+def test_schema(config):
+    schema = config.read_schema()
+    assert len(schema) == 61
+    assert schema[1] == "clk"
+    assert schema[61] == "rk_hour"
+    assert config.label_column == "clk"
+
+
+def test_feature_conf(config):
+    fc = config.read_feature_conf()
+    # 16 hash + 17 vocab + 3 identity + 3 continuous = 39 active features
+    kinds = {}
+    for name, conf in fc.items():
+        key = conf["transform"] or "raw"
+        kinds[key] = kinds.get(key, 0) + 1
+    assert kinds["hash_bucket"] == 16
+    assert kinds["identity"] == 3
+    assert kinds["min_max"] == 3
+    assert fc["u"]["parameter"] == 10000000
+    assert fc["age"]["parameter"]["normalization"] == [10, 90]
+    assert fc["ucomp"]["max_len"] == 8
+
+
+def test_cross_conf(config):
+    crosses = config.read_cross_feature_conf()
+    assert len(crosses) == 31
+    by_name = {"&".join(m): (size, deep) for m, size, deep in crosses}
+    # hash_bucket_size unit is thousands (read_conf.py:111-154)
+    assert by_name["age&ugender"] == (100, True)
+    assert by_name["adplan_id&category&ucomp"] == (1000000, True)
+
+
+def test_get_feature_name(config):
+    assert len(config.get_feature_name("all")) == 60
+    used = config.get_feature_name("used")
+    assert len(used) == 39
+    assert len(config.get_feature_name("unused")) == 21
+    assert set(config.get_feature_name("continuous")) == {
+        "longitude", "latitude", "age"}
+    assert len(config.get_feature_name("category")) == 36
+
+
+def test_train_conf(config):
+    t = config.train
+    assert t["model_type"] == "wide_deep"
+    assert t["batch_size"] == 64
+    assert t["multivalue"] is True
+    assert t["num_examples"] == 10000
+    r = config.runconfig
+    assert r["tf_random_seed"] == 123
+    assert r["save_checkpoints_secs"] == 1800
+
+
+def test_model_conf(config):
+    m = config.model
+    assert m["linear_optimizer"]["name"] == "Ftrl"
+    assert m["linear_optimizer"]["l1_regularization_strength"] == 0.5
+    assert m["dnn_hidden_units"] == [1024, 512, 256]
+    assert m["dnn_batch_normalization"] is True
+    assert m["dnn_dropout"] == 0.0
+
+
+def test_optimizer_spec_parsing():
+    spec = parse_optimizer_spec(
+        "tf.train.FtrlOptimizer(learning_rate=0.1,"
+        "l1_regularization_strength=0.5,l2_regularization_strength=1)", 0.05)
+    assert spec == {"name": "Ftrl", "learning_rate": 0.1,
+                    "l1_regularization_strength": 0.5,
+                    "l2_regularization_strength": 1}
+    assert parse_optimizer_spec("adagrad", 0.03) == {
+        "name": "Adagrad", "learning_rate": 0.03}
+    with pytest.raises(ConfigError):
+        parse_optimizer_spec("__import__('os')", 0.05)
+    with pytest.raises(ConfigError):
+        parse_optimizer_spec("tf.train.FtrlOptimizer(learning_rate=os.path)", 0.05)
+
+
+def test_validation_errors(tmp_path, config):
+    import shutil, os
+    conf2 = tmp_path / "conf"
+    shutil.copytree(config.conf_dir, conf2)
+    (conf2 / "feature.yaml").write_text(
+        "bogus_feature: {type: category, transform: hash_bucket, parameter: 10}\n")
+    with pytest.raises(ConfigError, match="not present in schema"):
+        Config(str(conf2)).read_feature_conf()
+    (conf2 / "feature.yaml").write_text(
+        "age: {type: continuous, transform: bad_scale, parameter: {normalization: [0, 1]}}\n")
+    with pytest.raises(ConfigError, match="continuous transform"):
+        Config(str(conf2)).read_feature_conf()
+    (conf2 / "feature.yaml").write_text(
+        "adplan_id: {type: category, transform: hash_bucket, parameter: -5}\n")
+    with pytest.raises(ConfigError, match="positive int"):
+        Config(str(conf2)).read_feature_conf()

@@ -1,0 +1,166 @@
+"""Feature hashing / plan / pipeline tests (reference: wide_deep_test.py:40-54,
+dataset.py inline tests)."""
+
+import numpy as np
+import pytest
+
+from wide_deep_tpu.features import hashing
+from wide_deep_tpu.features.plan import FeaturePlan, embedding_dim
+from wide_deep_tpu.features.pipeline import CsvDataset, FeatureTransformer, list_files
+
+
+class TestHashing:
+    def test_xxh64_vectors(self):
+        # published xxHash64 test vectors, seed 0
+        assert hashing.fingerprint64(b"") == 0xEF46DB3751D8E999
+        assert hashing.fingerprint64(b"a") == 0xD24EC4F1A98C6E5B
+        assert hashing.fingerprint64(b"abc") == 0x44BC2CF5AD770999
+
+    def test_xxh64_long_input(self):
+        # exercise the >=32-byte main loop + all tail paths
+        data = bytes(range(256)) * 3
+        for cut in (0, 1, 3, 4, 7, 8, 15, 31, 32, 33, 63, 100, 768):
+            h = hashing.fingerprint64(data[:cut])
+            assert 0 <= h < 2 ** 64
+            assert h == hashing.fingerprint64(data[:cut])  # deterministic
+
+    def test_bucket_range(self):
+        for v in ("", "a", "hello", "10.2.3.4"):
+            assert 0 <= hashing.hash_bucket(v, 1000) < 1000
+
+    def test_combine64_matches_numpy(self):
+        fps = [hashing.fingerprint64_str(s) for s in ("x", "y", "zw")]
+        scalar = hashing.cross_fingerprint(fps)
+        arr = hashing.cross_fingerprint_np(
+            [np.array([f], dtype=np.uint64) for f in fps])
+        assert int(arr[0]) == scalar
+
+    def test_cross_order_sensitive(self):
+        a, b = hashing.fingerprint64_str("a"), hashing.fingerprint64_str("b")
+        assert hashing.cross_fingerprint([a, b]) != hashing.cross_fingerprint([b, a])
+
+
+class TestPlan:
+    def test_embedding_dim_rule(self):
+        # reference empirical rule (build_estimator.py:57-59)
+        assert embedding_dim(100) == 4
+        assert embedding_dim(10000) == 8
+        assert embedding_dim(500000) == 16
+        assert embedding_dim(10000000) == 32
+
+    def test_dims(self, plan):
+        # wide space: sum of all slot sizes, disjoint offsets
+        assert plan.wide_dim == sum(s.size for s in plan.wide_slots)
+        offs = sorted((s.offset, s.offset + s.size) for s in plan.wide_slots)
+        for (a1, b1), (a2, b2) in zip(offs, offs[1:]):
+            assert b1 == a2
+        assert plan.deep_input_dim == (plan.deep_embed_dim + plan.indicator_dim
+                                       + len(plan.continuous_slots))
+        assert len(plan.crosses) == 31
+        # group tables cover every embed consumer exactly once
+        names = [s.name for g in plan.groups for s in g.slots]
+        assert len(names) == len(set(names)) == 16 + 31
+
+    def test_segment_matrix(self, plan):
+        g = plan.groups[0]
+        seg = g.segment_matrix()
+        assert seg.shape == (g.total_len, len(g.slots))
+        assert (seg.sum(axis=1) == 1).all()  # every column belongs to one feature
+
+
+class TestPipeline:
+    def test_fixture_batch(self, plan, fixture_rows):
+        tr = FeatureTransformer(plan)
+        batch = tr.transform(fixture_rows, batch_size=16)
+        assert batch["mask"].sum() == len(fixture_rows)
+        assert batch["label"].shape == (16,)
+        assert set(np.unique(batch["label"][:10])) <= {0.0, 1.0}
+        # wide ids stay inside the unified space
+        assert batch["wide_ids"].max() < plan.wide_dim
+        assert batch["wide_ids"].min() >= 0
+        # embedding ids stay inside each fused table
+        for g in plan.groups:
+            ids = batch[f"emb_ids_d{g.dim}"]
+            assert ids.max() < g.rows
+        # padded rows are fully zero-weighted
+        assert batch["wide_wts"][len(fixture_rows):].sum() == 0
+
+    def test_vocab_and_identity_semantics(self, plan, fixture_rows):
+        tr = FeatureTransformer(plan)
+        row = list(fixture_rows[0])
+        col = plan.column_index
+        # OOV vocab value is dropped (default_value=-1 semantics)
+        row[col["os"]] = "99"
+        # out-of-range identity maps to bucket 0 (default_value=0)
+        row[col["idea_type"]] = "9999"
+        batch = tr.transform([row], batch_size=1)
+        os_slot = next(s for s in plan.indicator_slots if s.name == "os")
+        assert batch["ind_wts"][0, os_slot.col_offset] == 0.0
+        it_slot = next(s for s in plan.indicator_slots if s.name == "idea_type")
+        assert batch["ind_ids"][0, it_slot.col_offset] == it_slot.offset
+        assert batch["ind_wts"][0, it_slot.col_offset] == 1.0
+
+    def test_multivalue_mean_weights(self, plan, fixture_rows):
+        tr = FeatureTransformer(plan)
+        row = list(fixture_rows[0])
+        row[plan.column_index["ucomp"]] = "YX1,YX2,YX3"
+        batch = tr.transform([row], batch_size=1)
+        _, es = plan.embed_slot_by_name["ucomp"]
+        wts = batch[f"emb_wts_d{es.dim}"][0, es.col_offset:es.col_offset + es.max_len]
+        np.testing.assert_allclose(wts[:3], 1 / 3, rtol=1e-6)
+        assert wts[3:].sum() == 0
+
+    def test_continuous_normalization(self, plan, fixture_rows):
+        tr = FeatureTransformer(plan)
+        row = list(fixture_rows[0])
+        row[plan.column_index["age"]] = "30"
+        batch = tr.transform([row], batch_size=1)
+        slot = next(s for s in plan.continuous_slots if s.name == "age")
+        np.testing.assert_allclose(batch["cont"][0, slot.index],
+                                   (30 - 10) / (90 - 10), rtol=1e-6)
+        # bucketized wide copy uses RAW value (documented fix of reference
+        # normalize-then-bucketize bug); ties go to the upper bucket, so 30
+        # against [15,20,25,30,...] lands in bucket 4
+        ws = plan.wide_slot_by_name["age"]
+        assert batch["wide_ids"][0, ws.col_offset] == ws.offset + 4
+
+    def test_na_defaults(self, plan, fixture_rows):
+        tr = FeatureTransformer(plan)
+        row = list(fixture_rows[0])
+        row[plan.column_index["age"]] = "-"
+        row[plan.column_index["adplan_id"]] = "-"
+        batch = tr.transform([row], batch_size=1)
+        slot = next(s for s in plan.continuous_slots if s.name == "age")
+        np.testing.assert_allclose(batch["cont"][0, slot.index],
+                                   (0 - 10) / (90 - 10), rtol=1e-6)
+
+    def test_determinism(self, plan, fixture_rows):
+        t1 = FeatureTransformer(plan).transform(fixture_rows, 16)
+        t2 = FeatureTransformer(plan).transform(fixture_rows, 16)
+        for k in t1:
+            np.testing.assert_array_equal(t1[k], t2[k])
+
+    def test_dataset_sharding(self, plan):
+        path = "/root/reference/data/test/test2"
+        full = [r for b in CsvDataset(plan, path, "eval", 4) for r in
+                b["label"][b["mask"] > 0]]
+        parts = []
+        for i in range(2):
+            ds = CsvDataset(plan, path, "eval", 4, num_shards=2, shard_index=i)
+            parts += [r for b in ds for r in b["label"][b["mask"] > 0]]
+        assert len(parts) == len(full) == 10
+
+    def test_shuffle_deterministic(self, plan):
+        path = "/root/reference/data/test/test2"
+        def labels(seed):
+            ds = CsvDataset(plan, path, "train", 4, shuffle_buffer=10, seed=seed)
+            return np.concatenate([b["label"] for b in ds])
+        np.testing.assert_array_equal(labels(123), labels(123))
+
+    def test_list_files(self, tmp_path):
+        (tmp_path / "b").write_text("x")
+        (tmp_path / "a").write_text("x")
+        assert [f.split("/")[-1] for f in list_files(str(tmp_path))] == ["a", "b"]
+        assert list_files(str(tmp_path / "a")) == [str(tmp_path / "a")]
+        with pytest.raises(FileNotFoundError):
+            list_files(str(tmp_path / "nope"))

@@ -1,0 +1,343 @@
+"""Host-side data pipeline: TSV CTR logs -> packed fixed-shape numpy batches.
+
+Replaces the reference's ``tf.data`` input pipeline
+(/root/reference/python/lib/dataset.py:23-195) *and* the runtime
+``tf.feature_column`` transforms: all parsing, hashing, vocab lookup,
+bucketization, crossing and combiner-weight computation happens on the host,
+so the device sees only dense, statically shaped int32/float32 tensors.
+
+Parsing semantics kept from the reference:
+* schema-ordered TSV, tab delimiter, first column = click label
+  (``label = (col == '1')``), na value ``-`` -> per-type default
+  ('' category / 0 identity / 0.0 continuous) — dataset.py:86-165.
+* ``multivalue`` mode splits string cells on ``,`` (dataset.py:148-154); here
+  values beyond a feature's static ``max_len`` are truncated (the reference
+  padded dynamically per batch; XLA wants static shapes).
+* per-example loss weight = pos/neg sample weight by label
+  (dataset.py:159-163).
+* vocab out-of-vocabulary values are dropped (default_value=-1 semantics,
+  build_estimator.py:105-109); identity out-of-range maps to bucket 0
+  (default_value=0, build_estimator.py:113-117).
+* deterministic shuffle with a seeded buffer (dataset.py:182, seed 123) and
+  worker sharding by round-robin file/row interleave (dataset.py:173-174).
+
+Every batch is padded to exactly ``batch_size`` rows; ``mask`` marks real
+rows so one compiled XLA step serves uneven final batches.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from wide_deep_tpu.features import hashing
+from wide_deep_tpu.features.plan import (CrossSpec, FeaturePlan)
+
+Batch = Dict[str, np.ndarray]
+
+
+def list_files(path: str) -> List[str]:
+    """File path -> [path]; directory -> sorted shard files (util.py:36-45)."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if not f.startswith(".") and os.path.isfile(os.path.join(path, f)))
+    if os.path.isfile(path):
+        return [path]
+    raise FileNotFoundError(f"no data at {path}")
+
+
+class FeatureTransformer:
+    """Compiles rows of raw TSV strings into a packed Batch.
+
+    Pure-numpy/Python reference implementation; cpp/fastdata.cc provides a
+    bit-identical native fast path (selected automatically when built).
+    """
+
+    def __init__(self, plan: FeaturePlan, n_classes: int = 2,
+                 pos_weight: Optional[float] = None,
+                 neg_weight: Optional[float] = None):
+        self.plan = plan
+        self.n_classes = n_classes
+        self.pos_weight = pos_weight
+        self.neg_weight = neg_weight
+        self.weighted = pos_weight is not None and neg_weight is not None
+        # per-feature value caches: raw string -> (bucket id | fingerprint)
+        self._hash_cache: Dict[str, Dict[str, int]] = {}
+        self._fp_cache: Dict[str, int] = {}
+        self._vocab_maps = {
+            s.name: {v: i for i, v in enumerate(s.vocab)}
+            for s in plan.indicator_slots if s.kind == "vocab"}
+        # feature name -> schema column index
+        self._col = plan.column_index
+        self._conf = plan.feature_conf
+
+    # ------------------------------------------------------------ value logic
+    def _split(self, cell: str, max_len: int) -> List[str]:
+        if cell == "-" or cell == "":
+            return [""]
+        if self.plan.multivalue and "," in cell:
+            vals = cell.split(",")
+            return vals[:max_len]
+        return [cell]
+
+    def _hash_ids(self, feature: str, values: List[str], size: int) -> List[int]:
+        cache = self._hash_cache.setdefault(feature, {})
+        out = []
+        for v in values:
+            h = cache.get(v)
+            if h is None:
+                h = hashing.fingerprint64_str(v) % size
+                if len(cache) < 1_000_000:
+                    cache[v] = h
+            out.append(h)
+        return out
+
+    def _fingerprints(self, values: List[str]) -> List[int]:
+        out = []
+        for v in values:
+            h = self._fp_cache.get(v)
+            if h is None:
+                h = hashing.fingerprint64_str(v)
+                if len(self._fp_cache) < 2_000_000:
+                    self._fp_cache[v] = h
+            out.append(h)
+        return out
+
+    @staticmethod
+    def _to_int(cell: str) -> int:
+        try:
+            return int(float(cell))
+        except ValueError:
+            return 0
+
+    @staticmethod
+    def _to_float(cell: str) -> float:
+        if cell in ("-", ""):
+            return 0.0
+        try:
+            return float(cell)
+        except ValueError:
+            return 0.0
+
+    # -------------------------------------------------------------- transform
+    def transform(self, rows: Sequence[Sequence[str]], batch_size: int,
+                  mode: str = "train") -> Batch:
+        """Pack parsed rows (lists of cells) into a fixed-shape Batch.
+
+        ``len(rows) <= batch_size``; the tail is zero-padded with mask 0.
+        """
+        plan = self.plan
+        B, n = batch_size, len(rows)
+        assert n <= B
+        has_label = mode != "pred"
+        out: Batch = {}
+        if has_label:
+            out["label"] = np.zeros((B,), np.float32)
+            out["weight"] = np.zeros((B,), np.float32)
+        out["mask"] = np.zeros((B,), np.float32)
+        out["mask"][:n] = 1.0
+        wide_ids = np.zeros((B, plan.wide_total_len), np.int32)
+        wide_wts = np.zeros((B, plan.wide_total_len), np.float32)
+        g_ids = {g.dim: np.zeros((B, g.total_len), np.int32) for g in plan.groups}
+        g_wts = {g.dim: np.zeros((B, g.total_len), np.float32) for g in plan.groups}
+        ind_ids = np.zeros((B, plan.indicator_total_len), np.int32)
+        ind_wts = np.zeros((B, plan.indicator_total_len), np.float32)
+        cont = np.zeros((B, len(plan.continuous_slots)), np.float32)
+
+        embed_by_name = plan.embed_slot_by_name
+        wide_by_name = plan.wide_slot_by_name
+
+        for b, cells in enumerate(rows):
+            if has_label:
+                lab = 1.0 if cells[0] == "1" else 0.0
+                out["label"][b] = lab
+                if self.weighted:
+                    out["weight"][b] = self.pos_weight if lab else self.neg_weight
+                else:
+                    out["weight"][b] = 1.0
+            # cross member raw values, collected as we walk features
+            member_vals: Dict[str, List[int]] = {}
+
+            for name in plan.feature_order:
+                conf = self._conf[name]
+                cell = cells[self._col[name]]
+                ftype, tran = conf["type"], conf["transform"]
+                if ftype == "continuous":
+                    slot = next(s for s in plan.continuous_slots if s.name == name)
+                    raw = self._to_float(cell)
+                    cont[b, slot.index] = slot.normalize(raw)
+                    if slot.boundaries:
+                        ws = wide_by_name[name]
+                        bucket = int(np.searchsorted(slot.boundaries, raw,
+                                                     side="right"))
+                        wide_ids[b, ws.col_offset] = ws.offset + bucket
+                        wide_wts[b, ws.col_offset] = 1.0
+                        member_vals[name] = [bucket]
+                    continue
+
+                ws = wide_by_name[name]
+                values = self._split(cell, ws.max_len)
+                if tran == "hash_bucket":
+                    ids = self._hash_ids(name, values, ws.size)
+                    k = len(ids)
+                    for j, i in enumerate(ids):
+                        wide_ids[b, ws.col_offset + j] = ws.offset + i
+                        wide_wts[b, ws.col_offset + j] = 1.0
+                    _, es = embed_by_name[name]
+                    w = 1.0 / k
+                    for j, i in enumerate(ids):
+                        g_ids[es.dim][b, es.col_offset + j] = es.row_offset + i
+                        g_wts[es.dim][b, es.col_offset + j] = w
+                    member_vals[name] = self._fingerprints(values)
+                elif tran == "vocab":
+                    vm = self._vocab_maps[name]
+                    ids = [vm[v] for v in values if v in vm]
+                    islot = next(s for s in plan.indicator_slots if s.name == name)
+                    for j, i in enumerate(ids):
+                        wide_ids[b, ws.col_offset + j] = ws.offset + i
+                        wide_wts[b, ws.col_offset + j] = 1.0
+                        ind_ids[b, islot.col_offset + j] = islot.offset + i
+                        ind_wts[b, islot.col_offset + j] = 1.0
+                    member_vals[name] = self._fingerprints(values)
+                else:  # identity
+                    ids = []
+                    for v in values:
+                        i = self._to_int(v)
+                        ids.append(i if 0 <= i < ws.size else 0)
+                    islot = next(s for s in plan.indicator_slots if s.name == name)
+                    for j, i in enumerate(ids):
+                        wide_ids[b, ws.col_offset + j] = ws.offset + i
+                        wide_wts[b, ws.col_offset + j] = 1.0
+                        ind_ids[b, islot.col_offset + j] = islot.offset + i
+                        ind_wts[b, islot.col_offset + j] = 1.0
+                    member_vals[name] = ids
+
+            # crosses: chained fingerprints over the cartesian product
+            for cs in plan.crosses:
+                vals = [member_vals.get(m.name, [0]) or [0] for m in cs.members]
+                ws = wide_by_name[cs.name]
+                combos: List[int] = [hashing._P5]
+                for col in vals:
+                    combos = [hashing.combine64(acc, v)
+                              for acc in combos for v in col]
+                    if len(combos) > cs.max_len:
+                        combos = combos[:cs.max_len]
+                k = len(combos)
+                es = embed_by_name.get(cs.name)
+                w = 1.0 / k
+                for j, acc in enumerate(combos):
+                    cid = acc % cs.bucket_size
+                    wide_ids[b, ws.col_offset + j] = ws.offset + cid
+                    wide_wts[b, ws.col_offset + j] = 1.0
+                    if es is not None:
+                        _, s = es
+                        g_ids[s.dim][b, s.col_offset + j] = s.row_offset + cid
+                        g_wts[s.dim][b, s.col_offset + j] = w
+
+        out["wide_ids"], out["wide_wts"] = wide_ids, wide_wts
+        for g in plan.groups:
+            out[f"emb_ids_d{g.dim}"] = g_ids[g.dim]
+            out[f"emb_wts_d{g.dim}"] = g_wts[g.dim]
+        if plan.indicator_total_len:
+            out["ind_ids"], out["ind_wts"] = ind_ids, ind_wts
+        if plan.continuous_slots:
+            out["cont"] = cont
+        return out
+
+
+class CsvDataset:
+    """Schema-ordered TSV dataset with shuffle/shard/batch (dataset.py analog)."""
+
+    def __init__(self, plan: FeaturePlan, data_path: str, mode: str,
+                 batch_size: int, n_classes: int = 2,
+                 pos_weight: Optional[float] = None,
+                 neg_weight: Optional[float] = None,
+                 shuffle_buffer: int = 10000, seed: int = 123,
+                 num_shards: int = 1, shard_index: int = 0,
+                 transformer: Optional[FeatureTransformer] = None,
+                 drop_remainder: bool = False):
+        if mode not in ("train", "eval", "pred"):
+            raise ValueError(f"bad mode {mode}")
+        self.plan = plan
+        self.files = list_files(data_path)
+        self.mode = mode
+        self.batch_size = batch_size
+        self.shuffle_buffer = shuffle_buffer if mode == "train" else 0
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.drop_remainder = drop_remainder
+        self.transformer = transformer or FeatureTransformer(
+            plan, n_classes, pos_weight, neg_weight)
+        self._n_cols = len(plan.columns)
+        self._epoch = 0
+
+    def _rows(self) -> Iterator[List[str]]:
+        expect = self._n_cols
+        has_label = self.mode != "pred"
+        if not has_label:
+            expect_nolabel = expect - 1
+        idx = 0
+        for path in self.files:
+            with open(path, "r", errors="replace") as f:
+                for line in f:
+                    line = line.rstrip("\n").rstrip("\r")
+                    if not line:
+                        continue
+                    cells = line.split("\t")
+                    if has_label:
+                        if len(cells) != expect:
+                            continue  # malformed row, skip (decode_csv errored)
+                    else:
+                        # pred data may or may not carry the label column
+                        if len(cells) == expect_nolabel:
+                            cells = [""] + cells
+                        elif len(cells) != expect:
+                            continue
+                    if idx % self.num_shards == self.shard_index:
+                        yield cells
+                    idx += 1
+
+    def __iter__(self) -> Iterator[Batch]:
+        rows = self._rows()
+        if self.shuffle_buffer > 1:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            self._epoch += 1
+            buf: List[List[str]] = []
+            def shuffled():
+                for r in rows:
+                    buf.append(r)
+                    if len(buf) >= self.shuffle_buffer:
+                        j = rng.integers(len(buf))
+                        buf[j], buf[-1] = buf[-1], buf[j]
+                        yield buf.pop()
+                for j in rng.permutation(len(buf)):
+                    yield buf[j]
+            source = shuffled()
+        else:
+            source = rows
+        chunk: List[List[str]] = []
+        for r in source:
+            chunk.append(r)
+            if len(chunk) == self.batch_size:
+                yield self.transformer.transform(chunk, self.batch_size, self.mode)
+                chunk = []
+        if chunk and not self.drop_remainder:
+            yield self.transformer.transform(chunk, self.batch_size, self.mode)
+
+
+def input_fn(csv_data_file: str, img_data_file: Optional[str], mode: str,
+             batch_size: int, plan: Optional[FeaturePlan] = None,
+             **kwargs) -> CsvDataset:
+    """Module-level convenience mirroring reference dataset.py:293-310."""
+    from wide_deep_tpu.config import Config
+    if plan is None:
+        plan = FeaturePlan(Config())
+    if img_data_file:
+        from wide_deep_tpu.features.image import ImageCsvDataset
+        return ImageCsvDataset(plan, csv_data_file, img_data_file, mode,
+                               batch_size, **kwargs)
+    return CsvDataset(plan, csv_data_file, mode, batch_size, **kwargs)

@@ -1,0 +1,307 @@
+"""FeaturePlan: the compiled, static feature layout for wide_deep_tpu.
+
+This replaces the reference's runtime ``tf.feature_column`` graph
+(/root/reference/python/lib/build_estimator.py:49-169) with an ahead-of-time
+compiled plan.  On TPU the *output* of the feature transform goes to the
+device, not the transform itself, so everything here is static metadata that
+the host pipeline (features/pipeline.py) and the model (models/) share:
+
+* **Wide space** — every wide id source (hash/vocab/identity feature,
+  bucketized continuous, cross) gets a disjoint ``[offset, offset+size)``
+  range in one unified id space of ``wide_dim`` rows.  A batch carries one
+  ``wide_ids``/``wide_wts`` pair of shape ``[B, Lw]``; the wide arm is a
+  single gather + segment-sum — one table, one kernel, regardless of how many
+  wide columns the config declares.
+* **Dim groups** — deep embedding consumers (hash features and deep crosses)
+  are grouped by embedding dimension; each group's tables are concatenated
+  row-wise into one ``[rows, dim]`` table so a whole group is one gather.
+  Per-feature mean-combining is a static ``[Lg, Fg]`` segment matrix applied
+  as a matmul (MXU-friendly) in the model.
+* **Indicator block** — vocab/identity features one-hot into a dense block of
+  ``indicator_dim`` columns via offset ids (multi-hot with counts, matching
+  ``indicator_column`` semantics).
+* **Continuous block** — normalized scalars (min_max/standard/log/raw).
+
+Embedding sizes use the reference's empirical rule
+``dim(n) = int(2 ** ceil(ln(n ** 0.25)))`` (build_estimator.py:57-59).
+Deep input layout order: dim groups ascending by dim (features in config
+order), then indicators, then continuous — fixed and documented so exports
+stay stable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from wide_deep_tpu.config import Config, ConfigError
+
+CROSS_MAX_LEN = 16  # static cap on cartesian-product size of a cross
+
+
+def embedding_dim(n_buckets: int) -> int:
+    """Empirical embedding size, same rule as the reference."""
+    return int(2 ** math.ceil(math.log(n_buckets ** 0.25)))
+
+
+@dataclasses.dataclass(frozen=True)
+class WideSlot:
+    name: str
+    kind: str          # hash | vocab | identity | bucketized | cross
+    size: int          # rows this slot owns in the wide space
+    offset: int        # first row in the unified wide space
+    max_len: int       # static per-example id capacity
+    col_offset: int    # first column in the packed [B, Lw] id tensor
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbedSlot:
+    name: str
+    kind: str          # hash | cross
+    vocab_size: int
+    dim: int
+    max_len: int
+    row_offset: int    # row offset inside the dim group's fused table
+    col_offset: int    # first column in the group's [B, Lg] id tensor
+    index: int         # position of this feature inside the group (0..Fg-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class DimGroup:
+    dim: int
+    rows: int          # fused table rows (sum of member vocab sizes)
+    total_len: int     # Lg: packed id-tensor width
+    slots: Tuple[EmbedSlot, ...]
+
+    def segment_matrix(self) -> np.ndarray:
+        """Static [Lg, Fg] 0/1 matrix mapping id columns to features."""
+        seg = np.zeros((self.total_len, len(self.slots)), dtype=np.float32)
+        for s in self.slots:
+            seg[s.col_offset:s.col_offset + s.max_len, s.index] = 1.0
+        return seg
+
+
+@dataclasses.dataclass(frozen=True)
+class IndicatorSlot:
+    name: str
+    kind: str          # vocab | identity
+    size: int
+    offset: int        # first column in the indicator block
+    max_len: int
+    col_offset: int    # first column in the packed [B, Li] id tensor
+    vocab: Optional[Tuple[str, ...]] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuousSlot:
+    name: str
+    transform: Optional[str]   # min_max | standard | log | None
+    a: float                   # min or mean (0 when unused)
+    b: float                   # max or std  (1 when unused)
+    index: int                 # column in the continuous block
+    boundaries: Tuple[float, ...] = ()
+
+    def normalize(self, x):
+        if self.transform == "min_max":
+            return (x - self.a) / (self.b - self.a)
+        if self.transform == "standard":
+            return (x - self.a) / self.b
+        if self.transform == "log":
+            return np.log(np.maximum(x, 1e-12))
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossMember:
+    name: str
+    kind: str                   # string | identity | bucketized
+    identity_size: int = 0
+    boundaries: Tuple[float, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossSpec:
+    name: str
+    members: Tuple[CrossMember, ...]
+    bucket_size: int
+    is_deep: bool
+    max_len: int
+
+
+class FeaturePlan:
+    """Everything static about the feature layout, compiled from Config."""
+
+    def __init__(self, config: Config, multivalue: Optional[bool] = None):
+        self.config = config
+        train = config.train
+        self.multivalue = train["multivalue"] if multivalue is None else multivalue
+        schema = config.schema_columns()
+        self.columns = schema
+        self.label = schema[0]
+        self.column_index = {name: i for i, name in enumerate(schema)}
+        feature_conf = config.read_feature_conf()
+        cross_conf = config.read_cross_feature_conf()
+        # preserve config order, restricted to schema order for determinism
+        self.feature_order = [c for c in feature_conf]
+        self.feature_conf = feature_conf
+
+        wide_slots: List[WideSlot] = []
+        embed_raw: List[Tuple[str, str, int, int, int]] = []  # name,kind,rows,dim,L
+        indicator_slots: List[IndicatorSlot] = []
+        continuous_slots: List[ContinuousSlot] = []
+        wide_off = wide_col = 0
+        ind_off = ind_col = 0
+
+        def eff_len(ml: int) -> int:
+            return ml if self.multivalue else 1
+
+        for name in self.feature_order:
+            conf = feature_conf[name]
+            ftype, tran, param = conf["type"], conf["transform"], conf["parameter"]
+            L = eff_len(conf.get("max_len", 1))
+            if ftype == "category":
+                if tran == "hash_bucket":
+                    size = int(param)
+                    wide_slots.append(WideSlot(name, "hash", size, wide_off, L, wide_col))
+                    wide_off += size; wide_col += L
+                    embed_raw.append((name, "hash", size, embedding_dim(size), L))
+                elif tran == "vocab":
+                    vocab = tuple(str(v) for v in param)
+                    size = len(vocab)
+                    wide_slots.append(WideSlot(name, "vocab", size, wide_off, L, wide_col))
+                    wide_off += size; wide_col += L
+                    indicator_slots.append(IndicatorSlot(
+                        name, "vocab", size, ind_off, L, ind_col, vocab))
+                    ind_off += size; ind_col += L
+                else:  # identity
+                    size = int(param)
+                    wide_slots.append(WideSlot(name, "identity", size, wide_off, L, wide_col))
+                    wide_off += size; wide_col += L
+                    indicator_slots.append(IndicatorSlot(
+                        name, "identity", size, ind_off, L, ind_col))
+                    ind_off += size; ind_col += L
+            else:  # continuous
+                param = param or {}
+                norm = param.get("normalization") or (0.0, 1.0)
+                bounds = tuple(float(b) for b in (param.get("boundaries") or ()))
+                continuous_slots.append(ContinuousSlot(
+                    name, tran, float(norm[0]), float(norm[1]),
+                    len(continuous_slots), bounds))
+                if bounds:
+                    size = len(bounds) + 1
+                    wide_slots.append(WideSlot(
+                        name, "bucketized", size, wide_off, 1, wide_col))
+                    wide_off += size; wide_col += 1
+
+        # crosses
+        crosses: List[CrossSpec] = []
+        for members, bucket_size, is_deep in cross_conf:
+            cms: List[CrossMember] = []
+            prod_len = 1
+            for m in members:
+                fc = feature_conf[m]
+                if fc["type"] == "continuous":
+                    cms.append(CrossMember(
+                        m, "bucketized",
+                        boundaries=tuple(float(b) for b in fc["parameter"]["boundaries"])))
+                elif fc["transform"] == "identity":
+                    cms.append(CrossMember(m, "identity", identity_size=int(fc["parameter"])))
+                else:
+                    cms.append(CrossMember(m, "string"))
+                prod_len *= eff_len(fc.get("max_len", 1))
+            cname = "&".join(members)
+            L = min(prod_len, CROSS_MAX_LEN)
+            crosses.append(CrossSpec(cname, tuple(cms), bucket_size, is_deep, L))
+            wide_slots.append(WideSlot(cname, "cross", bucket_size, wide_off, L, wide_col))
+            wide_off += bucket_size; wide_col += L
+            if is_deep:
+                embed_raw.append((cname, "cross", bucket_size,
+                                  embedding_dim(bucket_size), L))
+
+        # dim groups: ascending dim, members in declaration order
+        groups: List[DimGroup] = []
+        for dim in sorted({d for _, _, _, d, _ in embed_raw}):
+            slots: List[EmbedSlot] = []
+            row = col = 0
+            for name, kind, rows, d, L in embed_raw:
+                if d != dim:
+                    continue
+                slots.append(EmbedSlot(name, kind, rows, d, L, row, col, len(slots)))
+                row += rows; col += L
+            groups.append(DimGroup(dim, row, col, tuple(slots)))
+
+        self.wide_slots = wide_slots
+        self.wide_dim = wide_off
+        self.wide_total_len = wide_col
+        self.groups = groups
+        self.indicator_slots = indicator_slots
+        self.indicator_dim = ind_off
+        self.indicator_total_len = ind_col
+        self.continuous_slots = continuous_slots
+        self.crosses = crosses
+        self.deep_embed_dim = sum(len(g.slots) * g.dim for g in groups)
+        self.deep_input_dim = (self.deep_embed_dim + self.indicator_dim
+                               + len(continuous_slots))
+        self.wide_slot_by_name = {s.name: s for s in wide_slots}
+        self.embed_slot_by_name = {
+            s.name: (g, s) for g in groups for s in g.slots}
+
+    # ------------------------------------------------------------- descriptors
+    def batch_spec(self, batch_size: int, n_classes: int = 2,
+                   with_image: bool = False,
+                   image_shape: Tuple[int, int, int] = (224, 224, 3),
+                   mode: str = "train") -> Dict[str, Tuple[Tuple[int, ...], Any]]:
+        """Shape/dtype contract of a packed batch (see pipeline.Batch)."""
+        spec: Dict[str, Tuple[Tuple[int, ...], Any]] = {}
+        B = batch_size
+        if mode != "pred":
+            spec["label"] = ((B,), np.float32 if n_classes == 2 else np.int32)
+            spec["weight"] = ((B,), np.float32)
+        spec["wide_ids"] = ((B, self.wide_total_len), np.int32)
+        spec["wide_wts"] = ((B, self.wide_total_len), np.float32)
+        for g in self.groups:
+            spec[f"emb_ids_d{g.dim}"] = ((B, g.total_len), np.int32)
+            spec[f"emb_wts_d{g.dim}"] = ((B, g.total_len), np.float32)
+        if self.indicator_total_len:
+            spec["ind_ids"] = ((B, self.indicator_total_len), np.int32)
+            spec["ind_wts"] = ((B, self.indicator_total_len), np.float32)
+        if self.continuous_slots:
+            spec["cont"] = ((B, len(self.continuous_slots)), np.float32)
+        if with_image:
+            spec["image"] = ((B,) + tuple(image_shape), np.float32)
+        return spec
+
+    def describe(self) -> str:
+        lines = [
+            f"wide: {len(self.wide_slots)} slots, dim={self.wide_dim}, "
+            f"Lw={self.wide_total_len}",
+            f"deep: input_dim={self.deep_input_dim} "
+            f"(embed={self.deep_embed_dim}, indicator={self.indicator_dim}, "
+            f"continuous={len(self.continuous_slots)})",
+        ]
+        for g in self.groups:
+            lines.append(
+                f"  dim-{g.dim} group: {len(g.slots)} tables, rows={g.rows}, "
+                f"Lg={g.total_len}")
+        lines.append(f"crosses: {len(self.crosses)}")
+        return "\n".join(lines)
+
+    # ----------------------------------------------------------- serialization
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "multivalue": self.multivalue,
+            "columns": self.columns,
+            "wide_dim": self.wide_dim,
+            "deep_input_dim": self.deep_input_dim,
+            "wide_slots": [dataclasses.asdict(s) for s in self.wide_slots],
+            "groups": [
+                {"dim": g.dim, "rows": g.rows, "total_len": g.total_len,
+                 "slots": [dataclasses.asdict(s) for s in g.slots]}
+                for g in self.groups],
+            "indicator_slots": [dataclasses.asdict(s) for s in self.indicator_slots],
+            "continuous_slots": [dataclasses.asdict(s) for s in self.continuous_slots],
+            "crosses": [dataclasses.asdict(c) for c in self.crosses],
+        }
