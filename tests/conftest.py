@@ -6,6 +6,31 @@ multi-worker test harness at all; we test the mesh path on every run).
 """
 
 import os
+import sys
+
+# The interpreter may have pre-registered a TPU PJRT plugin via sitecustomize
+# before this file runs, in which case env overrides are too late (the 8-CPU
+# XLA flag is parsed at plugin registration).  pytest_configure below re-execs
+# pytest exactly once with a clean CPU environment so the virtual 8-device
+# mesh takes effect; capture is suspended first so output reaches the tty.
+def pytest_configure(config):
+    if (os.environ.get("WDT_TEST_REEXEC") == "1"
+            or not os.environ.get("PALLAS_AXON_POOL_IPS")):
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    env = dict(
+        os.environ,
+        WDT_TEST_REEXEC="1",
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                   + " --xla_force_host_platform_device_count=8").strip(),
+    )
+    args = list(config.invocation_params.args)
+    os.execvpe(sys.executable, [sys.executable, "-m", "pytest"] + args, env)
+
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -29,6 +54,48 @@ def config():
 def plan(config):
     from wide_deep_tpu.features.plan import FeaturePlan
     return FeaturePlan(config)
+
+
+@pytest.fixture(scope="session")
+def small_conf_dir(tmp_path_factory):
+    """A shrunken copy of conf/ suitable for fast CPU tests: hash spaces
+    capped at 1000, cross spaces at 5k ids, small hidden layers."""
+    import re
+    import shutil
+    src = os.path.join(REPO, "conf")
+    dst = tmp_path_factory.mktemp("conf_small")
+    for name in os.listdir(src):
+        shutil.copy(os.path.join(src, name), dst / name)
+    feat = (dst / "feature.yaml").read_text()
+    feat = re.sub(r"parameter: (\d{4,})\b",
+                  lambda m: "parameter: 1000", feat)
+    (dst / "feature.yaml").write_text(feat)
+    cross = (dst / "cross_feature.yaml").read_text()
+    cross = re.sub(r"hash_bucket_size: (\d+)",
+                   lambda m: "hash_bucket_size: %d" % min(int(m.group(1)), 5),
+                   cross)
+    (dst / "cross_feature.yaml").write_text(cross)
+    model = (dst / "model.yaml").read_text()
+    model = model.replace("dnn_hidden_units: [1024, 512, 256]",
+                          "dnn_hidden_units: [32, 16]")
+    (dst / "model.yaml").write_text(model)
+    train = (dst / "train.yaml").read_text()
+    train = train.replace("batch_size: 64", "batch_size: 16")
+    train = train.replace("num_examples: 10000", "num_examples: 100")
+    (dst / "train.yaml").write_text(train)
+    return str(dst)
+
+
+@pytest.fixture(scope="session")
+def small_config(small_conf_dir):
+    from wide_deep_tpu.config import Config
+    return Config(small_conf_dir)
+
+
+@pytest.fixture(scope="session")
+def small_plan(small_config):
+    from wide_deep_tpu.features.plan import FeaturePlan
+    return FeaturePlan(small_config)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,375 @@
+"""Deep arm: fused embedding input layer + multi-tower DAG-connected MLPs.
+
+TPU-native re-design of the reference deep arm
+(/root/reference/python/lib/dnn.py:43-275):
+
+* The input layer is built from the FeaturePlan's packed batch: one gather
+  per embedding dim-group (fused tables) + a static segment-matrix matmul for
+  per-feature mean combining (MXU work instead of sparse segment ops), a
+  scatter-add multi-hot indicator block, and the continuous block.
+* The five named connectivity modes (`simple`, `first_dense`, `last_dense`,
+  `dense`, `resnet`) plus arbitrary `i-j` connection lists reproduce the
+  reference semantics, including concat-style "residuals".
+* Multi-tower: each tower has its own hidden_units/connected_mode; tower
+  logits are summed (dnn.py:260-275).
+
+Deliberate fixes over the reference (SURVEY.md §7 "known bugs"):
+* batch_normalization here is *real* train-mode BN with moving-stat state
+  (the reference called ``tf.layers.batch_normalization`` without
+  ``training=True`` — inference mode forever, stats never updated).
+* arbitrary-connection parsing supports multiple sources per target layer
+  (the reference's ``connected_mapping[j].append(i)`` assigned None,
+  dnn.py:203) and missing targets default to no extra connections.
+* L1/L2 kernel regularization is actually applied to the loss
+  (models/joint.py); the reference created regularizers but never collected
+  them.
+
+Parameter layout (a plain pytree; 'dnn' arm for the per-arm optimizer):
+  {'embed': {'d<dim>': [rows, dim] ...},
+   'towers': [{'hidden': [{'kernel','bias'}...], 'bn': [{'scale','bias'}...],
+               'logits': {'kernel','bias'}}, ...]}
+BN running stats live in a separate state tree with the same tower structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wide_deep_tpu.features.plan import FeaturePlan
+from wide_deep_tpu.models.activations import activation_fn
+
+BN_MOMENTUM = 0.99
+BN_EPS = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class TowerSpec:
+    hidden_units: Tuple[int, ...]
+    connected_mode: Union[str, Tuple[Tuple[int, int], ...]]
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepSpec:
+    towers: Tuple[TowerSpec, ...]
+    activation: str = "relu"
+    dropout: float = 0.0
+    batch_norm: bool = False
+    l1: float = 0.0
+    l2: float = 0.0
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def from_model_conf(model_conf: Dict[str, Any],
+                        dtype=jnp.float32) -> "DeepSpec":
+        """Build from Config().model (hidden units may be 1-D or nested)."""
+        hidden = model_conf["dnn_hidden_units"]
+        if hidden and isinstance(hidden[0], list):
+            towers_hidden = [tuple(h) for h in hidden]
+        else:
+            towers_hidden = [tuple(hidden)]
+        mode = model_conf.get("dnn_connected_mode", "simple")
+        if isinstance(mode, list) and mode and all(
+                isinstance(m, str) and "-" in m for m in mode):
+            modes = [parse_connected_mode(mode)] * len(towers_hidden)
+        elif isinstance(mode, list):
+            modes = [parse_connected_mode(m) for m in mode]
+            if len(modes) == 1:
+                modes = modes * len(towers_hidden)
+        else:
+            modes = [parse_connected_mode(mode)] * len(towers_hidden)
+        if len(modes) != len(towers_hidden):
+            raise ValueError(
+                f"{len(towers_hidden)} towers but {len(modes)} connected modes")
+        towers = tuple(TowerSpec(h, m) for h, m in zip(towers_hidden, modes))
+        return DeepSpec(
+            towers=towers,
+            activation=model_conf.get("dnn_activation_function", "relu"),
+            dropout=float(model_conf.get("dnn_dropout") or 0.0),
+            batch_norm=bool(model_conf.get("dnn_batch_normalization")),
+            l1=float(model_conf.get("dnn_l1") or 0.0),
+            l2=float(model_conf.get("dnn_l2") or 0.0),
+            dtype=dtype)
+
+
+NAMED_MODES = ("simple", "first_dense", "last_dense", "dense", "resnet")
+
+
+def parse_connected_mode(mode) -> Union[str, Tuple[Tuple[int, int], ...]]:
+    """Validate a mode name or parse an `i-j` connection list."""
+    if isinstance(mode, str):
+        if mode not in NAMED_MODES:
+            raise ValueError(
+                f"invalid connected_mode `{mode}`; expected one of "
+                f"{NAMED_MODES} or a connection list like ['0-1','1-2']")
+        return mode
+    pairs = []
+    for item in mode:
+        i, j = (int(p) for p in str(item).split("-"))
+        if i >= j:
+            raise ValueError(f"connection `{item}`: source must precede target")
+        pairs.append((i, j))
+    return tuple(pairs)
+
+
+def _connection_map(pairs: Sequence[Tuple[int, int]]) -> Dict[int, List[int]]:
+    out: Dict[int, List[int]] = {}
+    for i, j in pairs:
+        out.setdefault(j, []).append(i)
+    return out
+
+
+# --------------------------------------------------------------- param store
+class ParamStore:
+    """Read-or-create view over a params pytree.
+
+    In init mode (``create=True``) missing leaves are created with the given
+    initializer; in apply mode leaves are fetched.  This keeps the forward
+    pass as the single source of truth for parameter shapes — essential for
+    the DAG connectivity modes and width-changing activations (crelu).
+    """
+
+    def __init__(self, tree: Dict[str, Any], create: bool = False,
+                 rng: Optional[jax.Array] = None):
+        self.tree = tree
+        self.create = create
+        self.rng = rng
+        self._counter = 0
+
+    def _next_rng(self):
+        self._counter += 1
+        return jax.random.fold_in(self.rng, self._counter)
+
+    def get(self, path: Sequence[Union[str, int]], shape, init):
+        node = self.tree
+        for pos, key in enumerate(path[:-1]):
+            next_is_int = isinstance(path[pos + 1], int)
+            if isinstance(key, int):
+                while self.create and len(node) <= key:
+                    node.append([] if next_is_int else {})
+                node = node[key]
+            else:
+                if self.create and key not in node:
+                    node[key] = [] if next_is_int else {}
+                node = node[key]
+        leaf = path[-1]
+        if self.create and leaf not in node:
+            node[leaf] = init(self._next_rng(), shape)
+        return node[leaf]
+
+
+def glorot_uniform(rng, shape):
+    fan_in, fan_out = shape[0], shape[1]
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(rng, shape, jnp.float32, -limit, limit)
+
+
+def zeros_init(_, shape):
+    return jnp.zeros(shape, jnp.float32)
+
+
+def ones_init(_, shape):
+    return jnp.ones(shape, jnp.float32)
+
+
+def embedding_init(rng, shape):
+    """Embedding tables ~ N(0, 1/sqrt(dim)) (tf embedding_column default
+    uses 1/sqrt(dim) truncated normal)."""
+    return (jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32)
+            / np.sqrt(shape[1]))
+
+
+# ------------------------------------------------------------- input layer
+class PlanConstants:
+    """Static (non-trainable) arrays derived from the plan: segment matrices."""
+
+    def __init__(self, plan: FeaturePlan):
+        self.segment = {g.dim: jnp.asarray(g.segment_matrix())
+                        for g in plan.groups}
+        self.indicator_dim = plan.indicator_dim
+        self.n_continuous = len(plan.continuous_slots)
+        self.group_dims = [g.dim for g in plan.groups]
+        self.deep_input_dim = plan.deep_input_dim
+
+
+def deep_input_layer(store: ParamStore, plan: FeaturePlan,
+                     consts: PlanConstants, batch: Dict[str, jnp.ndarray],
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """Packed batch -> [B, deep_input_dim] dense input.
+
+    One fused-table gather per dim group, then per-feature mean combining as
+    an einsum against the static segment matrix (a [B,L,D]x[L,F] contraction
+    the MXU eats), indicator scatter-add, continuous concat.
+    """
+    parts = []
+    B = batch["wide_ids"].shape[0] if "wide_ids" in batch else (
+        next(iter(batch.values())).shape[0])
+    for g in plan.groups:
+        table = store.get(("embed", f"d{g.dim}"), (g.rows, g.dim),
+                          embedding_init)
+        ids = batch[f"emb_ids_d{g.dim}"]            # [B, Lg]
+        wts = batch[f"emb_wts_d{g.dim}"]            # [B, Lg]
+        gathered = jnp.take(table, ids, axis=0)      # [B, Lg, dim]
+        weighted = gathered * wts[..., None]
+        seg = consts.segment[g.dim]                  # [Lg, Fg]
+        combined = jnp.einsum("bld,lf->bfd", weighted, seg,
+                              preferred_element_type=jnp.float32)
+        parts.append(combined.reshape(B, -1).astype(dtype))
+    if consts.indicator_dim:
+        ind = jnp.zeros((B, consts.indicator_dim), dtype)
+        rows = jnp.arange(B)[:, None]
+        ind = ind.at[rows, batch["ind_ids"]].add(
+            batch["ind_wts"].astype(dtype), mode="drop")
+        parts.append(ind)
+    if consts.n_continuous:
+        parts.append(batch["cont"].astype(dtype))
+    return jnp.concatenate(parts, axis=-1)
+
+
+# ------------------------------------------------------------------- towers
+def _dense(store: ParamStore, path, x, units, dtype):
+    kernel = store.get(tuple(path) + ("kernel",), (x.shape[-1], units),
+                       glorot_uniform)
+    bias = store.get(tuple(path) + ("bias",), (units,), zeros_init)
+    return (jnp.dot(x.astype(dtype), kernel.astype(dtype),
+                    preferred_element_type=jnp.float32)
+            + bias).astype(dtype)
+
+
+def _batch_norm(store: ParamStore, state: Optional[Dict], new_state: Dict,
+                path_key: str, tower_idx: int, layer_idx: int, x,
+                training: bool):
+    scale = store.get(("towers", tower_idx, "bn", layer_idx, "scale"),
+                      (x.shape[-1],), ones_init)
+    bias = store.get(("towers", tower_idx, "bn", layer_idx, "bias"),
+                     (x.shape[-1],), zeros_init)
+    skey = f"t{tower_idx}_l{layer_idx}_{path_key}"
+    xf = x.astype(jnp.float32)
+    if training or state is None or skey not in state:
+        mean = jnp.mean(xf, axis=0)
+        var = jnp.var(xf, axis=0)
+    else:
+        mean, var = state[skey]["mean"], state[skey]["var"]
+    if training:
+        if state is not None and skey in state:
+            old_mean, old_var = state[skey]["mean"], state[skey]["var"]
+        else:
+            old_mean = jnp.zeros_like(mean)
+            old_var = jnp.ones_like(var)
+        new_state[skey] = {
+            "mean": BN_MOMENTUM * old_mean + (1 - BN_MOMENTUM) * mean,
+            "var": BN_MOMENTUM * old_var + (1 - BN_MOMENTUM) * var,
+        }
+    elif state is not None and skey in state:
+        new_state[skey] = state[skey]
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    return ((xf - mean) * inv * scale + bias).astype(x.dtype)
+
+
+def tower_forward(store: ParamStore, spec: DeepSpec, tower_idx: int,
+                  x: jnp.ndarray, n_logits: int, training: bool,
+                  rng: Optional[jax.Array],
+                  bn_state: Optional[Dict], new_bn_state: Dict) -> jnp.ndarray:
+    """One tower: DAG-connected hidden stack -> logits [B, n_logits]."""
+    tower = spec.towers[tower_idx]
+    act = activation_fn(spec.activation)
+    mode = tower.connected_mode
+    conn = _connection_map(mode) if not isinstance(mode, str) else None
+    net = x
+    collections = [x]
+
+    for layer_id, units in enumerate(tower.hidden_units):
+        h = _dense(store, ("towers", tower_idx, "hidden", layer_id), net,
+                   units, spec.dtype)
+        h = act(h)
+        if spec.dropout and training:
+            key = jax.random.fold_in(rng, tower_idx * 1000 + layer_id)
+            keep = 1.0 - spec.dropout
+            mask = jax.random.bernoulli(key, keep, h.shape)
+            h = jnp.where(mask, h / keep, 0.0).astype(h.dtype)
+        if spec.batch_norm:
+            h = _batch_norm(store, bn_state, new_bn_state, "bn", tower_idx,
+                            layer_id, h, training)
+        if isinstance(mode, str):
+            if mode == "simple":
+                net = h
+            elif mode == "first_dense":
+                net = jnp.concatenate([h, x], axis=1)
+            elif mode == "last_dense":
+                net = h
+                collections.append(h)
+            elif mode == "dense":
+                collections.append(h)
+                net = jnp.concatenate(collections, axis=1)
+            else:  # resnet: concat with this layer's input
+                net = jnp.concatenate([h, collections[layer_id]], axis=1)
+                collections.append(net)
+        else:  # arbitrary connections
+            sources = [collections[i] for i in conn.get(layer_id + 1, [])]
+            net = jnp.concatenate(sources + [h], axis=1) if sources else h
+            collections.append(net)
+
+    if isinstance(mode, str) and mode == "last_dense":
+        net = jnp.concatenate(collections, axis=1)
+    return _dense(store, ("towers", tower_idx, "logits"), net, n_logits,
+                  spec.dtype).astype(jnp.float32)
+
+
+def deep_logits(store: ParamStore, plan: FeaturePlan, consts: PlanConstants,
+                spec: DeepSpec, batch: Dict[str, jnp.ndarray], n_logits: int,
+                training: bool, rng: Optional[jax.Array],
+                bn_state: Optional[Dict]) -> Tuple[jnp.ndarray, Dict]:
+    """Full deep arm: input layer + summed tower logits.
+
+    Returns (logits [B, n_logits], new_bn_state).
+    """
+    x = deep_input_layer(store, plan, consts, batch, spec.dtype)
+    new_bn_state: Dict = {}
+    logits = None
+    for t in range(len(spec.towers)):
+        lt = tower_forward(store, spec, t, x, n_logits, training, rng,
+                           bn_state, new_bn_state)
+        logits = lt if logits is None else logits + lt
+    return logits, new_bn_state
+
+
+def init_deep_params(rng: jax.Array, plan: FeaturePlan, consts: PlanConstants,
+                     spec: DeepSpec, n_logits: int,
+                     sample_batch: Dict[str, jnp.ndarray]):
+    """Create the deep arm's params + BN state by tracing the forward once."""
+    params: Dict[str, Any] = {}
+    store = ParamStore(params, create=True, rng=rng)
+    bn_state: Dict = {}
+    deep_logits(store, plan, consts, spec, sample_batch, n_logits,
+                training=True, rng=jax.random.PRNGKey(0), bn_state=bn_state)
+    # run once more in training mode to materialize moving-stat slots
+    _, new_state = deep_logits(ParamStore(params), plan, consts, spec,
+                               sample_batch, n_logits, training=True,
+                               rng=jax.random.PRNGKey(0), bn_state=None)
+    init_state = jax.tree.map(
+        lambda x: jnp.zeros_like(x), new_state)
+    for k in init_state:
+        init_state[k]["var"] = jnp.ones_like(init_state[k]["var"])
+    return params, init_state
+
+
+def l2_l1_penalty(params: Dict[str, Any], spec: DeepSpec) -> jnp.ndarray:
+    """Sum of L1/L2 kernel penalties over all tower dense kernels."""
+    total = jnp.zeros((), jnp.float32)
+    if not (spec.l1 or spec.l2):
+        return total
+    for tower in params.get("towers", []):
+        kernels = [layer["kernel"] for layer in tower.get("hidden", [])]
+        if "logits" in tower:
+            kernels.append(tower["logits"]["kernel"])
+        for k in kernels:
+            kf = k.astype(jnp.float32)
+            if spec.l1:
+                total = total + spec.l1 * jnp.sum(jnp.abs(kf))
+            if spec.l2:
+                total = total + spec.l2 * 0.5 * jnp.sum(kf * kf)
+    return total

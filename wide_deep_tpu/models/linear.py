@@ -1,0 +1,36 @@
+"""Wide (linear) arm: one fused sparse-linear layer over the unified wide space.
+
+Replaces the reference's ``tf.feature_column.linear_model`` with
+``sparse_combiner='sum'`` (/root/reference/python/lib/linear.py:11-38).
+Because the FeaturePlan packs every wide column into one id space, the whole
+arm is a single [wide_dim, n_logits] table: logit = sum_j w[id_j] * wt_j + b.
+Weights start at zero (tf linear_model default), which FTRL's sparsity-seeking
+update relies on.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+
+from wide_deep_tpu.features.plan import FeaturePlan
+
+
+def init_linear_params(plan: FeaturePlan, n_logits: int) -> Dict[str, Any]:
+    return {
+        "w": jnp.zeros((plan.wide_dim, n_logits), jnp.float32),
+        "b": jnp.zeros((n_logits,), jnp.float32),
+    }
+
+
+def linear_logits(params: Dict[str, Any],
+                  batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """[B, n_logits] wide logits: gather + weighted segment-sum + bias."""
+    w = params["w"]
+    ids = batch["wide_ids"]                      # [B, Lw]
+    wts = batch["wide_wts"]                      # [B, Lw]
+    gathered = jnp.take(w, ids, axis=0)          # [B, Lw, n_logits]
+    out = jnp.einsum("bln,bl->bn", gathered, wts,
+                     preferred_element_type=jnp.float32)
+    return out + params["b"]

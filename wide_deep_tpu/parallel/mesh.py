@@ -1,0 +1,89 @@
+"""Device mesh + sharding rules — the framework's SPMD backbone.
+
+Replaces the reference's parameter-server distribution
+(/root/reference/python/train.py:202-243, build_estimator.py:172-198,
+joint.py:140-143) with GSPMD over a jax.sharding.Mesh:
+
+* axis ``data``  — batch parallelism (the reference's between-graph worker
+  replication + ``dataset.shard``, dataset.py:173-174).
+* axis ``model`` — embedding-table row sharding (the reference's
+  ``min_max_variable_partitioner`` over PS tasks, joint.py:140-143).
+
+Large embedding tables (fused dim-group tables and the unified wide table)
+are row-sharded over *all* devices (both axes): XLA turns the gathers into
+collective lookups and the gradient scatters into reduce-scatters over ICI —
+no hand-written transport, matching the design brief in SURVEY.md §2.16.
+Dense MLP params are replicated (data-parallel with all-reduce grads).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# params larger than this many elements get row-sharded
+_SHARD_THRESHOLD = 1 << 16
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    """Build a 2-axis ('data','model') mesh; -1 = all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1 and model == -1:
+        raise ValueError("only one mesh axis may be -1")
+    if model == -1:
+        model = n // max(data, 1)
+    if data == -1:
+        data = n // max(model, 1)
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def mesh_from_config(config) -> Mesh:
+    dist = config.distribution
+    mesh_conf = dist.get("mesh") or {"data": -1, "model": 1}
+    return make_mesh(mesh_conf.get("data", -1), mesh_conf.get("model", 1))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batches: leading (batch) dim split over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh) -> NamedSharding:
+    """Row-shard a [rows, d] table over every device in the mesh."""
+    return NamedSharding(mesh, P(("data", "model"), None))
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Sharding tree for a model param tree.
+
+    Embedding tables ('embed' group tables, linear 'w') above the size
+    threshold are row-sharded; everything else is replicated.  Row counts are
+    padded virtually by GSPMD when not divisible — no layout work needed here.
+    """
+    n_dev = mesh.devices.size
+
+    def rule(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        big = leaf.ndim >= 1 and leaf.size >= _SHARD_THRESHOLD * max(n_dev, 1)
+        if big and leaf.ndim == 2 and ("embed" in keys or "w" in keys):
+            return row_sharded(mesh)
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

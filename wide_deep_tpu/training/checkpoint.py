@@ -1,0 +1,104 @@
+"""Checkpoint save / resume / inspect on top of orbax.
+
+The reference delegated checkpointing to tf.estimator's RunConfig
+(/root/reference/conf/train.yaml:91-98: save every 1800 s, keep 5, keep one
+per hour) and shipped an inspector CLI
+(python/lib/utils/inspect_checkpoint.py:31-60).  Same semantics here:
+time- or step-based cadence, bounded retention, optional keep-every-n-hours,
+resume-from-latest, explicit checkpoint_path override, and a tensor
+inspector (tools/inspect_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Cadenced orbax manager bound to a model directory."""
+
+    def __init__(self, model_dir: str, runconfig: Dict[str, Any]):
+        self.model_dir = os.path.abspath(model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.save_secs = runconfig.get("save_checkpoints_secs")
+        self.save_steps = runconfig.get("save_checkpoints_steps")
+        keep_hours = runconfig.get("keep_checkpoint_every_n_hours")
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=runconfig.get("keep_checkpoint_max", 5) or None,
+            keep_time_interval=(datetime.timedelta(hours=keep_hours)
+                                if keep_hours and keep_hours < 10000 else None),
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.model_dir, options=options)
+        self._last_save_time = time.time()
+        self._last_save_step = -1
+
+    def should_save(self, step: int) -> bool:
+        if step == self._last_save_step:
+            return False
+        if self.save_steps:
+            return step % self.save_steps == 0
+        if self.save_secs:
+            return time.time() - self._last_save_time >= self.save_secs
+        return False
+
+    def save(self, step: int, tree: Dict[str, Any], force: bool = False):
+        self._mgr.save(step, args=ocp.args.StandardSave(tree),
+                       force=force)
+        self._mgr.wait_until_finished()
+        self._last_save_time = time.time()
+        self._last_save_step = step
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, tree: Dict[str, Any],
+                step: Optional[int] = None) -> Optional[Dict[str, Any]]:
+        """Restore into the structure/shardings of ``tree`` (the abstract
+        target). Returns None when no checkpoint exists."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, tree)
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract))
+
+    def close(self):
+        self._mgr.close()
+
+
+def inspect_checkpoint(model_dir: str, step: Optional[int] = None,
+                       tensor_name: Optional[str] = None,
+                       print_values: bool = False) -> Dict[str, Any]:
+    """List (and optionally print) tensors in a checkpoint
+    (inspect_checkpoint.py:31-60 parity)."""
+    mgr = ocp.CheckpointManager(os.path.abspath(model_dir))
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {model_dir}")
+    tree = mgr.restore(step)
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        flat[name] = leaf
+    out = {}
+    for name, leaf in sorted(flat.items()):
+        if tensor_name and tensor_name not in name:
+            continue
+        arr = np.asarray(leaf)
+        out[name] = arr
+        if print_values:
+            print(f"{name}  shape={arr.shape} dtype={arr.dtype}")
+            print(arr)
+        else:
+            print(f"{name}  shape={arr.shape} dtype={arr.dtype}")
+    mgr.close()
+    return out

@@ -1,0 +1,247 @@
+"""Trainer: epoch-per-file train/eval/pred loops, checkpointing, logging.
+
+Functional replacement for the reference entry-point loops
+(/root/reference/python/train.py:65-170, eval.py:56-83, pred.py:52-74):
+
+* ``train_and_eval`` — per epoch, per train file: train; evaluate eval data
+  per file and test data every ``epochs_per_eval`` epochs (train.py:65-106).
+* ``dynamic_train`` — rolling window: train on file[i], test on file[i+1],
+  files sorted by name (train.py:109-148).
+* ``train`` / ``evaluate`` / ``predict`` one-shots.
+
+keep_train=0 wipes the model dir first (train.py:188-191); otherwise training
+resumes from the latest checkpoint.  Step/sec logging follows
+log_step_count_steps; checkpoint cadence follows runconfig (see
+training/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from wide_deep_tpu import metrics as metrics_lib
+from wide_deep_tpu.config import Config
+from wide_deep_tpu.features.pipeline import CsvDataset, FeatureTransformer, list_files
+from wide_deep_tpu.features.plan import FeaturePlan
+from wide_deep_tpu.models.joint import WideDeep, build_model
+from wide_deep_tpu.optim import build_joint_optimizer
+from wide_deep_tpu.parallel import mesh as mesh_lib
+from wide_deep_tpu.training.checkpoint import CheckpointManager
+from wide_deep_tpu.training.step import (make_eval_step, make_predict_step,
+                                         make_train_step)
+
+log = logging.getLogger("wide_deep_tpu")
+
+
+class Trainer:
+    def __init__(self, config: Optional[Config] = None,
+                 model_type: Optional[str] = None,
+                 model_dir: Optional[str] = None,
+                 n_classes: int = 2,
+                 mesh=None,
+                 dtype=np.float32,
+                 overrides: Optional[Dict[str, Any]] = None):
+        self.config = config or Config()
+        self.train_conf = dict(self.config.train)
+        if overrides:
+            self.train_conf.update(
+                {k: v for k, v in overrides.items() if v is not None})
+        self.model_type = model_type or self.train_conf["model_type"]
+        base_dir = model_dir or self.train_conf["model_dir"]
+        self.model_dir = os.path.join(base_dir, self.model_type)
+        self.runconfig = self.config.runconfig
+        self.batch_size = int(self.train_conf["batch_size"])
+        self.n_classes = n_classes
+        self.seed = int(self.runconfig.get("tf_random_seed") or 123)
+
+        self.plan = FeaturePlan(self.config,
+                                multivalue=self.train_conf["multivalue"])
+        self.model: WideDeep = build_model(
+            self.config, plan=self.plan, model_type=self.model_type,
+            n_classes=n_classes, dtype=dtype)
+        self.mesh = mesh if mesh is not None else mesh_lib.mesh_from_config(
+            self.config)
+        decay_steps = max(
+            float(self.train_conf["num_examples"]) / self.batch_size, 1.0)
+        self.tx = build_joint_optimizer(
+            self.config.model, decay_steps,
+            arms={"linear": self.model.has_wide, "dnn": self.model.has_deep,
+                  "cnn": self.model.has_cnn})
+        self.pos_weight = self.train_conf.get("pos_sample_loss_weight")
+        self.neg_weight = self.train_conf.get("neg_sample_loss_weight")
+        self.transformer = FeatureTransformer(
+            self.plan, n_classes, self.pos_weight, self.neg_weight)
+
+        self._train_step = make_train_step(self.model, self.tx)
+        self._eval_step = make_eval_step(self.model)
+        self._predict_step = make_predict_step(self.model)
+        self._ckpt: Optional[CheckpointManager] = None
+        self.params = None
+        self.mstate = None
+        self.opt_state = None
+        self.global_step = 0
+        self._rng = jax.random.PRNGKey(self.seed)
+
+    # ------------------------------------------------------------------ setup
+    def _zero_batch(self) -> Dict[str, np.ndarray]:
+        spec = self.plan.batch_spec(self.batch_size, self.n_classes,
+                                    with_image=self.model.has_cnn)
+        return {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
+
+    def ensure_initialized(self, restore: bool = True):
+        if self.params is not None:
+            return
+        sample = self._zero_batch()
+        sample["mask"] = np.ones_like(sample.get("mask", np.ones(self.batch_size, np.float32)))
+        with jax.default_device(jax.devices()[0]):
+            params, mstate = self.model.init(
+                jax.random.PRNGKey(self.seed), sample)
+        shardings = mesh_lib.param_shardings(self.mesh, params)
+        params = jax.device_put(params, shardings)
+        opt_state = self.tx.init(params)
+        self.params, self.mstate, self.opt_state = params, mstate, opt_state
+        self._ckpt = CheckpointManager(self.model_dir, self.runconfig)
+        if restore:
+            restored = self._ckpt.restore(self._ckpt_tree())
+            if restored is not None:
+                self.params = restored["params"]
+                self.mstate = restored["mstate"]
+                self.opt_state = restored["opt_state"]
+                self.global_step = int(restored["step"])
+                log.info("restored checkpoint at step %d", self.global_step)
+
+    def _ckpt_tree(self):
+        return {"params": self.params, "mstate": self.mstate,
+                "opt_state": self.opt_state, "step": self.global_step}
+
+    def maybe_wipe_model_dir(self):
+        if not self.train_conf["keep_train"] and os.path.isdir(self.model_dir):
+            shutil.rmtree(self.model_dir)
+
+    # ------------------------------------------------------------------ train
+    def _dataset(self, path: str, mode: str, epoch_seed: int = 0) -> CsvDataset:
+        dist = self.config.distribution
+        num_shards = int(dist.get("num_processes") or 1)
+        shard_index = int(dist.get("process_index") or 0)
+        if not dist.get("is_distribution"):
+            num_shards, shard_index = 1, 0
+        return CsvDataset(
+            self.plan, path, mode, self.batch_size, self.n_classes,
+            self.pos_weight, self.neg_weight,
+            shuffle_buffer=int(self.train_conf["num_examples"]),
+            seed=self.seed + epoch_seed,
+            num_shards=num_shards, shard_index=shard_index,
+            transformer=self.transformer)
+
+    def train_file(self, path: str, epoch_seed: int = 0) -> float:
+        """Train over one file; returns the last batch loss."""
+        self.ensure_initialized()
+        log_every = int(self.runconfig.get("log_step_count_steps") or 100)
+        t0 = time.time()
+        last_log_step, last_log_time = self.global_step, t0
+        loss = float("nan")
+        bsh = mesh_lib.batch_sharding(self.mesh)
+        for batch in self._dataset(path, "train", epoch_seed):
+            batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+            self.params, self.mstate, self.opt_state, loss = self._train_step(
+                self.params, self.mstate, self.opt_state, batch, self._rng,
+                self.global_step)
+            self.global_step += 1
+            if self.global_step % log_every == 0:
+                now = time.time()
+                sps = (self.global_step - last_log_step) / max(
+                    now - last_log_time, 1e-9)
+                log.info("step %d  loss %.5f  %.1f steps/s  %.0f ex/s",
+                         self.global_step, float(loss), sps,
+                         sps * self.batch_size)
+                last_log_step, last_log_time = self.global_step, now
+            if self._ckpt.should_save(self.global_step):
+                self._ckpt.save(self.global_step, self._ckpt_tree())
+        log.info("finished %s in %.1f s (step %d)", os.path.basename(path),
+                 time.time() - t0, self.global_step)
+        return float(loss)
+
+    def save(self, force: bool = True):
+        self.ensure_initialized()
+        self._ckpt.save(self.global_step, self._ckpt_tree(), force=force)
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(self, data_path: Optional[str] = None,
+                 checkpoint_path: Optional[str] = None) -> Dict[str, float]:
+        self.ensure_initialized()
+        data_path = data_path or self.train_conf["test_data"]
+        if checkpoint_path:
+            restored = CheckpointManager(
+                os.path.dirname(checkpoint_path.rstrip("/")),
+                self.runconfig).restore(self._ckpt_tree())
+            if restored is not None:
+                self.params, self.mstate = restored["params"], restored["mstate"]
+        acc = metrics_lib.init_metrics()
+        bsh = mesh_lib.batch_sharding(self.mesh)
+        for batch in self._dataset(data_path, "eval"):
+            batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+            acc = self._eval_step(self.params, self.mstate, batch, acc)
+        results = metrics_lib.finalize_metrics(acc)
+        results["global_step"] = self.global_step
+        return results
+
+    def predict(self, data_path: Optional[str] = None) -> Iterator[Dict[str, Any]]:
+        """Streaming per-example predictions (pred.py:65-74 parity)."""
+        self.ensure_initialized()
+        data_path = data_path or self.train_conf["test_data"]
+        for batch in self._dataset(data_path, "pred"):
+            preds = self._predict_step(self.params, self.mstate, batch)
+            preds = {k: np.asarray(v) for k, v in preds.items()}
+            n = int(batch["mask"].sum())
+            for i in range(n):
+                yield {k: v[i] for k, v in preds.items()}
+
+    # ------------------------------------------------------------- loop modes
+    def train_and_eval(self):
+        """train.py:65-106 semantics."""
+        conf = self.train_conf
+        for epoch in range(int(conf["train_epochs"])):
+            files = list_files(conf["train_data"])
+            for path in files:
+                self.train_file(path, epoch_seed=epoch)
+                res = self.evaluate(conf["eval_data"])
+                log.info("epoch %d eval %s: %s", epoch,
+                         os.path.basename(path), _fmt(res))
+            if (epoch + 1) % int(conf["epochs_per_eval"]) == 0:
+                res = self.evaluate(conf["test_data"])
+                log.info("epoch %d test: %s", epoch, _fmt(res))
+            self.save()
+
+    def dynamic_train(self):
+        """Rolling-window mode (train.py:109-148): train file[i], test
+        file[i+1]."""
+        conf = self.train_conf
+        files = sorted(list_files(conf["train_data"]))
+        for epoch in range(int(conf["train_epochs"])):
+            for i, path in enumerate(files):
+                self.train_file(path, epoch_seed=epoch)
+                if i + 1 < len(files):
+                    res = self.evaluate(files[i + 1])
+                    log.info("dynamic eval on %s: %s",
+                             os.path.basename(files[i + 1]), _fmt(res))
+            self.save()
+
+    def train(self):
+        """Plain training, no interleaved eval (distributed mode default,
+        train.py:213-214)."""
+        conf = self.train_conf
+        for epoch in range(int(conf["train_epochs"])):
+            for path in list_files(conf["train_data"]):
+                self.train_file(path, epoch_seed=epoch)
+            self.save()
+
+
+def _fmt(res: Dict[str, float]) -> str:
+    return "  ".join(f"{k}={v:.6g}" for k, v in sorted(res.items()))

@@ -1,0 +1,66 @@
+"""Compiled SPMD train / eval / predict steps.
+
+The reference ran a TF1 MonitoredSession loop over a graph built once
+(/root/reference/python/lib/joint.py:81-269); here each step is a single
+jit'd pure function over (params, state, opt_state, batch) with donated
+inputs, traced once per shape and compiled by XLA for the mesh.  Gradients,
+the per-arm optimizer updates and the BN state advance all happen inside the
+one compiled step — on a mesh this includes the all-reduces (dense params)
+and collective scatter-adds (row-sharded tables) XLA derives from the
+sharding annotations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from wide_deep_tpu import metrics as metrics_lib
+from wide_deep_tpu.models.joint import WideDeep
+
+
+def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
+                    donate: bool = True):
+    """Returns jit'd step: (params, mstate, opt_state, batch, rng, step)
+    -> (params, mstate, opt_state, loss)."""
+
+    def step(params, mstate, opt_state, batch, rng, step_idx):
+        rng = jax.random.fold_in(rng, step_idx)
+        grad_fn = jax.value_and_grad(model.loss_fn, has_aux=True)
+        (loss, (new_mstate, _, _)), grads = grad_fn(
+            params, mstate, batch, True, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_mstate, opt_state, loss
+
+    kwargs = {"donate_argnums": (0, 1, 2)} if donate else {}
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(model: WideDeep):
+    """Returns jit'd step folding one batch into the metric accumulators."""
+
+    def step(params, mstate, batch, acc):
+        loss, (_, per_ex, preds) = model.loss_fn(
+            params, mstate, batch, training=False)
+        if model.n_classes == 2:
+            probs = preds["logistic"]
+        else:
+            # prob of the true class is not a single scalar for multiclass;
+            # use max-prob for threshold metrics, matching accuracy semantics
+            probs = jnp.max(preds["probabilities"], axis=-1)
+        w = batch["weight"] * batch["mask"]
+        acc = metrics_lib.update_metrics(acc, probs, batch["label"], w, per_ex)
+        return acc
+
+    return jax.jit(step, donate_argnums=(3,))
+
+
+def make_predict_step(model: WideDeep):
+    def step(params, mstate, batch):
+        return model.predict(params, mstate, batch)
+    return jax.jit(step)
