@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark: wide_deep training throughput, examples/s/chip.
+
+Measures the full compiled SPMD train step (forward, backward, FTRL + Adagrad
+updates, BN state advance) of the flagship wide_deep model on the production
+config (12.7M-row wide space, fused embedding groups incl. the 10M-row dim-32
+table) at the reference's recommended batch size 25600
+(reference conf/train.yaml:21).
+
+Input batches are synthetic (pre-packed id tensors with realistic multivalue
+occupancy) so the metric isolates device throughput; the host data pipeline
+is benchmarked separately (tests/bench notes).
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).  We
+use 5,000 examples/s as the per-host baseline estimate for the reference's
+async-PS CPU training (TF1 CPU-pinned wide+deep at batch 64-25600; the
+repository notes CPU beats GPU for this model, build_estimator.py:211-214).
+BASELINE.md's bar is >=2x that per chip.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_CPU_EXAMPLES_PER_S = 5000.0
+BATCH_SIZE = 25600
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def synthetic_batch(plan, batch_size, rng):
+    """Pre-packed batch with realistic id ranges and multivalue occupancy."""
+    import numpy as np
+    spec = plan.batch_spec(batch_size)
+    batch = {}
+    batch["label"] = (rng.random(batch_size) < 0.3).astype(np.float32)
+    batch["weight"] = np.ones(batch_size, np.float32)
+    batch["mask"] = np.ones(batch_size, np.float32)
+
+    wide_ids = np.zeros((batch_size, plan.wide_total_len), np.int32)
+    wide_wts = np.zeros((batch_size, plan.wide_total_len), np.float32)
+    for s in plan.wide_slots:
+        occ = 1 if s.max_len == 1 else max(1, s.max_len // 2)
+        ids = rng.integers(0, s.size, (batch_size, occ))
+        wide_ids[:, s.col_offset:s.col_offset + occ] = s.offset + ids
+        wide_wts[:, s.col_offset:s.col_offset + occ] = 1.0
+    batch["wide_ids"], batch["wide_wts"] = wide_ids, wide_wts
+
+    for g in plan.groups:
+        ids = np.zeros((batch_size, g.total_len), np.int32)
+        wts = np.zeros((batch_size, g.total_len), np.float32)
+        for s in g.slots:
+            occ = 1 if s.max_len == 1 else max(1, s.max_len // 2)
+            ids[:, s.col_offset:s.col_offset + occ] = (
+                s.row_offset + rng.integers(0, s.vocab_size, (batch_size, occ)))
+            wts[:, s.col_offset:s.col_offset + occ] = 1.0 / occ
+        batch[f"emb_ids_d{g.dim}"], batch[f"emb_wts_d{g.dim}"] = ids, wts
+
+    if plan.indicator_total_len:
+        ids = np.zeros((batch_size, plan.indicator_total_len), np.int32)
+        wts = np.zeros((batch_size, plan.indicator_total_len), np.float32)
+        for s in plan.indicator_slots:
+            ids[:, s.col_offset] = s.offset + rng.integers(
+                0, s.size, batch_size)
+            wts[:, s.col_offset] = 1.0
+        batch["ind_ids"], batch["ind_wts"] = ids, wts
+    if plan.continuous_slots:
+        batch["cont"] = rng.random(
+            (batch_size, len(plan.continuous_slots))).astype(np.float32)
+    return batch
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from wide_deep_tpu.config import Config
+    from wide_deep_tpu.features.plan import FeaturePlan
+    from wide_deep_tpu.models.joint import build_model
+    from wide_deep_tpu.optim import build_joint_optimizer
+    from wide_deep_tpu.parallel import mesh as mesh_lib
+    from wide_deep_tpu.training.step import make_train_step
+
+    n_chips = jax.device_count()
+    log(f"devices: {jax.devices()}")
+    mesh = mesh_lib.make_mesh(n_chips, 1)
+
+    config = Config()
+    plan = FeaturePlan(config)
+    model = build_model(config, plan=plan, model_type="wide_deep")
+    log(plan.describe())
+
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(plan, BATCH_SIZE, rng)
+    t0 = time.time()
+    params, mstate = model.init(jax.random.PRNGKey(0), batch)
+    shardings = mesh_lib.param_shardings(mesh, params)
+    params = jax.device_put(params, shardings)
+    mstate = jax.device_put(mstate, mesh_lib.replicated(mesh))
+    decay_steps = float(config.train["num_examples"]) / BATCH_SIZE
+    tx = build_joint_optimizer(config.model, max(decay_steps, 1.0),
+                               {"linear": True, "dnn": True})
+    opt_struct = jax.eval_shape(tx.init, params)
+    opt_sh = mesh_lib.opt_state_shardings(mesh, params, shardings, opt_struct)
+    opt_state = jax.jit(tx.init, out_shardings=opt_sh)(params)
+    log(f"init in {time.time()-t0:.1f}s")
+
+    step = make_train_step(model, tx)
+    bsh = mesh_lib.batch_sharding(mesh)
+    dbatch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    for i in range(WARMUP_STEPS):
+        params, mstate, opt_state, loss = step(params, mstate, opt_state,
+                                               dbatch, key, i)
+    jax.block_until_ready(loss)
+    log(f"warmup (incl. compile) {time.time()-t0:.1f}s; loss={float(loss):.4f}")
+
+    t0 = time.time()
+    for i in range(MEASURE_STEPS):
+        params, mstate, opt_state, loss = step(params, mstate, opt_state,
+                                               dbatch, key, WARMUP_STEPS + i)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    examples_per_s = MEASURE_STEPS * BATCH_SIZE / dt
+    per_chip = examples_per_s / n_chips
+    log(f"{MEASURE_STEPS} steps in {dt:.2f}s -> {examples_per_s:.0f} ex/s "
+        f"({per_chip:.0f}/chip), step time {dt/MEASURE_STEPS*1e3:.1f} ms")
+
+    print(json.dumps({
+        "metric": "wide_deep_train_examples_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(per_chip / REFERENCE_CPU_EXAMPLES_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

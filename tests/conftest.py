@@ -60,30 +60,8 @@ def plan(config):
 def small_conf_dir(tmp_path_factory):
     """A shrunken copy of conf/ suitable for fast CPU tests: hash spaces
     capped at 1000, cross spaces at 5k ids, small hidden layers."""
-    import re
-    import shutil
-    src = os.path.join(REPO, "conf")
-    dst = tmp_path_factory.mktemp("conf_small")
-    for name in os.listdir(src):
-        shutil.copy(os.path.join(src, name), dst / name)
-    feat = (dst / "feature.yaml").read_text()
-    feat = re.sub(r"parameter: (\d{4,})\b",
-                  lambda m: "parameter: 1000", feat)
-    (dst / "feature.yaml").write_text(feat)
-    cross = (dst / "cross_feature.yaml").read_text()
-    cross = re.sub(r"hash_bucket_size: (\d+)",
-                   lambda m: "hash_bucket_size: %d" % min(int(m.group(1)), 5),
-                   cross)
-    (dst / "cross_feature.yaml").write_text(cross)
-    model = (dst / "model.yaml").read_text()
-    model = model.replace("dnn_hidden_units: [1024, 512, 256]",
-                          "dnn_hidden_units: [32, 16]")
-    (dst / "model.yaml").write_text(model)
-    train = (dst / "train.yaml").read_text()
-    train = train.replace("batch_size: 64", "batch_size: 16")
-    train = train.replace("num_examples: 10000", "num_examples: 100")
-    (dst / "train.yaml").write_text(train)
-    return str(dst)
+    from wide_deep_tpu.testing import write_small_conf
+    return write_small_conf(str(tmp_path_factory.mktemp("conf_small")))
 
 
 @pytest.fixture(scope="session")

@@ -49,8 +49,11 @@ class TestPlan:
         assert embedding_dim(10000000) == 32
 
     def test_dims(self, plan):
-        # wide space: sum of all slot sizes, disjoint offsets
-        assert plan.wide_dim == sum(s.size for s in plan.wide_slots)
+        # wide space: sum of all slot sizes, disjoint offsets, padded to the
+        # row-alignment multiple for even sharding
+        used = sum(s.size for s in plan.wide_slots)
+        assert used <= plan.wide_dim < used + 256
+        assert plan.wide_dim % 256 == 0
         offs = sorted((s.offset, s.offset + s.size) for s in plan.wide_slots)
         for (a1, b1), (a2, b2) in zip(offs, offs[1:]):
             assert b1 == a2

@@ -1,0 +1,79 @@
+"""Shared CLI plumbing: conf-defaulted argparse (reference train.py:24-62
+pattern — YAML supplies defaults, command line overrides YAML)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wide_deep_tpu.config import Config  # noqa: E402
+
+
+def base_parser(description: str) -> tuple[argparse.ArgumentParser, Config]:
+    conf_dir = os.environ.get("WIDE_DEEP_CONF_DIR")
+    config = Config(conf_dir)
+    t = config.train
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--conf_dir", default=conf_dir,
+                   help="configuration directory (or WIDE_DEEP_CONF_DIR)")
+    p.add_argument("--model_dir", default=t["model_dir"])
+    p.add_argument("--model_type", default=t["model_type"],
+                   choices=["wide", "deep", "wide_deep"])
+    p.add_argument("--train_data", default=t["train_data"])
+    p.add_argument("--eval_data", default=t["eval_data"])
+    p.add_argument("--test_data", default=t["test_data"])
+    p.add_argument("--image_train_data", default=t["image_train_data"])
+    p.add_argument("--image_eval_data", default=t["image_eval_data"])
+    p.add_argument("--image_test_data", default=t["image_test_data"])
+    p.add_argument("--batch_size", type=int, default=t["batch_size"])
+    p.add_argument("--train_epochs", type=int, default=t["train_epochs"])
+    p.add_argument("--epochs_per_eval", type=int, default=t["epochs_per_eval"])
+    p.add_argument("--keep_train", type=int, default=int(t["keep_train"]))
+    p.add_argument("--dynamic_train", type=int,
+                   default=int(t["dynamic_train"]))
+    p.add_argument("--checkpoint_path", default=t["checkpoint_path"])
+    p.add_argument("--pos_sample_loss_weight", type=float,
+                   default=t["pos_sample_loss_weight"])
+    p.add_argument("--neg_sample_loss_weight", type=float,
+                   default=t["neg_sample_loss_weight"])
+    return p, config
+
+
+def setup(args) -> Config:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    config = Config(args.conf_dir) if args.conf_dir else Config()
+    return config
+
+
+def overrides_from(args) -> dict:
+    return dict(
+        model_dir=args.model_dir, model_type=args.model_type,
+        train_data=args.train_data, eval_data=args.eval_data,
+        test_data=args.test_data, batch_size=args.batch_size,
+        train_epochs=args.train_epochs, epochs_per_eval=args.epochs_per_eval,
+        keep_train=bool(args.keep_train),
+        dynamic_train=bool(args.dynamic_train),
+        checkpoint_path=args.checkpoint_path,
+        pos_sample_loss_weight=args.pos_sample_loss_weight,
+        neg_sample_loss_weight=args.neg_sample_loss_weight,
+        image_train_data=args.image_train_data,
+        image_eval_data=args.image_eval_data,
+        image_test_data=args.image_test_data)
+
+
+def maybe_init_distributed(config: Config):
+    """Multi-host SPMD bring-up (replaces TF_CONFIG/ClusterSpec,
+    build_estimator.py:172-198)."""
+    dist = config.distribution
+    if dist.get("is_distribution"):
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=dist["coordinator"],
+            num_processes=dist["num_processes"],
+            process_id=dist["process_index"])

@@ -1,0 +1,32 @@
+#!/usr/bin/env python
+"""Training CLI (reference python/train.py analog).
+
+Modes (train.py:196-214 semantics):
+  dynamic_train=1  -> rolling-window train/test over sorted files
+  distributed      -> plain train loop (eval disabled, train.py:213-214)
+  otherwise        -> train_and_eval
+"""
+
+from common import base_parser, maybe_init_distributed, overrides_from, setup
+
+
+def main():
+    parser, _ = base_parser("wide_deep_tpu training")
+    args, _ = parser.parse_known_args()
+    config = setup(args)
+    maybe_init_distributed(config)
+
+    from wide_deep_tpu.training.loop import Trainer
+    trainer = Trainer(config, model_type=args.model_type,
+                      overrides=overrides_from(args))
+    trainer.maybe_wipe_model_dir()
+    if args.dynamic_train:
+        trainer.dynamic_train()
+    elif config.distribution.get("is_distribution"):
+        trainer.train()
+    else:
+        trainer.train_and_eval()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,12 @@ import numpy as np
 from wide_deep_tpu.config import Config, ConfigError
 
 CROSS_MAX_LEN = 16  # static cap on cartesian-product size of a cross
+ROW_ALIGN = 256     # table row counts padded to this multiple so row-sharded
+                    # tables divide evenly over up to 256 devices
+
+
+def _align_rows(n: int) -> int:
+    return ((n + ROW_ALIGN - 1) // ROW_ALIGN) * ROW_ALIGN
 
 
 def embedding_dim(n_buckets: int) -> int:
@@ -231,10 +237,10 @@ class FeaturePlan:
                     continue
                 slots.append(EmbedSlot(name, kind, rows, d, L, row, col, len(slots)))
                 row += rows; col += L
-            groups.append(DimGroup(dim, row, col, tuple(slots)))
+            groups.append(DimGroup(dim, _align_rows(row), col, tuple(slots)))
 
         self.wide_slots = wide_slots
-        self.wide_dim = wide_off
+        self.wide_dim = _align_rows(wide_off)
         self.wide_total_len = wide_col
         self.groups = groups
         self.indicator_slots = indicator_slots
@@ -260,6 +266,7 @@ class FeaturePlan:
         if mode != "pred":
             spec["label"] = ((B,), np.float32 if n_classes == 2 else np.int32)
             spec["weight"] = ((B,), np.float32)
+        spec["mask"] = ((B,), np.float32)
         spec["wide_ids"] = ((B, self.wide_total_len), np.int32)
         spec["wide_wts"] = ((B, self.wide_total_len), np.float32)
         for g in self.groups:

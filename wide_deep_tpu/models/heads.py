@@ -30,8 +30,9 @@ def head_loss(logits: jnp.ndarray, labels: jnp.ndarray, weights: jnp.ndarray,
     if n_classes == 2:
         z = logits[:, 0]
         y = labels.astype(jnp.float32)
-        # numerically stable sigmoid cross entropy
-        per_ex = jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        # numerically stable sigmoid cross entropy; softplus form keeps the
+        # gradient well-defined at z == 0 (where zero-init arms start)
+        per_ex = jax.nn.softplus(-z) + z * (1.0 - y)
     else:
         y = labels.astype(jnp.int32)
         logp = jax.nn.log_softmax(logits, axis=-1)

@@ -65,7 +65,8 @@ def row_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(("data", "model"), None))
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
+def param_shardings(mesh: Mesh, params: Any,
+                    size_threshold: int = _SHARD_THRESHOLD) -> Any:
     """Sharding tree for a model param tree.
 
     Embedding tables ('embed' group tables, linear 'w') above the size
@@ -76,12 +77,36 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
 
     def rule(path, leaf):
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        big = leaf.ndim >= 1 and leaf.size >= _SHARD_THRESHOLD * max(n_dev, 1)
+        big = leaf.ndim >= 1 and leaf.size >= size_threshold * max(n_dev, 1)
         if big and leaf.ndim == 2 and ("embed" in keys or "w" in keys):
             return row_sharded(mesh)
         return replicated(mesh)
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def opt_state_shardings(mesh: Mesh, params: Any, param_shards: Any,
+                        opt_state_struct: Any) -> Any:
+    """Sharding tree for an optimizer state.
+
+    Optimizer slots mirror parameter shapes (Adagrad/FTRL accumulators), so a
+    slot whose shape matches a row-sharded table's shape is row-sharded the
+    same way; everything else (scalars, counts, dense-param slots) is
+    replicated.
+    """
+    sharded_shapes = set()
+    for p_leaf, s_leaf in zip(jax.tree.leaves(params),
+                              jax.tree.leaves(param_shards)):
+        if s_leaf.spec != (None,) and s_leaf.spec:  # has a sharded dim
+            if any(ax is not None for ax in s_leaf.spec):
+                sharded_shapes.add(p_leaf.shape)
+
+    def rule(leaf):
+        if getattr(leaf, "shape", None) in sharded_shapes:
+            return row_sharded(mesh)
+        return replicated(mesh)
+
+    return jax.tree.map(rule, opt_state_struct)
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:

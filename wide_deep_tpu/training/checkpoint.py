@@ -61,12 +61,20 @@ class CheckpointManager:
 
     def restore(self, tree: Dict[str, Any],
                 step: Optional[int] = None) -> Optional[Dict[str, Any]]:
-        """Restore into the structure/shardings of ``tree`` (the abstract
-        target). Returns None when no checkpoint exists."""
+        """Restore into the structure/shardings of ``tree`` (the live target
+        whose leaf shardings are preserved). Returns None when no checkpoint
+        exists."""
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, tree)
+
+        def _abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return x
+
+        abstract = jax.tree.map(_abstract, tree)
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract))
 

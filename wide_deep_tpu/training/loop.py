@@ -105,7 +105,14 @@ class Trainer:
                 jax.random.PRNGKey(self.seed), sample)
         shardings = mesh_lib.param_shardings(self.mesh, params)
         params = jax.device_put(params, shardings)
-        opt_state = self.tx.init(params)
+        mstate = jax.device_put(mstate, mesh_lib.replicated(self.mesh))
+        # commit every opt-state leaf to the mesh explicitly (table slots
+        # row-sharded, the rest replicated) — keeps restore/jit consistent
+        opt_struct = jax.eval_shape(self.tx.init, params)
+        opt_shardings = mesh_lib.opt_state_shardings(
+            self.mesh, params, shardings, opt_struct)
+        opt_state = jax.jit(self.tx.init,
+                            out_shardings=opt_shardings)(params)
         self.params, self.mstate, self.opt_state = params, mstate, opt_state
         self._ckpt = CheckpointManager(self.model_dir, self.runconfig)
         if restore:
