@@ -1,0 +1,526 @@
+// wide_deep_tpu native data loader: TSV -> packed feature batches.
+//
+// Multithreaded C++ hot path for the host feature pipeline, bit-identical to
+// the Python reference implementation in wide_deep_tpu/features/pipeline.py:
+// same XXH64 string fingerprints (features/hashing.py), same cross-combine
+// chain, same packing layout (features/plan.py).  Loaded via ctypes from
+// features/native.py; the binary plan format is produced by
+// native.serialize_plan (version 1) and must stay in lockstep.
+//
+// Build: make -C cpp  (produces libwdtfastdata.so)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------- xxhash64 (spec)
+constexpr uint64_t P1 = 0x9E3779B185EBCA87ULL;
+constexpr uint64_t P2 = 0xC2B2AE3D27D4EB4FULL;
+constexpr uint64_t P3 = 0x165667B19E3779F9ULL;
+constexpr uint64_t P4 = 0x85EBCA77C2B2AE63ULL;
+constexpr uint64_t P5 = 0x27D4EB2F165667C5ULL;
+
+inline uint64_t rotl64(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
+
+inline uint64_t round1(uint64_t acc, uint64_t lane) {
+  return rotl64(acc + lane * P2, 31) * P1;
+}
+
+inline uint64_t merge_round(uint64_t acc, uint64_t val) {
+  return (acc ^ round1(0, val)) * P1 + P4;
+}
+
+inline uint64_t read64(const char* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;  // little-endian hosts only (x86/arm LE)
+}
+
+inline uint32_t read32(const char* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+uint64_t xxh64(const char* data, size_t n, uint64_t seed = 0) {
+  const char* p = data;
+  const char* end = data + n;
+  uint64_t h;
+  if (n >= 32) {
+    uint64_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const char* limit = end - 32;
+    do {
+      v1 = round1(v1, read64(p));
+      v2 = round1(v2, read64(p + 8));
+      v3 = round1(v3, read64(p + 16));
+      v4 = round1(v4, read64(p + 24));
+      p += 32;
+    } while (p <= limit);
+    h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+    h = merge_round(h, v1);
+    h = merge_round(h, v2);
+    h = merge_round(h, v3);
+    h = merge_round(h, v4);
+  } else {
+    h = seed + P5;
+  }
+  h += n;
+  while (p + 8 <= end) {
+    h ^= round1(0, read64(p));
+    h = rotl64(h, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= static_cast<uint64_t>(read32(p)) * P1;
+    h = rotl64(h, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= static_cast<uint64_t>(static_cast<unsigned char>(*p)) * P5;
+    h = rotl64(h, 11) * P1;
+    ++p;
+  }
+  h ^= h >> 33;
+  h *= P2;
+  h ^= h >> 29;
+  h *= P3;
+  h ^= h >> 32;
+  return h;
+}
+
+// cross-combine chain (hashing.py::combine64): order-sensitive fold
+inline uint64_t combine64(uint64_t acc, uint64_t val) {
+  uint64_t x = acc ^ (val * P2);
+  return rotl64(x, 31) * P1;
+}
+
+// --------------------------------------------------------------- plan model
+enum Kind { kHash = 0, kVocab = 1, kIdentity = 2, kContinuous = 3 };
+enum Tran { tNone = 0, tMinMax = 1, tStandard = 2, tLog = 3 };
+
+struct Feature {
+  std::string name;
+  int64_t col = 0;
+  int64_t kind = 0;
+  int64_t max_len = 1;
+  // category placement
+  int64_t size = 0, wide_off = 0, wide_col = 0;
+  int64_t group = 0, row_off = 0, emb_col = 0;      // hash
+  int64_t ind_off = 0, ind_col = 0;                 // vocab/identity
+  std::unordered_map<std::string, int32_t> vocab;   // vocab
+  // continuous
+  int64_t tran = 0;
+  double a = 0.0, b = 1.0;
+  int64_t cont_idx = 0;
+  std::vector<double> bounds;
+  int64_t has_wide = 0;
+};
+
+struct Cross {
+  std::vector<int64_t> members;  // indices into features
+  int64_t bucket = 0, max_len = 0, wide_off = 0, wide_col = 0;
+  int64_t is_deep = 0, group = 0, row_off = 0, emb_col = 0;
+};
+
+struct Plan {
+  int64_t n_columns = 0, multivalue = 0;
+  int64_t wide_len = 0, ind_len = 0, n_cont = 0;
+  std::vector<int64_t> group_dims, group_lens;
+  std::vector<Feature> features;
+  std::vector<Cross> crosses;
+};
+
+struct Reader {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool ok = true;
+  int64_t i64() {
+    if (p + 8 > end) { ok = false; return 0; }
+    int64_t v;
+    std::memcpy(&v, p, 8);
+    p += 8;
+    return v;
+  }
+  double f64() {
+    if (p + 8 > end) { ok = false; return 0; }
+    double v;
+    std::memcpy(&v, p, 8);
+    p += 8;
+    return v;
+  }
+  std::string str() {
+    int64_t n = i64();
+    if (!ok || n < 0 || p + n > end) { ok = false; return {}; }
+    std::string s(reinterpret_cast<const char*>(p), n);
+    p += n;
+    return s;
+  }
+};
+
+Plan* parse_plan(const uint8_t* buf, int64_t len) {
+  Reader r{buf, buf + len};
+  if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
+  r.p += 4;
+  if (r.i64() != 1) return nullptr;  // version
+  auto plan = new Plan();
+  plan->n_columns = r.i64();
+  plan->multivalue = r.i64();
+  plan->wide_len = r.i64();
+  plan->ind_len = r.i64();
+  plan->n_cont = r.i64();
+  int64_t n_groups = r.i64();
+  for (int64_t g = 0; g < n_groups; ++g) {
+    plan->group_dims.push_back(r.i64());
+    plan->group_lens.push_back(r.i64());
+  }
+  int64_t n_features = r.i64();
+  for (int64_t i = 0; i < n_features && r.ok; ++i) {
+    Feature f;
+    f.name = r.str();
+    f.col = r.i64();
+    f.kind = r.i64();
+    if (f.kind == kHash) {
+      f.max_len = r.i64();
+      f.size = r.i64();
+      f.wide_off = r.i64();
+      f.wide_col = r.i64();
+      f.group = r.i64();
+      f.row_off = r.i64();
+      f.emb_col = r.i64();
+    } else if (f.kind == kVocab || f.kind == kIdentity) {
+      f.max_len = r.i64();
+      f.size = r.i64();
+      f.wide_off = r.i64();
+      f.wide_col = r.i64();
+      f.ind_off = r.i64();
+      f.ind_col = r.i64();
+      if (f.kind == kVocab) {
+        for (int64_t v = 0; v < f.size && r.ok; ++v)
+          f.vocab.emplace(r.str(), static_cast<int32_t>(v));
+      }
+    } else {  // continuous
+      f.max_len = r.i64();  // always 1
+      f.tran = r.i64();
+      f.a = r.f64();
+      f.b = r.f64();
+      f.cont_idx = r.i64();
+      int64_t nb = r.i64();
+      for (int64_t k = 0; k < nb && r.ok; ++k) f.bounds.push_back(r.f64());
+      f.has_wide = r.i64();
+      f.wide_off = r.i64();
+      f.wide_col = r.i64();
+    }
+    plan->features.push_back(std::move(f));
+  }
+  int64_t n_crosses = r.i64();
+  for (int64_t i = 0; i < n_crosses && r.ok; ++i) {
+    Cross c;
+    int64_t nm = r.i64();
+    for (int64_t m = 0; m < nm && r.ok; ++m) c.members.push_back(r.i64());
+    c.bucket = r.i64();
+    c.max_len = r.i64();
+    c.wide_off = r.i64();
+    c.wide_col = r.i64();
+    c.is_deep = r.i64();
+    c.group = r.i64();
+    c.row_off = r.i64();
+    c.emb_col = r.i64();
+    plan->crosses.push_back(std::move(c));
+  }
+  if (!r.ok) { delete plan; return nullptr; }
+  return plan;
+}
+
+// ------------------------------------------------------------ row transform
+struct Outs {
+  float* label;
+  float* weight;
+  float* mask;
+  int32_t* wide_ids;
+  float* wide_wts;
+  std::vector<int32_t*> g_ids;
+  std::vector<float*> g_wts;
+  int32_t* ind_ids;
+  float* ind_wts;
+  float* cont;
+};
+
+struct View {
+  const char* p;
+  size_t n;
+  bool eq(const char* s) const { return std::strlen(s) == n && std::memcmp(p, s, n) == 0; }
+};
+
+inline double to_double(const View& v) {
+  if (v.n == 0 || (v.n == 1 && v.p[0] == '-')) return 0.0;
+  char buf[64];
+  size_t n = std::min(v.n, sizeof(buf) - 1);
+  std::memcpy(buf, v.p, n);
+  buf[n] = 0;
+  char* endp = nullptr;
+  double d = std::strtod(buf, &endp);
+  if (endp == buf) return 0.0;
+  return d;
+}
+
+inline int64_t to_int(const View& v) {
+  double d = to_double(v);
+  return static_cast<int64_t>(d);
+}
+
+// split a cell on ',' honoring multivalue + cap (pipeline.py::_split)
+inline int split_values(const Plan& plan, const View& cell, int64_t max_len,
+                        View* out) {
+  if (cell.n == 0 || (cell.n == 1 && cell.p[0] == '-')) {
+    out[0] = View{cell.p, 0};  // empty string value
+    return 1;
+  }
+  if (!plan.multivalue) {
+    out[0] = cell;
+    return 1;
+  }
+  int count = 0;
+  const char* start = cell.p;
+  const char* end = cell.p + cell.n;
+  const char* q = start;
+  while (q <= end && count < max_len) {
+    if (q == end || *q == ',') {
+      out[count++] = View{start, static_cast<size_t>(q - start)};
+      start = q + 1;
+    }
+    ++q;
+  }
+  return count;
+}
+
+void process_row(const Plan& plan, const View* cells, bool shifted,
+                 bool has_label, bool weighted, double pos_w, double neg_w,
+                 int64_t b, const Outs& o, int64_t wide_len,
+                 const std::vector<int64_t>& group_lens,
+                 int64_t ind_len, int64_t n_cont,
+                 std::vector<std::vector<uint64_t>>& member_vals) {
+  int shift = shifted ? 1 : 0;
+  if (has_label) {
+    float lab = (cells[0].n == 1 && cells[0].p[0] == '1') ? 1.0f : 0.0f;
+    o.label[b] = lab;
+    o.weight[b] = weighted ? (lab ? static_cast<float>(pos_w)
+                                  : static_cast<float>(neg_w))
+                           : 1.0f;
+  }
+  o.mask[b] = 1.0f;
+
+  View vals[64];
+  for (size_t fi = 0; fi < plan.features.size(); ++fi) {
+    const Feature& f = plan.features[fi];
+    const View& cell = cells[f.col - shift];
+    auto& mv = member_vals[fi];
+    mv.clear();
+    if (f.kind == kContinuous) {
+      double raw = to_double(cell);
+      double x = raw;
+      if (f.tran == tMinMax) x = (raw - f.a) / (f.b - f.a);
+      else if (f.tran == tStandard) x = (raw - f.a) / f.b;
+      else if (f.tran == tLog) x = std::log(std::max(raw, 1e-12));
+      o.cont[b * n_cont + f.cont_idx] = static_cast<float>(x);
+      if (!f.bounds.empty()) {
+        int64_t bucket = std::upper_bound(f.bounds.begin(), f.bounds.end(),
+                                          raw) - f.bounds.begin();
+        if (f.has_wide) {
+          o.wide_ids[b * wide_len + f.wide_col] =
+              static_cast<int32_t>(f.wide_off + bucket);
+          o.wide_wts[b * wide_len + f.wide_col] = 1.0f;
+        }
+        mv.push_back(static_cast<uint64_t>(bucket));
+      }
+      continue;
+    }
+    int k = split_values(plan, cell, f.max_len, vals);
+    if (f.kind == kHash) {
+      float w = 1.0f / k;
+      int64_t glen = group_lens[f.group];
+      for (int j = 0; j < k; ++j) {
+        uint64_t fp = xxh64(vals[j].p, vals[j].n);
+        int64_t id = fp % static_cast<uint64_t>(f.size);
+        o.wide_ids[b * wide_len + f.wide_col + j] =
+            static_cast<int32_t>(f.wide_off + id);
+        o.wide_wts[b * wide_len + f.wide_col + j] = 1.0f;
+        o.g_ids[f.group][b * glen + f.emb_col + j] =
+            static_cast<int32_t>(f.row_off + id);
+        o.g_wts[f.group][b * glen + f.emb_col + j] = w;
+        mv.push_back(fp);
+      }
+    } else if (f.kind == kVocab) {
+      int out_j = 0;
+      for (int j = 0; j < k; ++j) {
+        std::string key(vals[j].p, vals[j].n);
+        auto it = f.vocab.find(key);
+        mv.push_back(xxh64(vals[j].p, vals[j].n));
+        if (it == f.vocab.end()) continue;  // OOV dropped
+        int32_t id = it->second;
+        o.wide_ids[b * wide_len + f.wide_col + out_j] =
+            static_cast<int32_t>(f.wide_off + id);
+        o.wide_wts[b * wide_len + f.wide_col + out_j] = 1.0f;
+        o.ind_ids[b * ind_len + f.ind_col + out_j] =
+            static_cast<int32_t>(f.ind_off + id);
+        o.ind_wts[b * ind_len + f.ind_col + out_j] = 1.0f;
+        ++out_j;
+      }
+    } else {  // identity
+      for (int j = 0; j < k; ++j) {
+        int64_t id = to_int(vals[j]);
+        if (id < 0 || id >= f.size) id = 0;  // default_value=0 semantics
+        o.wide_ids[b * wide_len + f.wide_col + j] =
+            static_cast<int32_t>(f.wide_off + id);
+        o.wide_wts[b * wide_len + f.wide_col + j] = 1.0f;
+        o.ind_ids[b * ind_len + f.ind_col + j] =
+            static_cast<int32_t>(f.ind_off + id);
+        o.ind_wts[b * ind_len + f.ind_col + j] = 1.0f;
+        mv.push_back(static_cast<uint64_t>(id));
+      }
+    }
+  }
+
+  // crosses: chained fingerprints over the (capped) cartesian product,
+  // truncation applied after each member expansion (pipeline.py order)
+  uint64_t combos[64], next[64];
+  for (const Cross& c : plan.crosses) {
+    int n_combo = 1;
+    combos[0] = P5;
+    for (int64_t mi : c.members) {
+      const auto& col = member_vals[mi];
+      size_t ncol = col.empty() ? 1 : col.size();
+      uint64_t zero = 0;
+      const uint64_t* cp = col.empty() ? &zero : col.data();
+      int n_next = 0;
+      for (int a = 0; a < n_combo && n_next < c.max_len; ++a)
+        for (size_t v = 0; v < ncol && n_next < c.max_len; ++v)
+          next[n_next++] = combine64(combos[a], cp[v]);
+      std::memcpy(combos, next, n_next * sizeof(uint64_t));
+      n_combo = n_next;
+    }
+    float w = 1.0f / n_combo;
+    int64_t glen = c.is_deep ? group_lens[c.group] : 0;
+    for (int j = 0; j < n_combo; ++j) {
+      int64_t id = combos[j] % static_cast<uint64_t>(c.bucket);
+      o.wide_ids[b * wide_len + c.wide_col + j] =
+          static_cast<int32_t>(c.wide_off + id);
+      o.wide_wts[b * wide_len + c.wide_col + j] = 1.0f;
+      if (c.is_deep) {
+        o.g_ids[c.group][b * glen + c.emb_col + j] =
+            static_cast<int32_t>(c.row_off + id);
+        o.g_wts[c.group][b * glen + c.emb_col + j] = w;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* wdt_plan_create(const char* buf, int64_t len) {
+  return parse_plan(reinterpret_cast<const uint8_t*>(buf), len);
+}
+
+void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
+
+// outs layout: label, weight, mask, wide_ids, wide_wts,
+//              [per group: ids, wts]..., ind_ids, ind_wts, cont
+int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
+                      int64_t capacity, int has_label, double pos_w,
+                      double neg_w, int weighted, int n_threads,
+                      void** outs) {
+  const Plan& plan = *static_cast<Plan*>(plan_ptr);
+  Outs o;
+  int idx = 0;
+  o.label = static_cast<float*>(outs[idx++]);
+  o.weight = static_cast<float*>(outs[idx++]);
+  o.mask = static_cast<float*>(outs[idx++]);
+  o.wide_ids = static_cast<int32_t*>(outs[idx++]);
+  o.wide_wts = static_cast<float*>(outs[idx++]);
+  for (size_t g = 0; g < plan.group_dims.size(); ++g) {
+    o.g_ids.push_back(static_cast<int32_t*>(outs[idx++]));
+    o.g_wts.push_back(static_cast<float*>(outs[idx++]));
+  }
+  o.ind_ids = static_cast<int32_t*>(outs[idx++]);
+  o.ind_wts = static_cast<float*>(outs[idx++]);
+  o.cont = static_cast<float*>(outs[idx++]);
+
+  // pass 1: line spans + validity (cell count match)
+  struct Line { const char* p; size_t n; bool shifted; };
+  std::vector<Line> lines;
+  lines.reserve(capacity);
+  const char* p = text;
+  const char* end = text + text_len;
+  while (p < end && static_cast<int64_t>(lines.size()) < capacity) {
+    const char* nl = static_cast<const char*>(
+        std::memchr(p, '\n', end - p));
+    const char* le = nl ? nl : end;
+    size_t n = le - p;
+    if (n > 0 && p[n - 1] == '\r') --n;
+    if (n > 0) {
+      int64_t tabs = static_cast<int64_t>(
+          std::count(p, p + n, '\t'));
+      if (has_label) {
+        if (tabs == plan.n_columns - 1) lines.push_back({p, n, false});
+      } else {
+        if (tabs == plan.n_columns - 1) lines.push_back({p, n, false});
+        else if (tabs == plan.n_columns - 2) lines.push_back({p, n, true});
+      }
+    }
+    if (!nl) break;
+    p = nl + 1;
+  }
+  int64_t n_rows = lines.size();
+  if (n_rows == 0) return 0;
+
+  auto worker = [&](int64_t lo, int64_t hi) {
+    std::vector<View> cells(plan.n_columns);
+    std::vector<std::vector<uint64_t>> member_vals(plan.features.size());
+    for (auto& v : member_vals) v.reserve(16);
+    for (int64_t b = lo; b < hi; ++b) {
+      const Line& ln = lines[b];
+      // split row into cells
+      int nc = 0;
+      const char* s = ln.p;
+      const char* e = ln.p + ln.n;
+      const char* q = s;
+      int expect = plan.n_columns - (ln.shifted ? 1 : 0);
+      while (q <= e && nc < expect) {
+        if (q == e || *q == '\t') {
+          cells[nc++] = View{s, static_cast<size_t>(q - s)};
+          s = q + 1;
+        }
+        ++q;
+      }
+      process_row(plan, cells.data(), ln.shifted, has_label != 0,
+                  weighted != 0, pos_w, neg_w, b, o, plan.wide_len,
+                  plan.group_lens, plan.ind_len ? plan.ind_len : 1,
+                  plan.n_cont ? plan.n_cont : 1, member_vals);
+    }
+  };
+
+  int nt = std::max(1, n_threads);
+  if (nt == 1 || n_rows < 256) {
+    worker(0, n_rows);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_rows + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(lo + chunk, n_rows);
+      if (lo >= hi) break;
+      threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  }
+  return n_rows;
+}
+
+}  // extern "C"

@@ -1,0 +1,194 @@
+"""Native (C++) fast path for the feature pipeline.
+
+Serializes the FeaturePlan into a compact binary blob consumed by
+cpp/fastdata.cc (built as libwdtfastdata.so, loaded via ctypes), and exposes
+``NativeTransformer`` — a drop-in replacement for
+pipeline.FeatureTransformer.transform that is bit-identical (same xxHash64,
+same cross chain, same packing) but parses/hashes/packs in multithreaded C++.
+
+The reference's only native component was a serving client (client.cc); here
+native code carries the host hot path: at production batch sizes the Python
+parser is the bottleneck (≈2.5k rows/s vs ≳1M rows/s native), far below the
+TPU step throughput.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from wide_deep_tpu.features.plan import FeaturePlan
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "cpp", "libwdtfastdata.so")
+
+_KIND = {"hash_bucket": 0, "vocab": 1, "identity": 2, "continuous": 3}
+_TRAN = {None: 0, "min_max": 1, "standard": 2, "log": 3}
+
+
+def serialize_plan(plan: FeaturePlan) -> bytes:
+    """FeaturePlan -> binary blob for wdt_plan_create (format v1).
+
+    All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
+    lockstep with cpp/fastdata.cc::PlanReader.
+    """
+    out = bytearray()
+    w = out.extend
+
+    def i64(*vals):
+        w(struct.pack("<" + "q" * len(vals), *vals))
+
+    def f64(*vals):
+        w(struct.pack("<" + "d" * len(vals), *vals))
+
+    def s(text: str):
+        b = text.encode("utf-8")
+        i64(len(b))
+        w(b)
+
+    w(b"WDTP")
+    i64(1)  # version
+    group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
+    i64(len(plan.columns), int(plan.multivalue), plan.wide_total_len,
+        plan.indicator_total_len, len(plan.continuous_slots),
+        len(plan.groups))
+    for g in plan.groups:
+        i64(g.dim, g.total_len)
+
+    feats = plan.feature_order
+    feat_index = {name: i for i, name in enumerate(feats)}
+    i64(len(feats))
+    for name in feats:
+        conf = plan.feature_conf[name]
+        kind = _KIND[conf["transform"] or "continuous"] \
+            if conf["type"] == "category" else 3
+        s(name)
+        i64(plan.column_index[name], kind)
+        if kind == 0:  # hash
+            ws = plan.wide_slot_by_name[name]
+            _, es = plan.embed_slot_by_name[name]
+            i64(ws.max_len, ws.size, ws.offset, ws.col_offset,
+                group_index[es.dim], es.row_offset, es.col_offset)
+        elif kind in (1, 2):  # vocab / identity
+            ws = plan.wide_slot_by_name[name]
+            isl = next(x for x in plan.indicator_slots if x.name == name)
+            i64(ws.max_len, ws.size, ws.offset, ws.col_offset,
+                isl.offset, isl.col_offset)
+            if kind == 1:
+                for v in isl.vocab:
+                    s(v)
+        else:  # continuous
+            slot = next(x for x in plan.continuous_slots if x.name == name)
+            i64(1, _TRAN[slot.transform])
+            f64(slot.a, slot.b)
+            i64(slot.index, len(slot.boundaries))
+            if slot.boundaries:
+                f64(*slot.boundaries)
+            if slot.boundaries:
+                ws = plan.wide_slot_by_name[name]
+                i64(1, ws.offset, ws.col_offset)
+            else:
+                i64(0, 0, 0)
+
+    i64(len(plan.crosses))
+    for cs in plan.crosses:
+        i64(len(cs.members))
+        for m in cs.members:
+            i64(feat_index[m.name])
+        ws = plan.wide_slot_by_name[cs.name]
+        es = plan.embed_slot_by_name.get(cs.name)
+        if es is not None:
+            g, slot = es
+            i64(cs.bucket_size, cs.max_len, ws.offset, ws.col_offset, 1,
+                group_index[slot.dim], slot.row_offset, slot.col_offset)
+        else:
+            i64(cs.bucket_size, cs.max_len, ws.offset, ws.col_offset, 0,
+                0, 0, 0)
+    return bytes(out)
+
+
+class NativeTransformer:
+    """ctypes wrapper over libwdtfastdata.so; API-compatible with
+    FeatureTransformer.transform."""
+
+    def __init__(self, plan: FeaturePlan, n_classes: int = 2,
+                 pos_weight: Optional[float] = None,
+                 neg_weight: Optional[float] = None,
+                 n_threads: int = 0, lib_path: Optional[str] = None):
+        self.plan = plan
+        self.n_classes = n_classes
+        self.pos_weight = pos_weight
+        self.neg_weight = neg_weight
+        self.weighted = pos_weight is not None and neg_weight is not None
+        self.n_threads = n_threads or min(os.cpu_count() or 1, 16)
+        path = lib_path or _LIB_PATH
+        self._lib = ctypes.CDLL(path)
+        self._lib.wdt_plan_create.restype = ctypes.c_void_p
+        self._lib.wdt_plan_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        self._lib.wdt_transform.restype = ctypes.c_int64
+        self._lib.wdt_transform.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p)]
+        blob = serialize_plan(plan)
+        self._plan_handle = self._lib.wdt_plan_create(blob, len(blob))
+        if not self._plan_handle:
+            raise RuntimeError("wdt_plan_create failed (plan blob rejected)")
+
+    @staticmethod
+    def available(lib_path: Optional[str] = None) -> bool:
+        return os.path.exists(lib_path or _LIB_PATH)
+
+    def transform_text(self, text: bytes, n_rows_hint: int, batch_size: int,
+                       mode: str = "train") -> Dict[str, np.ndarray]:
+        """Pack a buffer of raw TSV lines into a Batch (fixed batch_size)."""
+        plan = self.plan
+        B = batch_size
+        out: Dict[str, np.ndarray] = {
+            "label": np.zeros(B, np.float32),
+            "weight": np.zeros(B, np.float32),
+            "mask": np.zeros(B, np.float32),
+            "wide_ids": np.zeros((B, plan.wide_total_len), np.int32),
+            "wide_wts": np.zeros((B, plan.wide_total_len), np.float32),
+        }
+        ptr_order: List[np.ndarray] = [
+            out["label"], out["weight"], out["mask"],
+            out["wide_ids"], out["wide_wts"]]
+        for g in plan.groups:
+            ids = np.zeros((B, g.total_len), np.int32)
+            wts = np.zeros((B, g.total_len), np.float32)
+            out[f"emb_ids_d{g.dim}"], out[f"emb_wts_d{g.dim}"] = ids, wts
+            ptr_order += [ids, wts]
+        ind_ids = np.zeros((B, max(plan.indicator_total_len, 1)), np.int32)
+        ind_wts = np.zeros((B, max(plan.indicator_total_len, 1)), np.float32)
+        ptr_order += [ind_ids, ind_wts]
+        cont = np.zeros((B, max(len(plan.continuous_slots), 1)), np.float32)
+        ptr_order.append(cont)
+        if plan.indicator_total_len:
+            out["ind_ids"], out["ind_wts"] = ind_ids, ind_wts
+        if plan.continuous_slots:
+            out["cont"] = cont
+
+        ptrs = (ctypes.c_void_p * len(ptr_order))(
+            *[a.ctypes.data_as(ctypes.c_void_p).value for a in ptr_order])
+        has_label = 0 if mode == "pred" else 1
+        n = self._lib.wdt_transform(
+            self._plan_handle, text, len(text), B, has_label,
+            float(self.pos_weight or 1.0), float(self.neg_weight or 1.0),
+            1 if self.weighted else 0, self.n_threads, ptrs)
+        if n < 0:
+            raise RuntimeError(f"wdt_transform failed: {n}")
+        if mode == "pred":
+            out.pop("label"); out.pop("weight")
+        return out
+
+    def transform(self, rows: Sequence[Sequence[str]], batch_size: int,
+                  mode: str = "train") -> Dict[str, np.ndarray]:
+        """Row-list API matching FeatureTransformer (joins back to text)."""
+        text = "\n".join("\t".join(cells) for cells in rows).encode("utf-8")
+        return self.transform_text(text, len(rows), batch_size, mode)

@@ -270,16 +270,17 @@ class CsvDataset:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.drop_remainder = drop_remainder
-        self.transformer = transformer or FeatureTransformer(
-            plan, n_classes, pos_weight, neg_weight)
+        if transformer is None:
+            transformer = default_transformer(plan, n_classes, pos_weight,
+                                              neg_weight)
+        self.transformer = transformer
+        # native transformer consumes raw line text (validates + splits in
+        # C++); the Python one wants pre-split cells
+        self._native = hasattr(transformer, "transform_text")
         self._n_cols = len(plan.columns)
         self._epoch = 0
 
-    def _rows(self) -> Iterator[List[str]]:
-        expect = self._n_cols
-        has_label = self.mode != "pred"
-        if not has_label:
-            expect_nolabel = expect - 1
+    def _raw_lines(self) -> Iterator[str]:
         idx = 0
         for path in self.files:
             with open(path, "r", errors="replace") as f:
@@ -287,26 +288,33 @@ class CsvDataset:
                     line = line.rstrip("\n").rstrip("\r")
                     if not line:
                         continue
-                    cells = line.split("\t")
-                    if has_label:
-                        if len(cells) != expect:
-                            continue  # malformed row, skip (decode_csv errored)
-                    else:
-                        # pred data may or may not carry the label column
-                        if len(cells) == expect_nolabel:
-                            cells = [""] + cells
-                        elif len(cells) != expect:
-                            continue
                     if idx % self.num_shards == self.shard_index:
-                        yield cells
+                        yield line
                     idx += 1
 
+    def _rows(self) -> Iterator[List[str]]:
+        expect = self._n_cols
+        has_label = self.mode != "pred"
+        expect_nolabel = expect - 1
+        for line in self._raw_lines():
+            cells = line.split("\t")
+            if has_label:
+                if len(cells) != expect:
+                    continue  # malformed row, skip (decode_csv errored)
+            else:
+                # pred data may or may not carry the label column
+                if len(cells) == expect_nolabel:
+                    cells = [""] + cells
+                elif len(cells) != expect:
+                    continue
+            yield cells
+
     def __iter__(self) -> Iterator[Batch]:
-        rows = self._rows()
+        rows = self._raw_lines() if self._native else self._rows()
         if self.shuffle_buffer > 1:
             rng = np.random.default_rng(self.seed + self._epoch)
             self._epoch += 1
-            buf: List[List[str]] = []
+            buf: List = []
             def shuffled():
                 for r in rows:
                     buf.append(r)
@@ -319,14 +327,34 @@ class CsvDataset:
             source = shuffled()
         else:
             source = rows
-        chunk: List[List[str]] = []
+        chunk: List = []
         for r in source:
             chunk.append(r)
             if len(chunk) == self.batch_size:
-                yield self.transformer.transform(chunk, self.batch_size, self.mode)
+                yield self._emit(chunk)
                 chunk = []
         if chunk and not self.drop_remainder:
-            yield self.transformer.transform(chunk, self.batch_size, self.mode)
+            yield self._emit(chunk)
+
+    def _emit(self, chunk: List) -> Batch:
+        if self._native:
+            text = "\n".join(chunk).encode("utf-8", errors="replace")
+            return self.transformer.transform_text(
+                text, len(chunk), self.batch_size, self.mode)
+        return self.transformer.transform(chunk, self.batch_size, self.mode)
+
+
+def default_transformer(plan: FeaturePlan, n_classes: int = 2,
+                        pos_weight: Optional[float] = None,
+                        neg_weight: Optional[float] = None):
+    """Native C++ transformer when the library is built, Python otherwise."""
+    try:
+        from wide_deep_tpu.features.native import NativeTransformer
+        if NativeTransformer.available():
+            return NativeTransformer(plan, n_classes, pos_weight, neg_weight)
+    except Exception:
+        pass
+    return FeatureTransformer(plan, n_classes, pos_weight, neg_weight)
 
 
 def input_fn(csv_data_file: str, img_data_file: Optional[str], mode: str,

@@ -28,7 +28,8 @@ import numpy as np
 
 from wide_deep_tpu import metrics as metrics_lib
 from wide_deep_tpu.config import Config
-from wide_deep_tpu.features.pipeline import CsvDataset, FeatureTransformer, list_files
+from wide_deep_tpu.features.pipeline import (CsvDataset, default_transformer,
+                                             list_files)
 from wide_deep_tpu.features.plan import FeaturePlan
 from wide_deep_tpu.models.joint import WideDeep, build_model
 from wide_deep_tpu.optim import build_joint_optimizer
@@ -76,7 +77,7 @@ class Trainer:
                   "cnn": self.model.has_cnn})
         self.pos_weight = self.train_conf.get("pos_sample_loss_weight")
         self.neg_weight = self.train_conf.get("neg_sample_loss_weight")
-        self.transformer = FeatureTransformer(
+        self.transformer = default_transformer(
             self.plan, n_classes, self.pos_weight, self.neg_weight)
 
         self._train_step = make_train_step(self.model, self.tx)
