@@ -1,0 +1,280 @@
+"""Minimal TFRecord + tf.train.Example codec (no TensorFlow dependency).
+
+The reference stores images as TFRecord files of serialized Examples with a
+single bytes feature ``image`` holding raw uint8 pixels
+(/root/reference/python/lib/utils/create_record.py:14-27, read back at
+dataset.py:215-245).  This module reads and writes that exact wire format:
+
+* TFRecord framing: <u64 length> <u32 masked-crc(length)> <payload>
+  <u32 masked-crc(payload)>, crc32c with the TF mask rotation.
+* protobuf Example: field 1 = Features; Features field 1 = map<string,
+  Feature>; Feature field 1/2/3 = bytes_list/float_list/int64_list.
+
+Only the subset the framework needs is implemented; unknown fields are
+skipped per proto wire rules.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterator, List, Union
+
+FeatureValue = Union[List[bytes], List[float], List[int]]
+
+# ------------------------------------------------------------------- crc32c
+_CRC_TABLE = []
+
+
+def _crc_table():
+    global _CRC_TABLE
+    if _CRC_TABLE:
+        return _CRC_TABLE
+    poly = 0x82F63B78
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        table.append(c)
+    _CRC_TABLE = table
+    return table
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ------------------------------------------------------------ TFRecord frame
+def read_records(path: str, verify: bool = False) -> Iterator[bytes]:
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if len(header) < 12:
+                return
+            (length,) = struct.unpack("<Q", header[:8])
+            payload = f.read(length)
+            crc = f.read(4)
+            if len(payload) < length or len(crc) < 4:
+                return
+            if verify:
+                (want,) = struct.unpack("<I", header[8:12])
+                if masked_crc(header[:8]) != want:
+                    raise IOError(f"{path}: bad length crc")
+                (want,) = struct.unpack("<I", crc)
+                if masked_crc(payload) != want:
+                    raise IOError(f"{path}: bad payload crc")
+            yield payload
+
+
+def write_records(path: str, payloads: Iterator[bytes]) -> int:
+    n = 0
+    with open(path, "wb") as f:
+        for payload in payloads:
+            header = struct.pack("<Q", len(payload))
+            f.write(header)
+            f.write(struct.pack("<I", masked_crc(header)))
+            f.write(payload)
+            f.write(struct.pack("<I", masked_crc(payload)))
+            n += 1
+    return n
+
+
+# --------------------------------------------------------------- proto codec
+def _read_varint(buf: bytes, pos: int):
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _write_varint(out: bytearray, value: int):
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _skip_field(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_varint(buf, pos)
+    elif wire == 1:
+        pos += 8
+    elif wire == 2:
+        n, pos = _read_varint(buf, pos)
+        pos += n
+    elif wire == 5:
+        pos += 4
+    else:
+        raise IOError(f"unsupported wire type {wire}")
+    return pos
+
+
+def _parse_feature(buf: bytes) -> FeatureValue:
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # BytesList
+            n, pos = _read_varint(buf, pos)
+            sub, out = buf[pos:pos + n], []
+            pos += n
+            sp = 0
+            while sp < len(sub):
+                t, sp = _read_varint(sub, sp)
+                if t >> 3 == 1 and t & 7 == 2:
+                    ln, sp = _read_varint(sub, sp)
+                    out.append(sub[sp:sp + ln])
+                    sp += ln
+                else:
+                    sp = _skip_field(sub, sp, t & 7)
+            return out
+        if field == 2 and wire == 2:  # FloatList (packed)
+            n, pos = _read_varint(buf, pos)
+            sub = buf[pos:pos + n]
+            pos += n
+            vals: List[float] = []
+            sp = 0
+            while sp < len(sub):
+                t, sp = _read_varint(sub, sp)
+                if t >> 3 == 1 and t & 7 == 2:
+                    ln, sp = _read_varint(sub, sp)
+                    vals += list(struct.unpack(f"<{ln // 4}f",
+                                               sub[sp:sp + ln]))
+                    sp += ln
+                elif t >> 3 == 1 and t & 7 == 5:
+                    vals.append(struct.unpack("<f", sub[sp:sp + 4])[0])
+                    sp += 4
+                else:
+                    sp = _skip_field(sub, sp, t & 7)
+            return vals
+        if field == 3 and wire == 2:  # Int64List (packed)
+            n, pos = _read_varint(buf, pos)
+            sub = buf[pos:pos + n]
+            pos += n
+            vals_i: List[int] = []
+            sp = 0
+            while sp < len(sub):
+                t, sp = _read_varint(sub, sp)
+                if t >> 3 == 1 and t & 7 == 2:
+                    ln, sp = _read_varint(sub, sp)
+                    end = sp + ln
+                    while sp < end:
+                        v, sp = _read_varint(sub, sp)
+                        vals_i.append(v)
+                elif t >> 3 == 1 and t & 7 == 0:
+                    v, sp = _read_varint(sub, sp)
+                    vals_i.append(v)
+                else:
+                    sp = _skip_field(sub, sp, t & 7)
+            return vals_i
+        pos = _skip_field(buf, pos, wire)
+    return []
+
+
+def parse_example(payload: bytes) -> Dict[str, FeatureValue]:
+    """Serialized tf.train.Example -> {name: bytes/float/int list}."""
+    out: Dict[str, FeatureValue] = {}
+    pos = 0
+    while pos < len(payload):
+        tag, pos = _read_varint(payload, pos)
+        if tag >> 3 == 1 and tag & 7 == 2:  # Features
+            n, pos = _read_varint(payload, pos)
+            feats = payload[pos:pos + n]
+            pos += n
+            fp = 0
+            while fp < len(feats):
+                t, fp = _read_varint(feats, fp)
+                if t >> 3 == 1 and t & 7 == 2:  # map entry
+                    ln, fp = _read_varint(feats, fp)
+                    entry = feats[fp:fp + ln]
+                    fp += ln
+                    key, val = None, []
+                    ep = 0
+                    while ep < len(entry):
+                        et, ep = _read_varint(entry, ep)
+                        if et >> 3 == 1 and et & 7 == 2:
+                            kl, ep = _read_varint(entry, ep)
+                            key = entry[ep:ep + kl].decode("utf-8")
+                            ep += kl
+                        elif et >> 3 == 2 and et & 7 == 2:
+                            vl, ep = _read_varint(entry, ep)
+                            val = _parse_feature(entry[ep:ep + vl])
+                            ep += vl
+                        else:
+                            ep = _skip_field(entry, ep, et & 7)
+                    if key is not None:
+                        out[key] = val
+                else:
+                    fp = _skip_field(feats, fp, t & 7)
+        else:
+            pos = _skip_field(payload, pos, tag & 7)
+    return out
+
+
+def _encode_feature(value: FeatureValue) -> bytes:
+    body = bytearray()
+    if value and isinstance(value[0], bytes):
+        sub = bytearray()
+        for b in value:
+            sub.append(0x0A)
+            _write_varint(sub, len(b))
+            sub += b
+        body.append(0x0A)
+    elif value and isinstance(value[0], float):
+        sub = bytearray()
+        sub.append(0x0A)
+        packed = struct.pack(f"<{len(value)}f", *value)
+        _write_varint(sub, len(packed))
+        sub += packed
+        body.append(0x12)
+    else:
+        sub = bytearray()
+        sub.append(0x0A)
+        ints = bytearray()
+        for v in value:
+            _write_varint(ints, int(v))
+        _write_varint(sub, len(ints))
+        sub += ints
+        body.append(0x1A)
+    _write_varint(body, len(sub))
+    body += sub
+    return bytes(body)
+
+
+def serialize_example(features: Dict[str, FeatureValue]) -> bytes:
+    feats = bytearray()
+    for key, value in features.items():
+        kb = key.encode("utf-8")
+        fv = _encode_feature(value)
+        entry = bytearray()
+        entry.append(0x0A)
+        _write_varint(entry, len(kb))
+        entry += kb
+        entry.append(0x12)
+        _write_varint(entry, len(fv))
+        entry += fv
+        feats.append(0x0A)
+        _write_varint(feats, len(entry))
+        feats += entry
+    out = bytearray()
+    out.append(0x0A)
+    _write_varint(out, len(feats))
+    out += feats
+    return bytes(out)

@@ -134,19 +134,37 @@ class Trainer:
             shutil.rmtree(self.model_dir)
 
     # ------------------------------------------------------------------ train
-    def _dataset(self, path: str, mode: str, epoch_seed: int = 0) -> CsvDataset:
+    def _image_path(self, mode: str, data_path: str) -> Optional[str]:
+        if not self.model.has_cnn:
+            return None
+        if mode == "train":
+            return self.train_conf.get("image_train_data")
+        if data_path == self.train_conf.get("test_data") or mode == "pred":
+            return self.train_conf.get("image_test_data")
+        return self.train_conf.get("image_eval_data")
+
+    def _dataset(self, path: str, mode: str, epoch_seed: int = 0):
         dist = self.config.distribution
         num_shards = int(dist.get("num_processes") or 1)
         shard_index = int(dist.get("process_index") or 0)
         if not dist.get("is_distribution"):
             num_shards, shard_index = 1, 0
-        return CsvDataset(
-            self.plan, path, mode, self.batch_size, self.n_classes,
-            self.pos_weight, self.neg_weight,
+        kwargs = dict(
+            n_classes=self.n_classes, pos_weight=self.pos_weight,
+            neg_weight=self.neg_weight,
             shuffle_buffer=int(self.train_conf["num_examples"]),
             seed=self.seed + epoch_seed,
             num_shards=num_shards, shard_index=shard_index,
             transformer=self.transformer)
+        img = self._image_path(mode, path)
+        if img:
+            from wide_deep_tpu.features.image import ImageCsvDataset
+            cnn = self.model.cnn_spec
+            return ImageCsvDataset(
+                self.plan, path, img, mode, self.batch_size,
+                height=cnn.height, width=cnn.width, channels=cnn.channels,
+                **kwargs)
+        return CsvDataset(self.plan, path, mode, self.batch_size, **kwargs)
 
     def train_file(self, path: str, epoch_seed: int = 0) -> float:
         """Train over one file; returns the last batch loss."""
