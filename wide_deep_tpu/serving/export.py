@@ -1,0 +1,157 @@
+"""Export bundles: the SavedModel analog.
+
+The reference exported a TF SavedModel by rebuilding feature columns and
+calling ``export_savedmodel``
+(/root/reference/python/tensorflow_serving/export_savedmodel.py:42-80).  Our
+bundle is a versioned directory
+
+  <export_dir>/<model_name>/<version>/
+      params/          orbax checkpoint of {params, mstate}
+      bundle.json      feature-plan dict + model config + conf-file copies
+      params.txt       (optional, as_text=1) human-readable tensor dump
+
+holding everything serving needs: the compiled feature plan (so the server
+hashes/crosses identically without the original conf dir), the model
+definition, and the trained parameters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from wide_deep_tpu.config import Config
+from wide_deep_tpu.features.plan import FeaturePlan
+from wide_deep_tpu.models.joint import WideDeep, build_model
+
+BUNDLE_FILE = "bundle.json"
+
+
+def export_savedmodel(config: Config, export_dir: str,
+                      model_type: Optional[str] = None,
+                      checkpoint_path: Optional[str] = None,
+                      model_version: int = 1,
+                      as_text: bool = False,
+                      model_dir: Optional[str] = None,
+                      n_classes: int = 2) -> str:
+    """Train-side export: restore latest/explicit checkpoint, write bundle.
+
+    Returns the versioned bundle path."""
+    serving = config.serving
+    model_type = model_type or serving["model_type"]
+    plan = FeaturePlan(config)
+    model = build_model(config, plan=plan, model_type=model_type,
+                        n_classes=n_classes)
+
+    # initialize abstract target then restore trained values
+    spec = plan.batch_spec(1, n_classes, with_image=model.has_cnn)
+    sample = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
+    params, mstate = model.init(jax.random.PRNGKey(0), sample)
+
+    ckpt_dir = checkpoint_path or os.path.join(
+        model_dir or config.train["model_dir"], model_type)
+    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = mgr.latest_step()
+    if step is not None:
+        restored = mgr.restore(step)
+        params = restored["params"]
+        mstate = restored["mstate"]
+    mgr.close()
+
+    version_dir = os.path.join(os.path.abspath(export_dir), str(model_version))
+    os.makedirs(version_dir, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(version_dir, "params"),
+               {"params": params, "mstate": mstate}, force=True)
+    ckptr.wait_until_finished()
+
+    bundle = {
+        "format_version": 1,
+        "model_type": model_type,
+        "n_classes": n_classes,
+        "global_step": int(step) if step is not None else 0,
+        "plan": plan.to_dict(),
+        "model_conf": _jsonable(config.model),
+        "train_conf": {"multivalue": config.train["multivalue"]},
+        "conf_files": _conf_files(config),
+    }
+    with open(os.path.join(version_dir, BUNDLE_FILE), "w") as f:
+        json.dump(bundle, f)
+    if as_text:
+        with open(os.path.join(version_dir, "params.txt"), "w") as f:
+            for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+                name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                                for p in path)
+                arr = np.asarray(leaf)
+                f.write(f"{name} {arr.shape} {arr.dtype}\n")
+                np.savetxt(f, arr.reshape(-1)[:64][None], fmt="%.6g")
+    return version_dir
+
+
+def _jsonable(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)
+
+
+def _conf_files(config: Config) -> Dict[str, str]:
+    out = {}
+    for name in ("schema", "feature", "cross_feature", "model"):
+        path = os.path.join(config.conf_dir, name + ".yaml")
+        if os.path.exists(path):
+            with open(path) as f:
+                out[name + ".yaml"] = f.read()
+    return out
+
+
+def load_bundle(version_dir: str, config: Optional[Config] = None
+                ) -> Tuple[WideDeep, Dict, Dict, Dict]:
+    """Serving-side load: -> (model, params, mstate, bundle_meta).
+
+    Reconstructs the plan from the embedded conf files so the serving host
+    needs no external configuration.
+    """
+    import tempfile
+
+    with open(os.path.join(version_dir, BUNDLE_FILE)) as f:
+        bundle = json.load(f)
+    if config is None:
+        conf_dir = tempfile.mkdtemp(prefix="wdt_serving_conf_")
+        base = Config()  # for train/serving yaml fallbacks
+        for name in ("train", "serving", "data_process"):
+            src = os.path.join(base.conf_dir, name + ".yaml")
+            if os.path.exists(src):
+                with open(src) as fsrc, open(
+                        os.path.join(conf_dir, name + ".yaml"), "w") as fdst:
+                    fdst.write(fsrc.read())
+        for name, text in bundle["conf_files"].items():
+            with open(os.path.join(conf_dir, name), "w") as fdst:
+                fdst.write(text)
+        config = Config(conf_dir)
+    plan = FeaturePlan(config, multivalue=bundle["train_conf"]["multivalue"])
+    model = build_model(config, plan=plan, model_type=bundle["model_type"],
+                        n_classes=bundle["n_classes"])
+    spec = plan.batch_spec(1, bundle["n_classes"], with_image=model.has_cnn)
+    sample = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
+    params, mstate = model.init(jax.random.PRNGKey(0), sample)
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                            {"params": params, "mstate": mstate})
+    restored = ckptr.restore(os.path.join(version_dir, "params"), abstract)
+    return model, restored["params"], restored["mstate"], bundle
+
+
+def latest_version_dir(export_root: str) -> str:
+    versions = [d for d in os.listdir(export_root) if d.isdigit()]
+    if not versions:
+        raise FileNotFoundError(f"no version dirs under {export_root}")
+    return os.path.join(export_root, max(versions, key=int))
