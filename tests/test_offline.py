@@ -1,0 +1,78 @@
+"""Offline preprocessing tests (reference data_process_local_test.py role)."""
+
+import os
+
+import pytest
+
+from wide_deep_tpu.offline import ctr_features as cf
+from wide_deep_tpu.offline.local_job import local_data_preprocess
+
+
+class TestCtrFeatures:
+    def test_dates(self):
+        assert cf.gen_dates("20180220", 3) == ["20180220", "20180219",
+                                               "20180218"]
+        assert cf.list_dates("20180228", "20180302") == [
+            "20180228", "20180301", "20180302"]
+
+    def test_rate_map(self):
+        rows = [["0", "F"], ["0", "M"], ["1", "M"], ["0", "M"]]
+        rates = cf.ctr_rate_map(rows, 2)
+        assert rates["F"] == 0.0
+        assert abs(rates["M"] - 1 / 3) < 1e-9
+
+    def test_append_columns(self):
+        row = ["0", "M"]
+        out = cf.append_rate_columns(row, [(2, {"M": 0.25}), (2, {})])
+        assert out == ["0", "M", "0.25", "0.0"]
+        assert row == ["0", "M"]  # input untouched
+
+    def test_downsampling_stratified(self):
+        neg = [["0", str(i)] for i in range(4000)]
+        pos = [["1", str(i)] for i in range(50)]
+        kept = [r for r in neg + pos if cf.keep_row(r, 0.01)]
+        kept_pos = [r for r in kept if r[0] == "1"]
+        assert len(kept_pos) == 50  # all positives kept
+        # about 1% of negatives
+        assert 10 <= len(kept) - 50 <= 100
+        # deterministic
+        kept2 = [r for r in neg + pos if cf.keep_row(r, 0.01)]
+        assert kept == kept2
+
+    def test_process_day(self):
+        day = [["0", "M"], ["1", "F"]]
+        window = {1: day, 7: day + [["1", "M"]], 30: day + [["1", "M"],
+                                                            ["0", "F"]]}
+        out = list(cf.process_day(day, window, [2], keep_prob=1.0))
+        # 3 windows x 1 feature = 3 new columns
+        assert all(len(r) == 5 for r in out)
+        # 1-day rate for M is 0; 7-day rate is 1/2
+        assert out[0][2] == "0.0"
+        assert out[0][3] == "0.5"
+
+
+class TestLocalJob:
+    def test_end_to_end(self, tmp_path):
+        inroot = tmp_path / "in"
+        (inroot / "20180112").mkdir(parents=True)
+        with open("/root/reference/data/train/train1") as f:
+            (inroot / "20180112" / "part-00000").write_text(f.read())
+        n = local_data_preprocess(
+            str(inroot), str(tmp_path / "out"), "20180112",
+            feature_index_list=[9], keep_prob=0.05)
+        out_dir = tmp_path / "out" / "20180112"
+        parts = sorted(os.listdir(out_dir))
+        assert parts == ["part-00000", "part-00001"]
+        rows = []
+        for part in parts:
+            with open(out_dir / part) as f:
+                rows += [line.rstrip("\n").split("\t") for line in f]
+        assert len(rows) == n
+        # all 6 positives survive; negatives heavily sampled
+        assert sum(1 for r in rows if r[0] == "1") == 6
+        assert n < 1000
+        # one new column appended per window (3 windows x 1 feature)
+        assert len(rows[0]) == 61 + 3
+        for r in rows[:5]:
+            for extra in r[61:]:
+                assert 0.0 <= float(extra) <= 1.0
