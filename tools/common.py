@@ -67,13 +67,29 @@ def overrides_from(args) -> dict:
         image_test_data=args.image_test_data)
 
 
-def maybe_init_distributed(config: Config):
+def maybe_init_distributed(config: Config, force: bool = False):
     """Multi-host SPMD bring-up (replaces TF_CONFIG/ClusterSpec,
-    build_estimator.py:172-198)."""
-    dist = config.distribution
-    if dist.get("is_distribution"):
+    build_estimator.py:172-198).  Env vars WDT_COORDINATOR /
+    WDT_NUM_PROCESSES / WDT_PROCESS_INDEX override the YAML (the launcher
+    scripts/run_distributed.sh sets them per host)."""
+    dist = dict(config.distribution)
+    if os.environ.get("WDT_COORDINATOR"):
+        dist["is_distribution"] = True
+        dist["coordinator"] = os.environ["WDT_COORDINATOR"]
+        dist["num_processes"] = int(os.environ.get("WDT_NUM_PROCESSES", 1))
+        dist["process_index"] = int(os.environ.get("WDT_PROCESS_INDEX", 0))
+    if force:
+        dist["is_distribution"] = True
+    if dist.get("is_distribution") and int(dist.get("num_processes") or 1) > 1:
         import jax
         jax.distributed.initialize(
             coordinator_address=dist["coordinator"],
             num_processes=dist["num_processes"],
             process_id=dist["process_index"])
+    return dist
+
+
+def write_pid_file():
+    os.makedirs("logs", exist_ok=True)
+    with open(os.path.join("logs", "train.pid"), "w") as f:
+        f.write(str(os.getpid()))

@@ -7,23 +7,28 @@ Modes (train.py:196-214 semantics):
   otherwise        -> train_and_eval
 """
 
-from common import base_parser, maybe_init_distributed, overrides_from, setup
+from common import (base_parser, maybe_init_distributed, overrides_from,
+                    setup, write_pid_file)
 
 
 def main():
     parser, _ = base_parser("wide_deep_tpu training")
+    parser.add_argument("--distributed", type=int, default=0,
+                        help="force multi-host mode (launcher sets env vars)")
     args, _ = parser.parse_known_args()
     config = setup(args)
-    maybe_init_distributed(config)
+    write_pid_file()
+    dist = maybe_init_distributed(config, force=bool(args.distributed))
 
     from wide_deep_tpu.training.loop import Trainer
     trainer = Trainer(config, model_type=args.model_type,
                       overrides=overrides_from(args))
     trainer.maybe_wipe_model_dir()
-    if args.dynamic_train:
-        trainer.dynamic_train()
-    elif config.distribution.get("is_distribution"):
+    if dist.get("is_distribution"):
+        # interleaved eval is disabled in distributed mode (train.py:213-214)
         trainer.train()
+    elif args.dynamic_train:
+        trainer.dynamic_train()
     else:
         trainer.train_and_eval()
 
