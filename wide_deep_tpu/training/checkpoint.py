@@ -50,6 +50,8 @@ class CheckpointManager:
         return False
 
     def save(self, step: int, tree: Dict[str, Any], force: bool = False):
+        if step in (self._mgr.all_steps() or []):
+            return  # this step is already persisted
         self._mgr.save(step, args=ocp.args.StandardSave(tree),
                        force=force)
         self._mgr.wait_until_finished()
