@@ -205,7 +205,6 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
     an einsum against the static segment matrix (a [B,L,D]x[L,F] contraction
     the MXU eats), indicator scatter-add, continuous concat.
     """
-    from wide_deep_tpu.ops.embedding import fused_lookup
     parts = []
     B = batch["wide_ids"].shape[0] if "wide_ids" in batch else (
         next(iter(batch.values())).shape[0])
@@ -214,8 +213,14 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                           embedding_init)
         ids = batch[f"emb_ids_d{g.dim}"]            # [B, Lg]
         wts = batch[f"emb_wts_d{g.dim}"]            # [B, Lg]
+        gathered = jnp.take(table, ids, axis=0)      # [B, Lg, dim]
+        weighted = gathered * wts[..., None]
         seg = consts.segment[g.dim]                  # [Lg, Fg]
-        combined = fused_lookup(table, ids, wts, seg)  # [B, Fg, dim]
+        # per-feature mean combine as an MXU matmul; XLA's native scatter
+        # handles the backward (measured faster than sort-dedup variants —
+        # see ops/embedding.py docstring)
+        combined = jnp.einsum("bld,lf->bfd", weighted, seg,
+                              preferred_element_type=jnp.float32)
         parts.append(combined.reshape(B, -1).astype(dtype))
     if consts.indicator_dim:
         ind = jnp.zeros((B, consts.indicator_dim), dtype)

@@ -26,10 +26,9 @@ def init_linear_params(plan: FeaturePlan, n_logits: int) -> Dict[str, Any]:
 
 def linear_logits(params: Dict[str, Any],
                   batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """[B, n_logits] wide logits: gather + weighted segment-sum + bias.
-
-    Uses ops.embedding.wide_lookup, whose custom backward dedups ids before
-    the table scatter (fast path on TPU)."""
-    from wide_deep_tpu.ops.embedding import wide_lookup
-    return wide_lookup(params["w"], batch["wide_ids"],
-                       batch["wide_wts"]) + params["b"]
+    """[B, n_logits] wide logits: gather + weighted segment-sum + bias."""
+    w = params["w"]
+    gathered = jnp.take(w, batch["wide_ids"], axis=0)  # [B, Lw, n_logits]
+    out = jnp.einsum("bln,bl->bn", gathered, batch["wide_wts"],
+                     preferred_element_type=jnp.float32)
+    return out + params["b"]
