@@ -46,6 +46,30 @@ from wide_deep_tpu.models.activations import activation_fn
 BN_MOMENTUM = 0.99
 BN_EPS = 1e-3
 
+# Trace-time summary sink: when a dict is installed here during tracing,
+# tower_forward records per-layer activation stats into it (the functional
+# analog of add_layer_summary, model_util.py:15-17).  The step factory
+# installs it and returns the collected scalars as step outputs.
+_SUMMARY_SINK: Optional[Dict[str, Any]] = None
+
+
+class summary_scope:
+    """Context manager installing a summary sink during tracing."""
+
+    def __init__(self, sink: Dict[str, Any]):
+        self.sink = sink
+
+    def __enter__(self):
+        global _SUMMARY_SINK
+        self._prev = _SUMMARY_SINK
+        _SUMMARY_SINK = self.sink
+        return self.sink
+
+    def __exit__(self, *exc):
+        global _SUMMARY_SINK
+        _SUMMARY_SINK = self._prev
+        return False
+
 
 @dataclasses.dataclass(frozen=True)
 class TowerSpec:
@@ -315,6 +339,14 @@ def tower_forward(store: ParamStore, spec: DeepSpec, tower_idx: int,
             sources = [collections[i] for i in conn.get(layer_id + 1, [])]
             net = jnp.concatenate(sources + [h], axis=1) if sources else h
             collections.append(net)
+
+        if _SUMMARY_SINK is not None:
+            scope = f"dnn_{tower_idx}/hiddenlayer_{layer_id}"
+            netf = net.astype(jnp.float32)
+            _SUMMARY_SINK[f"{scope}/zero_fraction"] = jnp.mean(
+                (netf == 0).astype(jnp.float32))
+            _SUMMARY_SINK[f"{scope}/activation_mean"] = jnp.mean(netf)
+            _SUMMARY_SINK[f"{scope}/activation_std"] = jnp.std(netf)
 
     if isinstance(mode, str) and mode == "last_dense":
         net = jnp.concatenate(collections, axis=1)

@@ -117,18 +117,31 @@ class WideDeep:
 
     # ------------------------------------------------------------------ loss
     def loss_fn(self, params: Dict, state: Dict, batch: Dict[str, jnp.ndarray],
-                training: bool, rng: Optional[jax.Array] = None):
+                training: bool, rng: Optional[jax.Array] = None,
+                collect_summaries: bool = False):
         """(loss, (aux)) for jax.value_and_grad(..., has_aux=True).
 
-        aux = (new_state, per-example loss, predictions dict).
+        aux = (new_state, per-example loss, predictions dict) — plus a
+        per-layer summary-stats dict when ``collect_summaries`` (collected
+        inside this traced function so tracers never escape the grad scope).
         """
-        logits, new_state = self.apply(params, state, batch, training, rng)
+        if collect_summaries:
+            from wide_deep_tpu.models import deep as deep_mod
+            stats: Dict[str, jnp.ndarray] = {}
+            with deep_mod.summary_scope(stats):
+                logits, new_state = self.apply(params, state, batch,
+                                               training, rng)
+        else:
+            stats = {}
+            logits, new_state = self.apply(params, state, batch, training, rng)
         weights = batch["weight"] * batch["mask"]
         loss, per_ex = heads.head_loss(logits, batch["label"], weights,
                                        self.n_classes)
         if self.has_deep and (self.deep_spec.l1 or self.deep_spec.l2):
             loss = loss + l2_l1_penalty(params["dnn"], self.deep_spec)
         preds = heads.head_predictions(logits, self.n_classes)
+        if collect_summaries:
+            return loss, (new_state, per_ex, preds, stats)
         return loss, (new_state, per_ex, preds)
 
     def predict(self, params: Dict, state: Dict,

@@ -80,10 +80,12 @@ class Trainer:
         self.transformer = default_transformer(
             self.plan, n_classes, self.pos_weight, self.neg_weight)
 
-        self._train_step = make_train_step(self.model, self.tx)
+        self._train_step = make_train_step(self.model, self.tx,
+                                           with_summaries=True)
         self._eval_step = make_eval_step(self.model)
         self._predict_step = make_predict_step(self.model)
         self._ckpt: Optional[CheckpointManager] = None
+        self._summary_writer = None
         self.params = None
         self.mstate = None
         self.opt_state = None
@@ -174,12 +176,16 @@ class Trainer:
         last_log_step, last_log_time = self.global_step, t0
         loss = float("nan")
         bsh = mesh_lib.batch_sharding(self.mesh)
+        summary_every = int(self.runconfig.get("save_summary_steps") or 0)
         for batch in self._dataset(path, "train", epoch_seed):
             batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
-            self.params, self.mstate, self.opt_state, loss = self._train_step(
+            (self.params, self.mstate, self.opt_state, loss,
+             stats) = self._train_step(
                 self.params, self.mstate, self.opt_state, batch, self._rng,
                 self.global_step)
             self.global_step += 1
+            if summary_every and self.global_step % summary_every == 0:
+                self._write_summaries(float(loss), stats)
             if self.global_step % log_every == 0:
                 now = time.time()
                 sps = (self.global_step - last_log_step) / max(
@@ -197,6 +203,27 @@ class Trainer:
     def save(self, force: bool = True):
         self.ensure_initialized()
         self._ckpt.save(self.global_step, self._ckpt_tree(), force=force)
+
+    def _write_summaries(self, loss: float, stats: Dict[str, Any]):
+        """Scalar + histogram summaries at save_summary_steps cadence
+        (train.yaml:93, model_util.py:15-17 parity)."""
+        if self._summary_writer is None:
+            from wide_deep_tpu.training.summary import SummaryWriter
+            self._summary_writer = SummaryWriter(
+                os.path.join(self.model_dir, "summaries"))
+        w = self._summary_writer
+        scalars = {"loss": loss}
+        scalars.update({k: float(v) for k, v in stats.items()})
+        w.scalars(scalars, self.global_step)
+        # parameter histograms, host-side (weights, not activations)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                self.params)[0]:
+            keys = [str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path]
+            if keys[-1] in ("kernel", "b", "bias") and "towers" in keys:
+                w.histogram("/".join(keys), np.asarray(leaf),
+                            self.global_step)
+        w.flush()
 
     # ------------------------------------------------------------------- eval
     def evaluate(self, data_path: Optional[str] = None,

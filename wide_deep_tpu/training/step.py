@@ -24,17 +24,28 @@ from wide_deep_tpu.models.joint import WideDeep
 
 
 def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
-                    donate: bool = True):
+                    donate: bool = True, with_summaries: bool = False):
     """Returns jit'd step: (params, mstate, opt_state, batch, rng, step)
-    -> (params, mstate, opt_state, loss)."""
+    -> (params, mstate, opt_state, loss[, stats]).
+
+    ``with_summaries`` adds a dict of per-layer activation scalars
+    (zero-fraction/mean/std — the reference's add_layer_summary stats) to the
+    outputs; they are collected at trace time through models.deep's summary
+    sink, so the overhead is a handful of fused reductions."""
 
     def step(params, mstate, opt_state, batch, rng, step_idx):
         rng = jax.random.fold_in(rng, step_idx)
         grad_fn = jax.value_and_grad(model.loss_fn, has_aux=True)
-        (loss, (new_mstate, _, _)), grads = grad_fn(
-            params, mstate, batch, True, rng)
+        if with_summaries:
+            (loss, (new_mstate, _, _, stats)), grads = grad_fn(
+                params, mstate, batch, True, rng, True)
+        else:
+            (loss, (new_mstate, _, _)), grads = grad_fn(
+                params, mstate, batch, True, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if with_summaries:
+            return params, new_mstate, opt_state, loss, stats
         return params, new_mstate, opt_state, loss
 
     kwargs = {"donate_argnums": (0, 1, 2)} if donate else {}
