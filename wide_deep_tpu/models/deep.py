@@ -239,13 +239,16 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         wts = batch[f"emb_wts_d{g.dim}"]            # [B, Lg]
         gathered = jnp.take(table, ids, axis=0)      # [B, Lg, dim]
         weighted = gathered * wts[..., None]
-        seg = consts.segment[g.dim]                  # [Lg, Fg]
-        # per-feature mean combine as an MXU matmul; XLA's native scatter
-        # handles the backward (measured faster than sort-dedup variants —
-        # see ops/embedding.py docstring)
-        combined = jnp.einsum("bld,lf->bfd", weighted, seg,
-                              preferred_element_type=jnp.float32)
-        parts.append(combined.reshape(B, -1).astype(dtype))
+        # Per-feature mean combine as static slice+sum, NOT a segment-matrix
+        # matmul: an einsum here makes XLA lay the table out feature-minor
+        # ({0,1} tiled), which turns the gather and the backward scatter-add
+        # into 8-tiles-per-row walks (measured 33.8 + 74.3 ms/step on v5e at
+        # batch 25600 for the dim-8 group alone). Slice+sum keeps the table
+        # row-major and the combine fuses into the gather's epilogue.
+        for s in g.slots:
+            sl = weighted[:, s.col_offset:s.col_offset + s.max_len, :]
+            combined = sl[:, 0, :] if s.max_len == 1 else jnp.sum(sl, axis=1)
+            parts.append(combined.astype(dtype))
     if consts.indicator_dim:
         ind = jnp.zeros((B, consts.indicator_dim), dtype)
         rows = jnp.arange(B)[:, None]
