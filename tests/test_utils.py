@@ -1,0 +1,60 @@
+"""Utility tests (util.py parity) + CLI smoke tests."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools")
+
+
+class TestUtils:
+    def test_timer_and_elapse(self, caplog):
+        import logging
+        import time
+        from wide_deep_tpu.utils import elapse_time, timer
+
+        @timer("op done")
+        def op():
+            return 42
+
+        with caplog.at_level(logging.INFO, "wide_deep_tpu"):
+            assert op() == 42
+        assert any("op done" in r.message for r in caplog.records)
+        t0 = time.time()
+        assert elapse_time(t0) >= 0
+
+    def test_column_to_dtype(self, config):
+        from wide_deep_tpu.utils import column_to_dtype
+        dtypes = column_to_dtype(config)
+        assert dtypes["clk"] == "int64"
+        assert dtypes["age"] == "float32"
+        assert dtypes["idea_type"] == "int64"
+        assert dtypes["u"] == "string"
+        assert dtypes["request_id"] == "string"  # unused -> string
+        assert len(dtypes) == 61
+
+    def test_profile_trace_noop(self):
+        from wide_deep_tpu.utils import profile_trace
+        with profile_trace(None):
+            pass
+
+
+class TestCliSurfaces:
+    """Arg-parsing smoke tests: every CLI must at least print help."""
+
+    @pytest.mark.parametrize("tool", ["train.py", "eval.py", "pred.py",
+                                      "export.py", "serve.py", "client.py",
+                                      "inspect_checkpoint.py",
+                                      "data_process.py"])
+    def test_help(self, tool):
+        out = subprocess.run(
+            [sys.executable, os.path.join(TOOLS, tool), "--help"],
+            capture_output=True, text=True, timeout=120,
+            env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
+                 "JAX_PLATFORMS": "cpu"},
+            cwd=os.path.dirname(TOOLS))
+        assert out.returncode == 0, out.stderr[-500:]
+        assert "usage" in out.stdout.lower()

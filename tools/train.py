@@ -15,22 +15,27 @@ def main():
     parser, _ = base_parser("wide_deep_tpu training")
     parser.add_argument("--distributed", type=int, default=0,
                         help="force multi-host mode (launcher sets env vars)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler trace of training here")
     args, _ = parser.parse_known_args()
     config = setup(args)
     write_pid_file()
     dist = maybe_init_distributed(config, force=bool(args.distributed))
 
     from wide_deep_tpu.training.loop import Trainer
+    from wide_deep_tpu.utils import profile_trace
     trainer = Trainer(config, model_type=args.model_type,
                       overrides=overrides_from(args))
     trainer.maybe_wipe_model_dir()
-    if dist.get("is_distribution"):
-        # interleaved eval is disabled in distributed mode (train.py:213-214)
-        trainer.train()
-    elif args.dynamic_train:
-        trainer.dynamic_train()
-    else:
-        trainer.train_and_eval()
+    with profile_trace(args.profile_dir):
+        if dist.get("is_distribution"):
+            # interleaved eval is disabled in distributed mode
+            # (train.py:213-214)
+            trainer.train()
+        elif args.dynamic_train:
+            trainer.dynamic_train()
+        else:
+            trainer.train_and_eval()
 
 
 if __name__ == "__main__":
