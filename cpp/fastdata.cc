@@ -301,17 +301,23 @@ inline int split_values(const Plan& plan, const View& cell, int64_t max_len,
 }
 
 void process_row(const Plan& plan, const View* cells, bool shifted,
-                 bool has_label, bool weighted, double pos_w, double neg_w,
+                 bool has_label, bool multiclass, bool weighted,
+                 double pos_w, double neg_w,
                  int64_t b, const Outs& o, int64_t wide_len,
                  const std::vector<int64_t>& group_lens,
                  int64_t ind_len, int64_t n_cont,
                  std::vector<std::vector<uint64_t>>& member_vals) {
   int shift = shifted ? 1 : 0;
   if (has_label) {
-    float lab = (cells[0].n == 1 && cells[0].p[0] == '1') ? 1.0f : 0.0f;
+    float lab;
+    if (multiclass) {
+      lab = static_cast<float>(to_int(cells[0]));
+    } else {
+      lab = (cells[0].n == 1 && cells[0].p[0] == '1') ? 1.0f : 0.0f;
+    }
     o.label[b] = lab;
-    o.weight[b] = weighted ? (lab ? static_cast<float>(pos_w)
-                                  : static_cast<float>(neg_w))
+    o.weight[b] = weighted ? (lab != 0.0f ? static_cast<float>(pos_w)
+                                          : static_cast<float>(neg_w))
                            : 1.0f;
   }
   o.mask[b] = 1.0f;
@@ -434,8 +440,8 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 // outs layout: label, weight, mask, wide_ids, wide_wts,
 //              [per group: ids, wts]..., ind_ids, ind_wts, cont
 int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
-                      int64_t capacity, int has_label, double pos_w,
-                      double neg_w, int weighted, int n_threads,
+                      int64_t capacity, int has_label, int multiclass,
+                      double pos_w, double neg_w, int weighted, int n_threads,
                       void** outs) {
   const Plan& plan = *static_cast<Plan*>(plan_ptr);
   Outs o;
@@ -501,8 +507,9 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
         ++q;
       }
       process_row(plan, cells.data(), ln.shifted, has_label != 0,
-                  weighted != 0, pos_w, neg_w, b, o, plan.wide_len,
-                  plan.group_lens, plan.ind_len ? plan.ind_len : 1,
+                  multiclass != 0, weighted != 0, pos_w, neg_w, b, o,
+                  plan.wide_len, plan.group_lens,
+                  plan.ind_len ? plan.ind_len : 1,
                   plan.n_cont ? plan.n_cont : 1, member_vals);
     }
   };

@@ -132,7 +132,8 @@ class NativeTransformer:
         self._lib.wdt_transform.restype = ctypes.c_int64
         self._lib.wdt_transform.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_void_p)]
         blob = serialize_plan(plan)
@@ -179,6 +180,7 @@ class NativeTransformer:
         has_label = 0 if mode == "pred" else 1
         n = self._lib.wdt_transform(
             self._plan_handle, text, len(text), B, has_label,
+            1 if self.n_classes > 2 else 0,
             float(self.pos_weight or 1.0), float(self.neg_weight or 1.0),
             1 if self.weighted else 0, self.n_threads, ptrs)
         if n < 0:

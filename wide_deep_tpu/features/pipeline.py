@@ -152,7 +152,10 @@ class FeatureTransformer:
 
         for b, cells in enumerate(rows):
             if has_label:
-                lab = 1.0 if cells[0] == "1" else 0.0
+                if self.n_classes == 2:
+                    lab = 1.0 if cells[0] == "1" else 0.0
+                else:  # multiclass: integer class id in the label column
+                    lab = float(self._to_int(cells[0]))
                 out["label"][b] = lab
                 if self.weighted:
                     out["weight"][b] = self.pos_weight if lab else self.neg_weight

@@ -264,7 +264,8 @@ class FeaturePlan:
         spec: Dict[str, Tuple[Tuple[int, ...], Any]] = {}
         B = batch_size
         if mode != "pred":
-            spec["label"] = ((B,), np.float32 if n_classes == 2 else np.int32)
+            # label is float32 uniformly (class id for multiclass); heads cast
+            spec["label"] = ((B,), np.float32)
             spec["weight"] = ((B,), np.float32)
         spec["mask"] = ((B,), np.float32)
         spec["wide_ids"] = ((B, self.wide_total_len), np.int32)
