@@ -1,0 +1,44 @@
+"""Worker script for the 2-process jax.distributed test.
+
+Each process contributes 4 virtual CPU devices to a global 8-device mesh,
+trains two steps of the small wide_deep model on its row-shard of the
+fixture data, and prints the final loss (must match across processes —
+synchronous SPMD, unlike the reference's async parameter servers).
+"""
+
+import os
+import sys
+
+proc_id = int(sys.argv[1])
+num_procs = int(sys.argv[2])
+port = sys.argv[3]
+conf_dir = sys.argv[4]
+
+# NOTE: JAX_PLATFORMS/XLA_FLAGS/PALLAS_AXON_POOL_IPS must be set by the
+# launcher (test_distributed.py) — a sitecustomize may initialize the
+# platform before this script runs.
+import jax  # noqa: E402
+
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=num_procs, process_id=proc_id)
+assert jax.process_count() == num_procs
+assert jax.device_count() == 4 * num_procs
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wide_deep_tpu.config import Config  # noqa: E402
+from wide_deep_tpu.training.loop import Trainer  # noqa: E402
+
+FIXTURE = "/root/reference/data/test/test2"
+
+trainer = Trainer(
+    Config(conf_dir), model_type="wide_deep",
+    model_dir=f"/tmp/wdt_dist_test_{proc_id}",
+    overrides=dict(train_data=FIXTURE, eval_data=FIXTURE, test_data=FIXTURE,
+                   keep_train=True, batch_size=16))
+assert trainer.per_host_batch == 16 // num_procs
+trainer.ensure_initialized(restore=False)
+loss = trainer.train_file(FIXTURE)
+res = trainer.evaluate(FIXTURE)
+print(f"RESULT p{proc_id} loss={loss:.6f} eval_loss={res['loss']:.6f} "
+      f"count={res['global_step']}", flush=True)

@@ -103,7 +103,9 @@ class Trainer:
             return
         sample = self._zero_batch()
         sample["mask"] = np.ones_like(sample.get("mask", np.ones(self.batch_size, np.float32)))
-        with jax.default_device(jax.devices()[0]):
+        # init on a process-local device (jax.devices()[0] may belong to
+        # another process in multi-host mode)
+        with jax.default_device(jax.local_devices()[0]):
             params, mstate = self.model.init(
                 jax.random.PRNGKey(self.seed), sample)
         shardings = mesh_lib.param_shardings(self.mesh, params)
@@ -146,11 +148,10 @@ class Trainer:
         return self.train_conf.get("image_eval_data")
 
     def _dataset(self, path: str, mode: str, epoch_seed: int = 0):
-        dist = self.config.distribution
-        num_shards = int(dist.get("num_processes") or 1)
-        shard_index = int(dist.get("process_index") or 0)
-        if not dist.get("is_distribution"):
-            num_shards, shard_index = 1, 0
+        # per-worker row sharding (reference dataset.shard semantics,
+        # dataset.py:173-174), driven by the live process topology
+        num_shards = jax.process_count()
+        shard_index = jax.process_index()
         kwargs = dict(
             n_classes=self.n_classes, pos_weight=self.pos_weight,
             neg_weight=self.neg_weight,
@@ -163,10 +164,28 @@ class Trainer:
             from wide_deep_tpu.features.image import ImageCsvDataset
             cnn = self.model.cnn_spec
             return ImageCsvDataset(
-                self.plan, path, img, mode, self.batch_size,
+                self.plan, path, img, mode, self.per_host_batch,
                 height=cnn.height, width=cnn.width, channels=cnn.channels,
                 **kwargs)
-        return CsvDataset(self.plan, path, mode, self.batch_size, **kwargs)
+        return CsvDataset(self.plan, path, mode, self.per_host_batch,
+                          **kwargs)
+
+    def _to_device(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Host batch -> device arrays on the mesh.
+
+        Single-process: plain device_put with the batch sharding.
+        Multi-process: each host holds its shard of the global batch
+        (CsvDataset already row-shards by process); assemble the global
+        array from per-process local data."""
+        bsh = mesh_lib.batch_sharding(self.mesh)
+        if jax.process_count() > 1:
+            return {k: jax.make_array_from_process_local_data(bsh, v)
+                    for k, v in batch.items()}
+        return {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+    @property
+    def per_host_batch(self) -> int:
+        return max(self.batch_size // jax.process_count(), 1)
 
     def train_file(self, path: str, epoch_seed: int = 0) -> float:
         """Train over one file; returns the last batch loss."""
@@ -175,10 +194,9 @@ class Trainer:
         t0 = time.time()
         last_log_step, last_log_time = self.global_step, t0
         loss = float("nan")
-        bsh = mesh_lib.batch_sharding(self.mesh)
         summary_every = int(self.runconfig.get("save_summary_steps") or 0)
         for batch in self._dataset(path, "train", epoch_seed):
-            batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+            batch = self._to_device(batch)
             (self.params, self.mstate, self.opt_state, loss,
              stats) = self._train_step(
                 self.params, self.mstate, self.opt_state, batch, self._rng,
@@ -237,9 +255,8 @@ class Trainer:
             if restored is not None:
                 self.params, self.mstate = restored["params"], restored["mstate"]
         acc = metrics_lib.init_metrics()
-        bsh = mesh_lib.batch_sharding(self.mesh)
         for batch in self._dataset(data_path, "eval"):
-            batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+            batch = self._to_device(batch)
             acc = self._eval_step(self.params, self.mstate, batch, acc)
         results = metrics_lib.finalize_metrics(acc)
         results["global_step"] = self.global_step
