@@ -1,0 +1,36 @@
+"""Model-quality bar on the bundled synthetic data: the planted CTR signal
+(hour/site/age/gender, tools/generate_sample_data.py) must be learned —
+eval AUC well above chance — by every model type.
+
+This is the self-measured quality baseline BASELINE.md calls for (the
+reference ships no benchmark numbers and its bundled sample has no
+positives in eval)."""
+
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TRAIN = os.path.join(REPO, "data", "train")
+EVAL = os.path.join(REPO, "data", "eval", "eval1")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_type,min_auc", [
+    ("wide", 0.70), ("deep", 0.62), ("wide_deep", 0.65)])
+def test_learns_planted_signal(small_config, tmp_path, model_type, min_auc):
+    from wide_deep_tpu.training.loop import Trainer
+    tr = Trainer(small_config, model_type=model_type,
+                 model_dir=str(tmp_path),
+                 overrides=dict(train_data=TRAIN, eval_data=EVAL,
+                                test_data=EVAL, keep_train=True,
+                                batch_size=64, num_examples=4000))
+    tr.ensure_initialized(restore=False)
+    for epoch in range(5):
+        for f in sorted(os.listdir(TRAIN)):
+            tr.train_file(os.path.join(TRAIN, f), epoch_seed=epoch)
+    res = tr.evaluate(EVAL)
+    assert res["auc"] > min_auc, res
+    assert res["average_loss"] < 0.60, res
+    # calibration sanity: prediction mean near the ~25% base rate
+    assert 0.12 < res["prediction/mean"] < 0.40, res

@@ -18,7 +18,8 @@ from wide_deep_tpu.models.deep import ParamStore, glorot_uniform, zeros_init
 from wide_deep_tpu.models.cnn import resnet as resnet_lib
 from wide_deep_tpu.models.cnn import vgg as vgg_lib
 
-CNN_MODELS = ("vgg16", "vgg19", "resnet", "resnet_cifar")
+CNN_MODELS = ("vgg16", "vgg19", "resnet", "resnet_cifar",
+              "resnet_cifar_v1")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +54,10 @@ def _features(store: ParamStore, spec: CnnSpec, images: jnp.ndarray,
         return vgg_lib.vgg_features(store, images, 19, spec.dtype)
     if spec.model == "resnet":
         return resnet_lib.imagenet_resnet_v2(
+            store, images, spec.resnet_size, training, state, new_state,
+            spec.dtype)
+    if spec.model == "resnet_cifar_v1":
+        return resnet_lib.cifar10_resnet_v1(
             store, images, spec.resnet_size, training, state, new_state,
             spec.dtype)
     return resnet_lib.cifar10_resnet_v2(

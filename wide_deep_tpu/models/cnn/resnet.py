@@ -147,6 +147,44 @@ def imagenet_resnet_v2(store: ParamStore, images: jnp.ndarray,
     return x.astype(jnp.float32)
 
 
+def _residual_v1(store, state, new_state, name, x, filters, strides,
+                 training, dtype):
+    """Post-activation residual block (reference resnet_2.py:_residual_v1):
+    conv-bn-relu, conv-bn, add shortcut, relu."""
+    if strides > 1 or x.shape[-1] != filters:
+        shortcut = _conv(store, f"{name}_proj", x, filters, 1, strides, dtype)
+        shortcut = _bn_relu(store, state, new_state, f"{name}_proj_bn",
+                            shortcut, training, relu=False)
+    else:
+        shortcut = x
+    y = _conv(store, f"{name}_conv1", x, filters, 3, strides, dtype)
+    y = _bn_relu(store, state, new_state, f"{name}_bn1", y, training)
+    y = _conv(store, f"{name}_conv2", y, filters, 3, 1, dtype)
+    y = _bn_relu(store, state, new_state, f"{name}_bn2", y, training,
+                 relu=False)
+    return jax.nn.relu(y + shortcut)
+
+
+def cifar10_resnet_v1(store: ParamStore, images: jnp.ndarray,
+                      resnet_size: int, training: bool,
+                      state: Optional[Dict], new_state: Dict,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """CIFAR-style ResNet v1 (reference resnet_2.py ResNetCifar10 with
+    version='v1')."""
+    if resnet_size % 6 != 2:
+        raise ValueError("cifar resnet_size must be 6n+2")
+    n = (resnet_size - 2) // 6
+    x = _conv(store, "init", images, 16, 3, 1, dtype)
+    x = _bn_relu(store, state, new_state, "init_bn", x, training)
+    for i, (filters, strides) in enumerate(zip([16, 32, 64], [1, 2, 2])):
+        for b in range(n):
+            x = _residual_v1(store, state, new_state, f"layer{i}_{b}", x,
+                             filters, strides if b == 0 else 1, training,
+                             dtype)
+    x = jnp.mean(x, axis=(1, 2))
+    return x.astype(jnp.float32)
+
+
 def cifar10_resnet_v2(store: ParamStore, images: jnp.ndarray,
                       resnet_size: int, training: bool,
                       state: Optional[Dict], new_state: Dict,
