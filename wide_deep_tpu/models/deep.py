@@ -86,6 +86,7 @@ class DeepSpec:
     l1: float = 0.0
     l2: float = 0.0
     dtype: Any = jnp.float32
+    embedding_dtype: Any = jnp.float32
 
     @staticmethod
     def from_model_conf(model_conf: Dict[str, Any],
@@ -110,6 +111,9 @@ class DeepSpec:
             raise ValueError(
                 f"{len(towers_hidden)} towers but {len(modes)} connected modes")
         towers = tuple(TowerSpec(h, m) for h, m in zip(towers_hidden, modes))
+        emb_dtype = (jnp.bfloat16
+                     if model_conf.get("embedding_dtype") == "bfloat16"
+                     else jnp.float32)
         return DeepSpec(
             towers=towers,
             activation=model_conf.get("dnn_activation_function", "relu"),
@@ -117,7 +121,8 @@ class DeepSpec:
             batch_norm=bool(model_conf.get("dnn_batch_normalization")),
             l1=float(model_conf.get("dnn_l1") or 0.0),
             l2=float(model_conf.get("dnn_l2") or 0.0),
-            dtype=dtype)
+            dtype=dtype,
+            embedding_dtype=emb_dtype)
 
 
 NAMED_MODES = ("simple", "first_dense", "last_dense", "dense", "resnet")
@@ -233,7 +238,8 @@ class PlanConstants:
 
 def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                      consts: PlanConstants, batch: Dict[str, jnp.ndarray],
-                     dtype=jnp.float32) -> jnp.ndarray:
+                     dtype=jnp.float32,
+                     embedding_dtype=jnp.float32) -> jnp.ndarray:
     """Packed batch -> [B, deep_input_dim] dense input.
 
     One fused-table gather per dim group, then per-feature mean combining as
@@ -243,9 +249,11 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
     parts = []
     B = batch["wide_ids"].shape[0] if "wide_ids" in batch else (
         next(iter(batch.values())).shape[0])
+    emb_init = (embedding_init if embedding_dtype == jnp.float32
+                else (lambda rng, shape:
+                      embedding_init(rng, shape).astype(embedding_dtype)))
     for g in plan.groups:
-        table = store.get(("embed", f"d{g.dim}"), (g.rows, g.dim),
-                          embedding_init)
+        table = store.get(("embed", f"d{g.dim}"), (g.rows, g.dim), emb_init)
         ids = batch[f"emb_ids_d{g.dim}"]            # [B, Lg]
         wts = batch[f"emb_wts_d{g.dim}"]            # [B, Lg]
         gathered = jnp.take(table, ids, axis=0)      # [B, Lg, dim]
@@ -383,7 +391,8 @@ def deep_logits(store: ParamStore, plan: FeaturePlan, consts: PlanConstants,
 
     Returns (logits [B, n_logits], new_bn_state).
     """
-    x = deep_input_layer(store, plan, consts, batch, spec.dtype)
+    x = deep_input_layer(store, plan, consts, batch, spec.dtype,
+                         spec.embedding_dtype)
     new_bn_state: Dict = {}
     logits = None
     for t in range(len(spec.towers)):
