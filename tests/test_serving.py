@@ -95,6 +95,21 @@ class TestExport:
         model = ServingModel(bundle_dir, max_batch_size=8)
         resp = model.score_rows(_rows(PRED, 5))
         assert len(resp["scores"]) == 5
+        assert resp["valid"] == [True] * 5
+
+    def test_malformed_row_flagged_and_alignment_kept(self, bundle_dir):
+        """A malformed row in the middle must not shift later rows' scores
+        (regression: the packed batch compacts valid rows)."""
+        from wide_deep_tpu.serving.server import ServingModel
+        model = ServingModel(bundle_dir, max_batch_size=8)
+        good = _rows(FIXTURE, 4)
+        clean = model.score_rows(good)
+        mixed = model.score_rows(good[:2] + ["bad\trow"] + good[2:])
+        assert mixed["valid"] == [True, True, False, True, True]
+        assert mixed["scores"][2] == [0.0, 0.0]
+        np.testing.assert_allclose(
+            [mixed["scores"][i] for i in (0, 1, 3, 4)], clean["scores"],
+            rtol=1e-6)
 
 
 class TestTransports:

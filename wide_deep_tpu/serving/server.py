@@ -52,31 +52,45 @@ class ServingModel:
         self._predict(self.params, self.mstate, zero)
 
     def score_rows(self, rows: List[str]) -> Dict:
-        """TSV rows -> {"scores": [[...]], "class_ids": [...]}."""
-        scores: List[List[float]] = []
-        class_ids: List[int] = []
-        for start in range(0, len(rows), self.max_batch_size):
-            chunk = rows[start:start + self.max_batch_size]
+        """TSV rows -> {"scores": [[...]], "class_ids": [...], "valid": [...]}.
+
+        Rows are validated (column count) BEFORE batching so malformed rows
+        can't shift the alignment of the packed batch; they come back with
+        ``valid[i] = false`` and zero scores.
+        """
+        ncols = len(self.model.plan.columns)
+        n_rows = len(rows)
+        n_classes = self.bundle["n_classes"]
+        scores: List[List[float]] = [[0.0] * n_classes
+                                     for _ in range(n_rows)]
+        class_ids: List[int] = [0] * n_rows
+        valid: List[bool] = [False] * n_rows
+        keep = [(i, r) for i, r in enumerate(rows)
+                if r.count("\t") + 1 in (ncols, ncols - 1)]
+        for start in range(0, len(keep), self.max_batch_size):
+            chunk = keep[start:start + self.max_batch_size]
             n = len(chunk)
             if self._native:
-                text = "\n".join(chunk).encode("utf-8", errors="replace")
+                text = "\n".join(r for _, r in chunk).encode(
+                    "utf-8", errors="replace")
                 batch = self.transformer.transform_text(
                     text, n, self.max_batch_size, mode="pred")
             else:
-                cells = [r.split("\t") for r in chunk]
-                ncols = len(self.model.plan.columns)
+                cells = [r.split("\t") for _, r in chunk]
                 cells = [([""] + c) if len(c) == ncols - 1 else c
                          for c in cells]
                 batch = self.transformer.transform(
                     cells, self.max_batch_size, mode="pred")
             with self._lock:
                 preds = self._predict(self.params, self.mstate, batch)
-            probs = np.asarray(preds["probabilities"])[:n]
-            ids = np.asarray(preds["class_ids"])[:n]
-            scores += [list(map(float, p)) for p in probs]
-            class_ids += [int(i) for i in ids]
+            probs = np.asarray(preds["probabilities"])
+            ids = np.asarray(preds["class_ids"])
+            for j, (orig, _) in enumerate(chunk):
+                scores[orig] = list(map(float, probs[j]))
+                class_ids[orig] = int(ids[j])
+                valid[orig] = True
         return {"model_name": self.model_name, "scores": scores,
-                "class_ids": class_ids}
+                "class_ids": class_ids, "valid": valid}
 
     def handle_request(self, payload: bytes) -> bytes:
         try:
