@@ -39,32 +39,48 @@ def log(msg):
 
 
 def synthetic_batch(plan, batch_size, rng):
-    """Pre-packed batch with realistic id ranges and multivalue occupancy."""
+    """Packed-pool batch with realistic id ranges and occupancy (singles = 1
+    entry, multivalue slots ~2 entries, matching the sample-data density)."""
     import numpy as np
-    spec = plan.batch_spec(batch_size)
     batch = {}
     batch["label"] = (rng.random(batch_size) < 0.3).astype(np.float32)
     batch["weight"] = np.ones(batch_size, np.float32)
     batch["mask"] = np.ones(batch_size, np.float32)
 
-    wide_ids = np.zeros((batch_size, plan.wide_total_len), np.int32)
-    wide_wts = np.zeros((batch_size, plan.wide_total_len), np.float32)
+    Pw = plan.wide_packed_len
+    wide_ids = np.zeros((batch_size, Pw), np.int32)
+    wide_wts = np.zeros((batch_size, Pw), np.float32)
+    cur = 0
     for s in plan.wide_slots:
-        occ = 1 if s.max_len == 1 else max(1, s.max_len // 2)
+        occ = 1 if s.max_len == 1 else 2
+        occ = min(occ, Pw - cur)
+        if occ <= 0:
+            break
         ids = rng.integers(0, s.size, (batch_size, occ))
-        wide_ids[:, s.col_offset:s.col_offset + occ] = s.offset + ids
-        wide_wts[:, s.col_offset:s.col_offset + occ] = 1.0
+        wide_ids[:, cur:cur + occ] = s.offset + ids
+        wide_wts[:, cur:cur + occ] = 1.0
+        cur += occ
     batch["wide_ids"], batch["wide_wts"] = wide_ids, wide_wts
 
     for g in plan.groups:
-        ids = np.zeros((batch_size, g.total_len), np.int32)
-        wts = np.zeros((batch_size, g.total_len), np.float32)
+        P = plan.group_packed_len[g.dim]
+        ids = np.zeros((batch_size, P), np.int32)
+        wts = np.zeros((batch_size, P), np.float32)
+        seg = np.zeros((batch_size, P), np.int32)
+        cur = 0
         for s in g.slots:
-            occ = 1 if s.max_len == 1 else max(1, s.max_len // 2)
-            ids[:, s.col_offset:s.col_offset + occ] = (
-                s.row_offset + rng.integers(0, s.vocab_size, (batch_size, occ)))
-            wts[:, s.col_offset:s.col_offset + occ] = 1.0 / occ
+            occ = 1 if s.max_len == 1 else 2
+            occ = min(occ, P - cur)
+            if occ <= 0:
+                break
+            ids[:, cur:cur + occ] = (
+                s.row_offset + rng.integers(0, s.vocab_size,
+                                            (batch_size, occ)))
+            wts[:, cur:cur + occ] = 1.0 / occ
+            seg[:, cur:cur + occ] = s.index
+            cur += occ
         batch[f"emb_ids_d{g.dim}"], batch[f"emb_wts_d{g.dim}"] = ids, wts
+        batch[f"emb_seg_d{g.dim}"] = seg
 
     if plan.indicator_total_len:
         ids = np.zeros((batch_size, plan.indicator_total_len), np.int32)

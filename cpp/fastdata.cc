@@ -110,9 +110,9 @@ struct Feature {
   int64_t col = 0;
   int64_t kind = 0;
   int64_t max_len = 1;
-  // category placement
-  int64_t size = 0, wide_off = 0, wide_col = 0;
-  int64_t group = 0, row_off = 0, emb_col = 0;      // hash
+  // category placement (packed pools: slot_index feeds the segment column)
+  int64_t size = 0, wide_off = 0;
+  int64_t group = 0, row_off = 0, slot_index = 0;   // hash
   int64_t ind_off = 0, ind_col = 0;                 // vocab/identity
   std::unordered_map<std::string, int32_t> vocab;   // vocab
   // continuous
@@ -125,14 +125,14 @@ struct Feature {
 
 struct Cross {
   std::vector<int64_t> members;  // indices into features
-  int64_t bucket = 0, max_len = 0, wide_off = 0, wide_col = 0;
-  int64_t is_deep = 0, group = 0, row_off = 0, emb_col = 0;
+  int64_t bucket = 0, max_len = 0, wide_off = 0;
+  int64_t is_deep = 0, group = 0, row_off = 0, slot_index = 0;
 };
 
 struct Plan {
   int64_t n_columns = 0, multivalue = 0;
-  int64_t wide_len = 0, ind_len = 0, n_cont = 0;
-  std::vector<int64_t> group_dims, group_lens;
+  int64_t wide_packed = 0, ind_len = 0, n_cont = 0;
+  std::vector<int64_t> group_dims, group_packed;
   std::vector<Feature> features;
   std::vector<Cross> crosses;
 };
@@ -168,17 +168,17 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  if (r.i64() != 1) return nullptr;  // version
+  if (r.i64() != 2) return nullptr;  // version (packed pools)
   auto plan = new Plan();
   plan->n_columns = r.i64();
   plan->multivalue = r.i64();
-  plan->wide_len = r.i64();
+  plan->wide_packed = r.i64();
   plan->ind_len = r.i64();
   plan->n_cont = r.i64();
   int64_t n_groups = r.i64();
   for (int64_t g = 0; g < n_groups; ++g) {
     plan->group_dims.push_back(r.i64());
-    plan->group_lens.push_back(r.i64());
+    plan->group_packed.push_back(r.i64());
   }
   int64_t n_features = r.i64();
   for (int64_t i = 0; i < n_features && r.ok; ++i) {
@@ -190,15 +190,13 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
       f.max_len = r.i64();
       f.size = r.i64();
       f.wide_off = r.i64();
-      f.wide_col = r.i64();
       f.group = r.i64();
       f.row_off = r.i64();
-      f.emb_col = r.i64();
+      f.slot_index = r.i64();
     } else if (f.kind == kVocab || f.kind == kIdentity) {
       f.max_len = r.i64();
       f.size = r.i64();
       f.wide_off = r.i64();
-      f.wide_col = r.i64();
       f.ind_off = r.i64();
       f.ind_col = r.i64();
       if (f.kind == kVocab) {
@@ -215,7 +213,6 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
       for (int64_t k = 0; k < nb && r.ok; ++k) f.bounds.push_back(r.f64());
       f.has_wide = r.i64();
       f.wide_off = r.i64();
-      f.wide_col = r.i64();
     }
     plan->features.push_back(std::move(f));
   }
@@ -227,11 +224,10 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
     c.bucket = r.i64();
     c.max_len = r.i64();
     c.wide_off = r.i64();
-    c.wide_col = r.i64();
     c.is_deep = r.i64();
     c.group = r.i64();
     c.row_off = r.i64();
-    c.emb_col = r.i64();
+    c.slot_index = r.i64();
     plan->crosses.push_back(std::move(c));
   }
   if (!r.ok) { delete plan; return nullptr; }
@@ -247,6 +243,7 @@ struct Outs {
   float* wide_wts;
   std::vector<int32_t*> g_ids;
   std::vector<float*> g_wts;
+  std::vector<int32_t*> g_seg;
   int32_t* ind_ids;
   float* ind_wts;
   float* cont;
@@ -306,8 +303,19 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
                  int64_t b, const Outs& o, int64_t wide_len,
                  const std::vector<int64_t>& group_lens,
                  int64_t ind_len, int64_t n_cont,
-                 std::vector<std::vector<uint64_t>>& member_vals) {
+                 std::vector<std::vector<uint64_t>>& member_vals,
+                 std::vector<int64_t>& gcur) {
   int shift = shifted ? 1 : 0;
+  // packed-pool cursors (pipeline.py wide_put/emb_put semantics)
+  int64_t wcur = 0;
+  std::fill(gcur.begin(), gcur.end(), 0);
+  auto wide_put = [&](int64_t gid) {
+    if (wcur < wide_len) {
+      o.wide_ids[b * wide_len + wcur] = static_cast<int32_t>(gid);
+      o.wide_wts[b * wide_len + wcur] = 1.0f;
+      ++wcur;
+    }
+  };
   if (has_label) {
     float lab;
     if (multiclass) {
@@ -339,9 +347,7 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
         int64_t bucket = std::upper_bound(f.bounds.begin(), f.bounds.end(),
                                           raw) - f.bounds.begin();
         if (f.has_wide) {
-          o.wide_ids[b * wide_len + f.wide_col] =
-              static_cast<int32_t>(f.wide_off + bucket);
-          o.wide_wts[b * wide_len + f.wide_col] = 1.0f;
+          wide_put(f.wide_off + bucket);
         }
         mv.push_back(static_cast<uint64_t>(bucket));
       }
@@ -351,15 +357,17 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
     if (f.kind == kHash) {
       float w = 1.0f / k;
       int64_t glen = group_lens[f.group];
+      int64_t& c = gcur[f.group];
       for (int j = 0; j < k; ++j) {
         uint64_t fp = xxh64(vals[j].p, vals[j].n);
         int64_t id = fp % static_cast<uint64_t>(f.size);
-        o.wide_ids[b * wide_len + f.wide_col + j] =
-            static_cast<int32_t>(f.wide_off + id);
-        o.wide_wts[b * wide_len + f.wide_col + j] = 1.0f;
-        o.g_ids[f.group][b * glen + f.emb_col + j] =
-            static_cast<int32_t>(f.row_off + id);
-        o.g_wts[f.group][b * glen + f.emb_col + j] = w;
+        wide_put(f.wide_off + id);
+        if (c < glen) {
+          o.g_ids[f.group][b * glen + c] = static_cast<int32_t>(f.row_off + id);
+          o.g_wts[f.group][b * glen + c] = w;
+          o.g_seg[f.group][b * glen + c] = static_cast<int32_t>(f.slot_index);
+          ++c;
+        }
         mv.push_back(fp);
       }
     } else if (f.kind == kVocab) {
@@ -370,9 +378,7 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
         mv.push_back(xxh64(vals[j].p, vals[j].n));
         if (it == f.vocab.end()) continue;  // OOV dropped
         int32_t id = it->second;
-        o.wide_ids[b * wide_len + f.wide_col + out_j] =
-            static_cast<int32_t>(f.wide_off + id);
-        o.wide_wts[b * wide_len + f.wide_col + out_j] = 1.0f;
+        wide_put(f.wide_off + id);
         o.ind_ids[b * ind_len + f.ind_col + out_j] =
             static_cast<int32_t>(f.ind_off + id);
         o.ind_wts[b * ind_len + f.ind_col + out_j] = 1.0f;
@@ -382,9 +388,7 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
       for (int j = 0; j < k; ++j) {
         int64_t id = to_int(vals[j]);
         if (id < 0 || id >= f.size) id = 0;  // default_value=0 semantics
-        o.wide_ids[b * wide_len + f.wide_col + j] =
-            static_cast<int32_t>(f.wide_off + id);
-        o.wide_wts[b * wide_len + f.wide_col + j] = 1.0f;
+        wide_put(f.wide_off + id);
         o.ind_ids[b * ind_len + f.ind_col + j] =
             static_cast<int32_t>(f.ind_off + id);
         o.ind_wts[b * ind_len + f.ind_col + j] = 1.0f;
@@ -412,16 +416,18 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
       n_combo = n_next;
     }
     float w = 1.0f / n_combo;
-    int64_t glen = c.is_deep ? group_lens[c.group] : 0;
     for (int j = 0; j < n_combo; ++j) {
       int64_t id = combos[j] % static_cast<uint64_t>(c.bucket);
-      o.wide_ids[b * wide_len + c.wide_col + j] =
-          static_cast<int32_t>(c.wide_off + id);
-      o.wide_wts[b * wide_len + c.wide_col + j] = 1.0f;
+      wide_put(c.wide_off + id);
       if (c.is_deep) {
-        o.g_ids[c.group][b * glen + c.emb_col + j] =
-            static_cast<int32_t>(c.row_off + id);
-        o.g_wts[c.group][b * glen + c.emb_col + j] = w;
+        int64_t glen = group_lens[c.group];
+        int64_t& gc = gcur[c.group];
+        if (gc < glen) {
+          o.g_ids[c.group][b * glen + gc] = static_cast<int32_t>(c.row_off + id);
+          o.g_wts[c.group][b * glen + gc] = w;
+          o.g_seg[c.group][b * glen + gc] = static_cast<int32_t>(c.slot_index);
+          ++gc;
+        }
       }
     }
   }
@@ -438,7 +444,7 @@ void* wdt_plan_create(const char* buf, int64_t len) {
 void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 
 // outs layout: label, weight, mask, wide_ids, wide_wts,
-//              [per group: ids, wts]..., ind_ids, ind_wts, cont
+//              [per group: ids, wts, seg]..., ind_ids, ind_wts, cont
 int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                       int64_t capacity, int has_label, int multiclass,
                       double pos_w, double neg_w, int weighted, int n_threads,
@@ -454,6 +460,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
   for (size_t g = 0; g < plan.group_dims.size(); ++g) {
     o.g_ids.push_back(static_cast<int32_t*>(outs[idx++]));
     o.g_wts.push_back(static_cast<float*>(outs[idx++]));
+    o.g_seg.push_back(static_cast<int32_t*>(outs[idx++]));
   }
   o.ind_ids = static_cast<int32_t*>(outs[idx++]);
   o.ind_wts = static_cast<float*>(outs[idx++]);
@@ -491,6 +498,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     std::vector<View> cells(plan.n_columns);
     std::vector<std::vector<uint64_t>> member_vals(plan.features.size());
     for (auto& v : member_vals) v.reserve(16);
+    std::vector<int64_t> gcur(plan.group_dims.size(), 0);
     for (int64_t b = lo; b < hi; ++b) {
       const Line& ln = lines[b];
       // split row into cells
@@ -508,9 +516,9 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       }
       process_row(plan, cells.data(), ln.shifted, has_label != 0,
                   multiclass != 0, weighted != 0, pos_w, neg_w, b, o,
-                  plan.wide_len, plan.group_lens,
+                  plan.wide_packed, plan.group_packed,
                   plan.ind_len ? plan.ind_len : 1,
-                  plan.n_cont ? plan.n_cont : 1, member_vals);
+                  plan.n_cont ? plan.n_cont : 1, member_vals, gcur);
     }
   };
 

@@ -31,10 +31,12 @@ _TRAN = {None: 0, "min_max": 1, "standard": 2, "log": 3}
 
 
 def serialize_plan(plan: FeaturePlan) -> bytes:
-    """FeaturePlan -> binary blob for wdt_plan_create (format v1).
+    """FeaturePlan -> binary blob for wdt_plan_create (format v2, packed
+    pools: per-group/wide shared id pools with slot indices for the segment
+    column).
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
-    lockstep with cpp/fastdata.cc::PlanReader.
+    lockstep with cpp/fastdata.cc::parse_plan.
     """
     out = bytearray()
     w = out.extend
@@ -51,13 +53,13 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(1)  # version
+    i64(2)  # version
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
-    i64(len(plan.columns), int(plan.multivalue), plan.wide_total_len,
+    i64(len(plan.columns), int(plan.multivalue), plan.wide_packed_len,
         plan.indicator_total_len, len(plan.continuous_slots),
         len(plan.groups))
     for g in plan.groups:
-        i64(g.dim, g.total_len)
+        i64(g.dim, plan.group_packed_len[g.dim])
 
     feats = plan.feature_order
     feat_index = {name: i for i, name in enumerate(feats)}
@@ -71,12 +73,12 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         if kind == 0:  # hash
             ws = plan.wide_slot_by_name[name]
             _, es = plan.embed_slot_by_name[name]
-            i64(ws.max_len, ws.size, ws.offset, ws.col_offset,
-                group_index[es.dim], es.row_offset, es.col_offset)
+            i64(ws.max_len, ws.size, ws.offset,
+                group_index[es.dim], es.row_offset, es.index)
         elif kind in (1, 2):  # vocab / identity
             ws = plan.wide_slot_by_name[name]
             isl = next(x for x in plan.indicator_slots if x.name == name)
-            i64(ws.max_len, ws.size, ws.offset, ws.col_offset,
+            i64(ws.max_len, ws.size, ws.offset,
                 isl.offset, isl.col_offset)
             if kind == 1:
                 for v in isl.vocab:
@@ -90,9 +92,9 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
                 f64(*slot.boundaries)
             if slot.boundaries:
                 ws = plan.wide_slot_by_name[name]
-                i64(1, ws.offset, ws.col_offset)
+                i64(1, ws.offset)
             else:
-                i64(0, 0, 0)
+                i64(0, 0)
 
     i64(len(plan.crosses))
     for cs in plan.crosses:
@@ -103,11 +105,10 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         es = plan.embed_slot_by_name.get(cs.name)
         if es is not None:
             g, slot = es
-            i64(cs.bucket_size, cs.max_len, ws.offset, ws.col_offset, 1,
-                group_index[slot.dim], slot.row_offset, slot.col_offset)
+            i64(cs.bucket_size, cs.max_len, ws.offset, 1,
+                group_index[slot.dim], slot.row_offset, slot.index)
         else:
-            i64(cs.bucket_size, cs.max_len, ws.offset, ws.col_offset, 0,
-                0, 0, 0)
+            i64(cs.bucket_size, cs.max_len, ws.offset, 0, 0, 0, 0)
     return bytes(out)
 
 
@@ -154,17 +155,20 @@ class NativeTransformer:
             "label": np.zeros(B, np.float32),
             "weight": np.zeros(B, np.float32),
             "mask": np.zeros(B, np.float32),
-            "wide_ids": np.zeros((B, plan.wide_total_len), np.int32),
-            "wide_wts": np.zeros((B, plan.wide_total_len), np.float32),
+            "wide_ids": np.zeros((B, plan.wide_packed_len), np.int32),
+            "wide_wts": np.zeros((B, plan.wide_packed_len), np.float32),
         }
         ptr_order: List[np.ndarray] = [
             out["label"], out["weight"], out["mask"],
             out["wide_ids"], out["wide_wts"]]
         for g in plan.groups:
-            ids = np.zeros((B, g.total_len), np.int32)
-            wts = np.zeros((B, g.total_len), np.float32)
+            P = plan.group_packed_len[g.dim]
+            ids = np.zeros((B, P), np.int32)
+            wts = np.zeros((B, P), np.float32)
+            seg = np.zeros((B, P), np.int32)
             out[f"emb_ids_d{g.dim}"], out[f"emb_wts_d{g.dim}"] = ids, wts
-            ptr_order += [ids, wts]
+            out[f"emb_seg_d{g.dim}"] = seg
+            ptr_order += [ids, wts, seg]
         ind_ids = np.zeros((B, max(plan.indicator_total_len, 1)), np.int32)
         ind_wts = np.zeros((B, max(plan.indicator_total_len, 1)), np.float32)
         ptr_order += [ind_ids, ind_wts]

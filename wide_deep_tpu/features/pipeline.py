@@ -139,10 +139,13 @@ class FeatureTransformer:
             out["weight"] = np.zeros((B,), np.float32)
         out["mask"] = np.zeros((B,), np.float32)
         out["mask"][:n] = 1.0
-        wide_ids = np.zeros((B, plan.wide_total_len), np.int32)
-        wide_wts = np.zeros((B, plan.wide_total_len), np.float32)
-        g_ids = {g.dim: np.zeros((B, g.total_len), np.int32) for g in plan.groups}
-        g_wts = {g.dim: np.zeros((B, g.total_len), np.float32) for g in plan.groups}
+        Pw = plan.wide_packed_len
+        wide_ids = np.zeros((B, Pw), np.int32)
+        wide_wts = np.zeros((B, Pw), np.float32)
+        Pg = plan.group_packed_len
+        g_ids = {g.dim: np.zeros((B, Pg[g.dim]), np.int32) for g in plan.groups}
+        g_wts = {g.dim: np.zeros((B, Pg[g.dim]), np.float32) for g in plan.groups}
+        g_seg = {g.dim: np.zeros((B, Pg[g.dim]), np.int32) for g in plan.groups}
         ind_ids = np.zeros((B, plan.indicator_total_len), np.int32)
         ind_wts = np.zeros((B, plan.indicator_total_len), np.float32)
         cont = np.zeros((B, len(plan.continuous_slots)), np.float32)
@@ -151,6 +154,34 @@ class FeatureTransformer:
         wide_by_name = plan.wide_slot_by_name
 
         for b, cells in enumerate(rows):
+            # packed-pool cursors: entries appended in slot order; overflow
+            # beyond the static pool capacity is dropped (plan.PACK_BUDGET)
+            wcur = 0
+            gcur = {g.dim: 0 for g in plan.groups}
+
+            def wide_put(gid: int):
+                nonlocal wcur
+                if wcur < Pw:
+                    wide_ids[b, wcur] = gid
+                    wide_wts[b, wcur] = 1.0
+                    wcur += 1
+
+            def emb_put(es, local_ids):
+                k = len(local_ids)
+                if k == 0:
+                    return
+                w = 1.0 / k
+                dim = es.dim
+                cap = Pg[dim]
+                c = gcur[dim]
+                for i in local_ids:
+                    if c >= cap:
+                        break
+                    g_ids[dim][b, c] = es.row_offset + i
+                    g_wts[dim][b, c] = w
+                    g_seg[dim][b, c] = es.index
+                    c += 1
+                gcur[dim] = c
             if has_label:
                 if self.n_classes == 2:
                     lab = 1.0 if cells[0] == "1" else 0.0
@@ -176,8 +207,7 @@ class FeatureTransformer:
                         ws = wide_by_name[name]
                         bucket = int(np.searchsorted(slot.boundaries, raw,
                                                      side="right"))
-                        wide_ids[b, ws.col_offset] = ws.offset + bucket
-                        wide_wts[b, ws.col_offset] = 1.0
+                        wide_put(ws.offset + bucket)
                         member_vals[name] = [bucket]
                     continue
 
@@ -185,23 +215,17 @@ class FeatureTransformer:
                 values = self._split(cell, ws.max_len)
                 if tran == "hash_bucket":
                     ids = self._hash_ids(name, values, ws.size)
-                    k = len(ids)
-                    for j, i in enumerate(ids):
-                        wide_ids[b, ws.col_offset + j] = ws.offset + i
-                        wide_wts[b, ws.col_offset + j] = 1.0
+                    for i in ids:
+                        wide_put(ws.offset + i)
                     _, es = embed_by_name[name]
-                    w = 1.0 / k
-                    for j, i in enumerate(ids):
-                        g_ids[es.dim][b, es.col_offset + j] = es.row_offset + i
-                        g_wts[es.dim][b, es.col_offset + j] = w
+                    emb_put(es, ids)
                     member_vals[name] = self._fingerprints(values)
                 elif tran == "vocab":
                     vm = self._vocab_maps[name]
                     ids = [vm[v] for v in values if v in vm]
                     islot = next(s for s in plan.indicator_slots if s.name == name)
                     for j, i in enumerate(ids):
-                        wide_ids[b, ws.col_offset + j] = ws.offset + i
-                        wide_wts[b, ws.col_offset + j] = 1.0
+                        wide_put(ws.offset + i)
                         ind_ids[b, islot.col_offset + j] = islot.offset + i
                         ind_wts[b, islot.col_offset + j] = 1.0
                     member_vals[name] = self._fingerprints(values)
@@ -212,8 +236,7 @@ class FeatureTransformer:
                         ids.append(i if 0 <= i < ws.size else 0)
                     islot = next(s for s in plan.indicator_slots if s.name == name)
                     for j, i in enumerate(ids):
-                        wide_ids[b, ws.col_offset + j] = ws.offset + i
-                        wide_wts[b, ws.col_offset + j] = 1.0
+                        wide_put(ws.offset + i)
                         ind_ids[b, islot.col_offset + j] = islot.offset + i
                         ind_wts[b, islot.col_offset + j] = 1.0
                     member_vals[name] = ids
@@ -228,22 +251,19 @@ class FeatureTransformer:
                               for acc in combos for v in col]
                     if len(combos) > cs.max_len:
                         combos = combos[:cs.max_len]
-                k = len(combos)
+                cids = [acc % cs.bucket_size for acc in combos]
+                for cid in cids:
+                    wide_put(ws.offset + cid)
                 es = embed_by_name.get(cs.name)
-                w = 1.0 / k
-                for j, acc in enumerate(combos):
-                    cid = acc % cs.bucket_size
-                    wide_ids[b, ws.col_offset + j] = ws.offset + cid
-                    wide_wts[b, ws.col_offset + j] = 1.0
-                    if es is not None:
-                        _, s = es
-                        g_ids[s.dim][b, s.col_offset + j] = s.row_offset + cid
-                        g_wts[s.dim][b, s.col_offset + j] = w
+                if es is not None:
+                    _, s = es
+                    emb_put(s, cids)
 
         out["wide_ids"], out["wide_wts"] = wide_ids, wide_wts
         for g in plan.groups:
             out[f"emb_ids_d{g.dim}"] = g_ids[g.dim]
             out[f"emb_wts_d{g.dim}"] = g_wts[g.dim]
+            out[f"emb_seg_d{g.dim}"] = g_seg[g.dim]
         if plan.indicator_total_len:
             out["ind_ids"], out["ind_wts"] = ind_ids, ind_wts
         if plan.continuous_slots:

@@ -42,10 +42,16 @@ from wide_deep_tpu.config import Config, ConfigError
 CROSS_MAX_LEN = 16  # static cap on cartesian-product size of a cross
 ROW_ALIGN = 256     # table row counts padded to this multiple so row-sharded
                     # tables divide evenly over up to 256 devices
+PACK_BUDGET = 3     # packed-pool capacity contributed by each multivalue
+                    # slot (singles contribute 1); see packed_len below
 
 
 def _align_rows(n: int) -> int:
     return ((n + ROW_ALIGN - 1) // ROW_ALIGN) * ROW_ALIGN
+
+
+def _align8(n: int) -> int:
+    return ((n + 7) // 8) * 8
 
 
 def embedding_dim(n_buckets: int) -> int:
@@ -239,9 +245,20 @@ class FeaturePlan:
                 row += rows; col += L
             groups.append(DimGroup(dim, _align_rows(row), col, tuple(slots)))
 
+        def packed_capacity(slots) -> int:
+            """Shared per-row id-pool capacity: 1 per single-valued slot,
+            PACK_BUDGET per multivalue slot (gather/scatter cost is linear
+            in this, so the pool is sized for realistic occupancy rather
+            than worst case; overflow entries are dropped deterministically
+            in slot order)."""
+            return sum(1 if s.max_len == 1 else PACK_BUDGET for s in slots)
+
         self.wide_slots = wide_slots
         self.wide_dim = _align_rows(wide_off)
         self.wide_total_len = wide_col
+        self.wide_packed_len = packed_capacity(wide_slots)
+        self.group_packed_len = {g.dim: packed_capacity(g.slots)
+                                 for g in groups}
         self.groups = groups
         self.indicator_slots = indicator_slots
         self.indicator_dim = ind_off
@@ -268,11 +285,13 @@ class FeaturePlan:
             spec["label"] = ((B,), np.float32)
             spec["weight"] = ((B,), np.float32)
         spec["mask"] = ((B,), np.float32)
-        spec["wide_ids"] = ((B, self.wide_total_len), np.int32)
-        spec["wide_wts"] = ((B, self.wide_total_len), np.float32)
+        spec["wide_ids"] = ((B, self.wide_packed_len), np.int32)
+        spec["wide_wts"] = ((B, self.wide_packed_len), np.float32)
         for g in self.groups:
-            spec[f"emb_ids_d{g.dim}"] = ((B, g.total_len), np.int32)
-            spec[f"emb_wts_d{g.dim}"] = ((B, g.total_len), np.float32)
+            P = self.group_packed_len[g.dim]
+            spec[f"emb_ids_d{g.dim}"] = ((B, P), np.int32)
+            spec[f"emb_wts_d{g.dim}"] = ((B, P), np.float32)
+            spec[f"emb_seg_d{g.dim}"] = ((B, P), np.int32)
         if self.indicator_total_len:
             spec["ind_ids"] = ((B, self.indicator_total_len), np.int32)
             spec["ind_wts"] = ((B, self.indicator_total_len), np.float32)
