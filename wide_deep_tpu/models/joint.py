@@ -68,7 +68,12 @@ class WideDeep:
     # ------------------------------------------------------------------ init
     def init(self, rng: jax.Array,
              sample_batch: Dict[str, jnp.ndarray]) -> Tuple[Dict, Dict]:
-        """Create (params, state). state = {'bn': ..., 'cnn_bn': ...}."""
+        """Create (params, state). state = {'bn': ..., 'cnn_bn': ...}.
+
+        Parameter shapes are batch-size independent, so init traces its
+        forwards on a single-row slice of the sample batch (full-batch eager
+        forwards at init cost ~90 s through a remote-device tunnel)."""
+        sample_batch = {k: v[:1] for k, v in sample_batch.items()}
         params: Dict[str, Any] = {}
         state: Dict[str, Any] = {}
         if self.has_wide:
