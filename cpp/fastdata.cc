@@ -371,6 +371,7 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
         mv.push_back(fp);
       }
     } else if (f.kind == kVocab) {
+      // wide contribution rides the indicator block (dense path)
       int out_j = 0;
       for (int j = 0; j < k; ++j) {
         std::string key(vals[j].p, vals[j].n);
@@ -378,17 +379,15 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
         mv.push_back(xxh64(vals[j].p, vals[j].n));
         if (it == f.vocab.end()) continue;  // OOV dropped
         int32_t id = it->second;
-        wide_put(f.wide_off + id);
         o.ind_ids[b * ind_len + f.ind_col + out_j] =
             static_cast<int32_t>(f.ind_off + id);
         o.ind_wts[b * ind_len + f.ind_col + out_j] = 1.0f;
         ++out_j;
       }
-    } else {  // identity
+    } else {  // identity (wide via indicator block, like vocab)
       for (int j = 0; j < k; ++j) {
         int64_t id = to_int(vals[j]);
         if (id < 0 || id >= f.size) id = 0;  // default_value=0 semantics
-        wide_put(f.wide_off + id);
         o.ind_ids[b * ind_len + f.ind_col + j] =
             static_cast<int32_t>(f.ind_off + id);
         o.ind_wts[b * ind_len + f.ind_col + j] = 1.0f;

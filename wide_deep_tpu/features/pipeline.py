@@ -221,22 +221,22 @@ class FeatureTransformer:
                     emb_put(es, ids)
                     member_vals[name] = self._fingerprints(values)
                 elif tran == "vocab":
+                    # wide contribution rides the indicator block
+                    # (models/linear.py dense path) — no pool entry
                     vm = self._vocab_maps[name]
                     ids = [vm[v] for v in values if v in vm]
                     islot = next(s for s in plan.indicator_slots if s.name == name)
                     for j, i in enumerate(ids):
-                        wide_put(ws.offset + i)
                         ind_ids[b, islot.col_offset + j] = islot.offset + i
                         ind_wts[b, islot.col_offset + j] = 1.0
                     member_vals[name] = self._fingerprints(values)
-                else:  # identity
+                else:  # identity (wide via indicator block, like vocab)
                     ids = []
                     for v in values:
                         i = self._to_int(v)
                         ids.append(i if 0 <= i < ws.size else 0)
                     islot = next(s for s in plan.indicator_slots if s.name == name)
                     for j, i in enumerate(ids):
-                        wide_put(ws.offset + i)
                         ind_ids[b, islot.col_offset + j] = islot.offset + i
                         ind_wts[b, islot.col_offset + j] = 1.0
                     member_vals[name] = ids

@@ -250,8 +250,12 @@ class FeaturePlan:
             PACK_BUDGET per multivalue slot (gather/scatter cost is linear
             in this, so the pool is sized for realistic occupancy rather
             than worst case; overflow entries are dropped deterministically
-            in slot order)."""
-            return sum(1 if s.max_len == 1 else PACK_BUDGET for s in slots)
+            in slot order).  Vocab/identity wide slots don't use the pool:
+            their wide contribution rides the indicator block as a dense
+            matmul against a 379-row static gather (models/linear.py)."""
+            return sum(1 if s.max_len == 1 else PACK_BUDGET
+                       for s in slots
+                       if s.kind not in ("vocab", "identity"))
 
         self.wide_slots = wide_slots
         self.wide_dim = _align_rows(wide_off)
@@ -271,6 +275,15 @@ class FeaturePlan:
         self.wide_slot_by_name = {s.name: s for s in wide_slots}
         self.embed_slot_by_name = {
             s.name: (g, s) for g in groups for s in g.slots}
+        # indicator column -> wide-table row (for the dense vocab/identity
+        # wide path): indicator offsets and wide offsets differ, so the wide
+        # arm gathers these rows with a static index vector
+        ind_rows = np.zeros(max(self.indicator_dim, 1), dtype=np.int32)
+        for isl in indicator_slots:
+            ws = self.wide_slot_by_name[isl.name]
+            ind_rows[isl.offset:isl.offset + isl.size] = (
+                ws.offset + np.arange(isl.size, dtype=np.int32))
+        self.indicator_wide_rows = ind_rows
 
     # ------------------------------------------------------------- descriptors
     def batch_spec(self, batch_size: int, n_classes: int = 2,

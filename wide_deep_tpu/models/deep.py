@@ -221,6 +221,19 @@ class PlanConstants:
         self.n_continuous = len(plan.continuous_slots)
         self.group_dims = [g.dim for g in plan.groups]
         self.deep_input_dim = plan.deep_input_dim
+        # static indicator-column -> wide-row map for the dense wide path
+        self.indicator_wide_rows = jnp.asarray(plan.indicator_wide_rows)
+
+
+def indicator_block(batch: Dict[str, jnp.ndarray], indicator_dim: int,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Multi-hot [B, indicator_dim] block from packed indicator ids/wts.
+    Shared by the deep input layer and the wide arm's vocab/identity path."""
+    B = batch["ind_ids"].shape[0]
+    block = jnp.zeros((B, indicator_dim), dtype)
+    rows = jnp.arange(B)[:, None]
+    return block.at[rows, batch["ind_ids"]].add(
+        batch["ind_wts"].astype(dtype), mode="drop")
 
 
 def deep_input_layer(store: ParamStore, plan: FeaturePlan,
@@ -256,11 +269,10 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                               preferred_element_type=jnp.float32)
         parts.append(combined.reshape(B, -1).astype(dtype))
     if consts.indicator_dim:
-        ind = jnp.zeros((B, consts.indicator_dim), dtype)
-        rows = jnp.arange(B)[:, None]
-        ind = ind.at[rows, batch["ind_ids"]].add(
-            batch["ind_wts"].astype(dtype), mode="drop")
-        parts.append(ind)
+        ind = batch.get("_ind_block")
+        if ind is None:
+            ind = indicator_block(batch, consts.indicator_dim, dtype)
+        parts.append(ind.astype(dtype))
     if consts.n_continuous:
         parts.append(batch["cont"].astype(dtype))
     return jnp.concatenate(parts, axis=-1)

@@ -102,6 +102,11 @@ class WideDeep:
             nonlocal logits
             logits = x if logits is None else logits + x
 
+        if self.consts.indicator_dim and "ind_ids" in batch:
+            from wide_deep_tpu.models.deep import indicator_block
+            batch = dict(batch)
+            batch["_ind_block"] = indicator_block(
+                batch, self.consts.indicator_dim)
         if self.has_deep:
             store = ParamStore(params["dnn"])
             dl, new_bn = deep_logits(store, self.plan, self.consts,
@@ -110,7 +115,7 @@ class WideDeep:
             new_state["bn"] = new_bn
             add(dl)
         if self.has_wide:
-            add(linear_logits(params["linear"], batch))
+            add(linear_logits(params["linear"], batch, self.consts))
         if self.has_cnn:
             from wide_deep_tpu.models.cnn import cnn_logits
             cl, new_cnn_bn = cnn_logits(params["cnn"], self.cnn_spec,

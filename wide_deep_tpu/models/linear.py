@@ -24,11 +24,24 @@ def init_linear_params(plan: FeaturePlan, n_logits: int) -> Dict[str, Any]:
     }
 
 
-def linear_logits(params: Dict[str, Any],
-                  batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """[B, n_logits] wide logits: gather + weighted segment-sum + bias."""
+def linear_logits(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
+                  consts=None) -> jnp.ndarray:
+    """[B, n_logits] wide logits.
+
+    Two paths summed: (a) gather + weighted sum over the packed id pool
+    (hash/cross/bucketized slots); (b) vocab/identity slots ride the shared
+    multi-hot indicator block as a dense matmul against a static small-row
+    gather — no per-id traffic on the 12.7M-row table for them."""
     w = params["w"]
-    gathered = jnp.take(w, batch["wide_ids"], axis=0)  # [B, Lw, n_logits]
+    gathered = jnp.take(w, batch["wide_ids"], axis=0)  # [B, Pw, n_logits]
     out = jnp.einsum("bln,bl->bn", gathered, batch["wide_wts"],
                      preferred_element_type=jnp.float32)
+    if consts is not None and consts.indicator_dim:
+        from wide_deep_tpu.models.deep import indicator_block
+        ind = batch.get("_ind_block")
+        if ind is None:
+            ind = indicator_block(batch, consts.indicator_dim)
+        w_ind = jnp.take(w, consts.indicator_wide_rows, axis=0)  # [Di, n]
+        out = out + jnp.dot(ind.astype(jnp.float32), w_ind,
+                            preferred_element_type=jnp.float32)
     return out + params["b"]

@@ -42,7 +42,8 @@ def write_small_conf(dst_dir: str,
         lambda m: f"hash_bucket_size: {min(int(m.group(1)), cross_cap_k)}", t))
     rewrite("model.yaml", lambda t: t.replace(
         "dnn_hidden_units: [1024, 512, 256]",
-        f"dnn_hidden_units: {hidden_units}"))
+        f"dnn_hidden_units: {hidden_units}").replace(
+        "embedding_dtype: bfloat16", "embedding_dtype: float32"))
     rewrite("train.yaml", lambda t: t.replace(
         "batch_size: 64", f"batch_size: {batch_size}").replace(
         "num_examples: 10000", f"num_examples: {num_examples}"))
