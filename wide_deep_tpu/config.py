@@ -391,6 +391,7 @@ class Config:
             out[key] = _as_number(section.get(key), key, where, allow_none=True)
         npc = section.get("num_parallel_calls")
         out["num_parallel_calls"] = int(npc) if npc else None
+        out["pack_budget"] = int(section.get("pack_budget") or 3)
         for key in ("image_train_data", "image_eval_data", "image_test_data",
                     "checkpoint_path"):
             out[key] = section.get(key) or None

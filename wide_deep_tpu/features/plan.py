@@ -146,10 +146,13 @@ class CrossSpec:
 class FeaturePlan:
     """Everything static about the feature layout, compiled from Config."""
 
-    def __init__(self, config: Config, multivalue: Optional[bool] = None):
+    def __init__(self, config: Config, multivalue: Optional[bool] = None,
+                 pack_budget: Optional[int] = None):
         self.config = config
         train = config.train
         self.multivalue = train["multivalue"] if multivalue is None else multivalue
+        self.pack_budget = (pack_budget if pack_budget is not None
+                            else int(train.get("pack_budget") or PACK_BUDGET))
         schema = config.schema_columns()
         self.columns = schema
         self.label = schema[0]
@@ -253,7 +256,7 @@ class FeaturePlan:
             in slot order).  Vocab/identity wide slots don't use the pool:
             their wide contribution rides the indicator block as a dense
             matmul against a 379-row static gather (models/linear.py)."""
-            return sum(1 if s.max_len == 1 else PACK_BUDGET
+            return sum(1 if s.max_len == 1 else self.pack_budget
                        for s in slots
                        if s.kind not in ("vocab", "identity"))
 
