@@ -369,15 +369,56 @@ class CsvDataset:
 
 def default_transformer(plan: FeaturePlan, n_classes: int = 2,
                         pos_weight: Optional[float] = None,
-                        neg_weight: Optional[float] = None):
-    """Native C++ transformer when the library is built, Python otherwise."""
+                        neg_weight: Optional[float] = None,
+                        num_parallel_calls: Optional[int] = None):
+    """Native C++ transformer when the library is built, Python otherwise.
+
+    ``num_parallel_calls`` (train.yaml) sets the native parser's thread
+    count (reference dataset.py map parallelism analog)."""
     try:
         from wide_deep_tpu.features.native import NativeTransformer
         if NativeTransformer.available():
-            return NativeTransformer(plan, n_classes, pos_weight, neg_weight)
+            return NativeTransformer(plan, n_classes, pos_weight, neg_weight,
+                                     n_threads=num_parallel_calls or 0)
     except Exception:
         pass
     return FeatureTransformer(plan, n_classes, pos_weight, neg_weight)
+
+
+class PrefetchIterator:
+    """Background-thread prefetch over a batch iterable (the tf.data
+    ``prefetch`` analog): host-side parsing/packing overlaps the device
+    step instead of serializing with it."""
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._done = object()
+        self._error: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._queue.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                self._error = e
+            finally:
+                self._queue.put(self._done)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._done:
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item
 
 
 def input_fn(csv_data_file: str, img_data_file: Optional[str], mode: str,

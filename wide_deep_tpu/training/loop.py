@@ -28,8 +28,8 @@ import numpy as np
 
 from wide_deep_tpu import metrics as metrics_lib
 from wide_deep_tpu.config import Config
-from wide_deep_tpu.features.pipeline import (CsvDataset, default_transformer,
-                                             list_files)
+from wide_deep_tpu.features.pipeline import (CsvDataset, PrefetchIterator,
+                                             default_transformer, list_files)
 from wide_deep_tpu.features.plan import FeaturePlan
 from wide_deep_tpu.models.joint import WideDeep, build_model
 from wide_deep_tpu.optim import build_joint_optimizer
@@ -78,7 +78,8 @@ class Trainer:
         self.pos_weight = self.train_conf.get("pos_sample_loss_weight")
         self.neg_weight = self.train_conf.get("neg_sample_loss_weight")
         self.transformer = default_transformer(
-            self.plan, n_classes, self.pos_weight, self.neg_weight)
+            self.plan, n_classes, self.pos_weight, self.neg_weight,
+            num_parallel_calls=self.train_conf.get("num_parallel_calls"))
 
         self._train_step = make_train_step(self.model, self.tx,
                                            with_summaries=True)
@@ -195,7 +196,7 @@ class Trainer:
         last_log_step, last_log_time = self.global_step, t0
         loss = float("nan")
         summary_every = int(self.runconfig.get("save_summary_steps") or 0)
-        for batch in self._dataset(path, "train", epoch_seed):
+        for batch in PrefetchIterator(self._dataset(path, "train", epoch_seed)):
             batch = self._to_device(batch)
             (self.params, self.mstate, self.opt_state, loss,
              stats) = self._train_step(
@@ -255,7 +256,7 @@ class Trainer:
             if restored is not None:
                 self.params, self.mstate = restored["params"], restored["mstate"]
         acc = metrics_lib.init_metrics()
-        for batch in self._dataset(data_path, "eval"):
+        for batch in PrefetchIterator(self._dataset(data_path, "eval")):
             batch = self._to_device(batch)
             acc = self._eval_step(self.params, self.mstate, batch, acc)
         results = metrics_lib.finalize_metrics(acc)
