@@ -102,13 +102,8 @@ def main():
 
     # persistent compilation cache: warm runs skip the multi-minute
     # (remote) XLA compile of the train step
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/wdt_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception as e:  # noqa: BLE001
-        log(f"compilation cache unavailable: {e}")
+    from wide_deep_tpu.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from wide_deep_tpu.config import Config
     from wide_deep_tpu.features.plan import FeaturePlan

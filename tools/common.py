@@ -47,6 +47,8 @@ def setup(args) -> Config:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    from wide_deep_tpu.cache import enable_compilation_cache
+    enable_compilation_cache()
     config = Config(args.conf_dir) if args.conf_dir else Config()
     return config
 
