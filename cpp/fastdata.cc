@@ -130,7 +130,7 @@ struct Cross {
 };
 
 struct Plan {
-  int64_t n_columns = 0, multivalue = 0;
+  int64_t n_columns = 0, multivalue = 0, pack_budget = 3;
   int64_t wide_packed = 0, ind_len = 0, n_cont = 0;
   std::vector<int64_t> group_dims, group_packed;
   std::vector<Feature> features;
@@ -168,10 +168,11 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  if (r.i64() != 2) return nullptr;  // version (packed pools)
+  if (r.i64() != 3) return nullptr;  // version (packed pools, slot caps)
   auto plan = new Plan();
   plan->n_columns = r.i64();
   plan->multivalue = r.i64();
+  plan->pack_budget = r.i64();
   plan->wide_packed = r.i64();
   plan->ind_len = r.i64();
   plan->n_cont = r.i64();
@@ -355,18 +356,23 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
     }
     int k = split_values(plan, cell, f.max_len, vals);
     if (f.kind == kHash) {
-      float w = 1.0f / k;
+      // per-slot cap = pack_budget for multivalue slots (pipeline.py parity)
+      int cap = f.max_len == 1 ? 1 : static_cast<int>(plan.pack_budget);
+      int kept = std::min(k, cap);
+      float w = 1.0f / kept;
       int64_t glen = group_lens[f.group];
       int64_t& c = gcur[f.group];
       for (int j = 0; j < k; ++j) {
         uint64_t fp = xxh64(vals[j].p, vals[j].n);
         int64_t id = fp % static_cast<uint64_t>(f.size);
-        wide_put(f.wide_off + id);
-        if (c < glen) {
-          o.g_ids[f.group][b * glen + c] = static_cast<int32_t>(f.row_off + id);
-          o.g_wts[f.group][b * glen + c] = w;
-          o.g_seg[f.group][b * glen + c] = static_cast<int32_t>(f.slot_index);
-          ++c;
+        if (j < kept) {
+          wide_put(f.wide_off + id);
+          if (c < glen) {
+            o.g_ids[f.group][b * glen + c] = static_cast<int32_t>(f.row_off + id);
+            o.g_wts[f.group][b * glen + c] = w;
+            o.g_seg[f.group][b * glen + c] = static_cast<int32_t>(f.slot_index);
+            ++c;
+          }
         }
         mv.push_back(fp);
       }
@@ -414,8 +420,10 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
       std::memcpy(combos, next, n_next * sizeof(uint64_t));
       n_combo = n_next;
     }
-    float w = 1.0f / n_combo;
-    for (int j = 0; j < n_combo; ++j) {
+    int ccap = c.max_len == 1 ? 1 : static_cast<int>(plan.pack_budget);
+    int ckept = std::min(n_combo, ccap);
+    float w = 1.0f / ckept;
+    for (int j = 0; j < ckept; ++j) {
       int64_t id = combos[j] % static_cast<uint64_t>(c.bucket);
       wide_put(c.wide_off + id);
       if (c.is_deep) {

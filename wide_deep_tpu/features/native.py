@@ -31,9 +31,9 @@ _TRAN = {None: 0, "min_max": 1, "standard": 2, "log": 3}
 
 
 def serialize_plan(plan: FeaturePlan) -> bytes:
-    """FeaturePlan -> binary blob for wdt_plan_create (format v2, packed
+    """FeaturePlan -> binary blob for wdt_plan_create (format v3, packed
     pools: per-group/wide shared id pools with slot indices for the segment
-    column).
+    column; per-slot entry caps = pack_budget).
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
     lockstep with cpp/fastdata.cc::parse_plan.
@@ -53,9 +53,10 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(2)  # version
+    i64(3)  # version
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
-    i64(len(plan.columns), int(plan.multivalue), plan.wide_packed_len,
+    i64(len(plan.columns), int(plan.multivalue), int(plan.pack_budget),
+        plan.wide_packed_len,
         plan.indicator_total_len, len(plan.continuous_slots),
         len(plan.groups))
     for g in plan.groups:

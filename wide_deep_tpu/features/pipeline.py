@@ -159,22 +159,31 @@ class FeatureTransformer:
             wcur = 0
             gcur = {g.dim: 0 for g in plan.groups}
 
-            def wide_put(gid: int):
+            budget = plan.pack_budget
+
+            def wide_put_slot(ws, ids_list):
+                # per-slot cap = pack_budget for multivalue slots, so pools
+                # fit exactly and no slot can starve later slots
                 nonlocal wcur
-                if wcur < Pw:
-                    wide_ids[b, wcur] = gid
+                cap = 1 if ws.max_len == 1 else budget
+                for i in ids_list[:cap]:
+                    if wcur >= Pw:
+                        break
+                    wide_ids[b, wcur] = ws.offset + i
                     wide_wts[b, wcur] = 1.0
                     wcur += 1
 
             def emb_put(es, local_ids):
-                k = len(local_ids)
+                cap_slot = 1 if es.max_len == 1 else budget
+                kept = local_ids[:cap_slot]
+                k = len(kept)
                 if k == 0:
                     return
                 w = 1.0 / k
                 dim = es.dim
                 cap = Pg[dim]
                 c = gcur[dim]
-                for i in local_ids:
+                for i in kept:
                     if c >= cap:
                         break
                     g_ids[dim][b, c] = es.row_offset + i
@@ -207,7 +216,7 @@ class FeatureTransformer:
                         ws = wide_by_name[name]
                         bucket = int(np.searchsorted(slot.boundaries, raw,
                                                      side="right"))
-                        wide_put(ws.offset + bucket)
+                        wide_put_slot(ws, [bucket])
                         member_vals[name] = [bucket]
                     continue
 
@@ -215,8 +224,7 @@ class FeatureTransformer:
                 values = self._split(cell, ws.max_len)
                 if tran == "hash_bucket":
                     ids = self._hash_ids(name, values, ws.size)
-                    for i in ids:
-                        wide_put(ws.offset + i)
+                    wide_put_slot(ws, ids)
                     _, es = embed_by_name[name]
                     emb_put(es, ids)
                     member_vals[name] = self._fingerprints(values)
@@ -252,8 +260,7 @@ class FeatureTransformer:
                     if len(combos) > cs.max_len:
                         combos = combos[:cs.max_len]
                 cids = [acc % cs.bucket_size for acc in combos]
-                for cid in cids:
-                    wide_put(ws.offset + cid)
+                wide_put_slot(ws, cids)
                 es = embed_by_name.get(cs.name)
                 if es is not None:
                     _, s = es
