@@ -327,6 +327,7 @@ class Config:
             _require(raw, "dnn_optimizer", where), dnn_lr)
         out["cnn_optimizer"] = parse_optimizer_spec(
             raw.get("cnn_optimizer", "Adagrad"), cnn_lr)
+        out["linear_fm_factors"] = int(raw.get("linear_fm_factors") or 0)
         for key in ("linear_decay_rate", "dnn_decay_rate", "cnn_decay_rate"):
             v = _as_number(raw.get(key), key, where, allow_none=True)
             out[key] = 1.0 if v in (None, 0) else float(v)

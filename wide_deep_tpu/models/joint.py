@@ -42,6 +42,7 @@ class WideDeep:
     model_type: str = "wide_deep"
     n_classes: int = 2
     cnn_spec: Optional[Any] = None  # models/cnn CnnSpec when with_cnn
+    fm_factors: int = 0             # >0 adds the FM pairwise term (wide arm)
 
     def __post_init__(self):
         if self.model_type not in MODEL_TYPES:
@@ -77,7 +78,9 @@ class WideDeep:
         params: Dict[str, Any] = {}
         state: Dict[str, Any] = {}
         if self.has_wide:
-            params["linear"] = init_linear_params(self.plan, self.n_logits)
+            params["linear"] = init_linear_params(
+                self.plan, self.n_logits, self.fm_factors,
+                jax.random.fold_in(rng, 3))
         if self.has_deep:
             r_deep = jax.random.fold_in(rng, 1)
             params["dnn"], state["bn"] = init_deep_params(
@@ -175,4 +178,5 @@ def build_model(config, plan: Optional[FeaturePlan] = None,
         from wide_deep_tpu.models.cnn import CnnSpec
         cnn_spec = CnnSpec.from_model_conf(model_conf)
     return WideDeep(plan=plan, deep_spec=deep_spec, model_type=model_type,
-                    n_classes=n_classes, cnn_spec=cnn_spec)
+                    n_classes=n_classes, cnn_spec=cnn_spec,
+                    fm_factors=int(model_conf.get("linear_fm_factors") or 0))
