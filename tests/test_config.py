@@ -82,6 +82,29 @@ def test_optimizer_spec_parsing():
         parse_optimizer_spec("tf.train.FtrlOptimizer(learning_rate=os.path)", 0.05)
 
 
+def test_vocab_file_support(tmp_path, config):
+    """vocab parameter may be a file path (one value per line) — the
+    categorical_column_with_vocabulary_file analog."""
+    import shutil
+    conf2 = tmp_path / "conf"
+    shutil.copytree(config.conf_dir, conf2)
+    (conf2 / "os_vocab.txt").write_text("0\n1\n2\n3\n4\n5\n")
+    feat = (conf2 / "feature.yaml").read_text()
+    feat = feat.replace(
+        "os:                 {type: category, transform: vocab, "
+        "parameter: [0, 1, 2, 3, 4, 5]}",
+        "os:                 {type: category, transform: vocab, "
+        "parameter: os_vocab.txt}")
+    (conf2 / "feature.yaml").write_text(feat)
+    fc = Config(str(conf2)).read_feature_conf()
+    assert fc["os"]["parameter"] == ["0", "1", "2", "3", "4", "5"]
+    # missing file errors clearly
+    feat2 = feat.replace("os_vocab.txt", "missing_vocab.txt")
+    (conf2 / "feature.yaml").write_text(feat2)
+    with pytest.raises(ConfigError, match="vocab file not found"):
+        Config(str(conf2)).read_feature_conf()
+
+
 def test_validation_errors(tmp_path, config):
     import shutil, os
     conf2 = tmp_path / "conf"

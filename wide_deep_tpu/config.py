@@ -226,9 +226,22 @@ class Config:
                             f"{where}: `{transform}` parameter must be a "
                             f"positive int, got {parameter!r}")
                 else:  # vocab
+                    if isinstance(parameter, str):
+                        # vocabulary file: one value per line (the
+                        # categorical_column_with_vocabulary_file analog);
+                        # relative paths resolve against the conf dir
+                        path = parameter if os.path.isabs(parameter) else \
+                            os.path.join(self.conf_dir, parameter)
+                        if not os.path.exists(path):
+                            raise ConfigError(
+                                f"{where}: vocab file not found: {path}")
+                        with open(path) as vf:
+                            parameter = [line.rstrip("\n") for line in vf
+                                         if line.strip()]
                     if not isinstance(parameter, list) or not parameter:
                         raise ConfigError(
-                            f"{where}: vocab parameter must be a non-empty list")
+                            f"{where}: vocab parameter must be a non-empty "
+                            "list or a vocab file path")
             elif ftype == "continuous":
                 if transform not in CONTINUOUS_TRANSFORMS and transform is not None:
                     raise ConfigError(
