@@ -112,6 +112,42 @@ class TestExport:
             rtol=1e-6)
 
 
+class TestBf16Bundle:
+    def test_bfloat16_export_roundtrip(self, small_conf_dir, tmp_path):
+        """bfloat16 embedding tables (production default) must survive the
+        checkpoint -> export -> serving-load path."""
+        import shutil
+        import jax.numpy as jnp
+        from wide_deep_tpu.config import Config
+        from wide_deep_tpu.serving.export import export_savedmodel
+        from wide_deep_tpu.serving.server import ServingModel
+        from wide_deep_tpu.training.loop import Trainer
+        conf2 = tmp_path / "conf"
+        shutil.copytree(small_conf_dir, conf2)
+        text = (conf2 / "model.yaml").read_text()
+        (conf2 / "model.yaml").write_text(text.replace(
+            "embedding_dtype: float32", "embedding_dtype: bfloat16"))
+        config = Config(str(conf2))
+        tr = Trainer(config, model_type="wide_deep",
+                     model_dir=str(tmp_path / "m"),
+                     overrides=dict(train_data=FIXTURE, eval_data=FIXTURE,
+                                    test_data=FIXTURE, keep_train=True,
+                                    batch_size=16))
+        tr.ensure_initialized(restore=False)
+        assert tr.params["dnn"]["embed"]["d4"].dtype == jnp.bfloat16
+        tr.train_file(FIXTURE)
+        tr.save()
+        version_dir = export_savedmodel(
+            config, str(tmp_path / "export"), model_type="wide_deep",
+            model_dir=str(tmp_path / "m"), model_version=1)
+        model = ServingModel(version_dir, max_batch_size=16)
+        assert model.params["dnn"]["embed"]["d4"].dtype == jnp.bfloat16
+        resp = model.score_rows(_rows(FIXTURE, 4))
+        assert all(resp["valid"])
+        for s in resp["scores"]:
+            np.testing.assert_allclose(sum(s), 1.0, rtol=1e-3)
+
+
 class TestTransports:
     def test_grpc_client(self, server):
         from wide_deep_tpu.serving.client import PredictorClient
