@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_CPU_EXAMPLES_PER_S = 5000.0
-BATCH_SIZE = 25600
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 25600))
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 

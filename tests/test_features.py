@@ -48,6 +48,22 @@ class TestPlan:
         assert embedding_dim(500000) == 16
         assert embedding_dim(10000000) == 32
 
+    def test_embedding_dim_override(self, tmp_path):
+        from wide_deep_tpu.testing import write_small_conf
+        from wide_deep_tpu.config import Config
+        from wide_deep_tpu.features.plan import FeaturePlan
+        conf_dir = write_small_conf(str(tmp_path / "conf"))
+        feat = open(f"{conf_dir}/feature.yaml").read()
+        feat = feat.replace(
+            "adplan_id:          {type: category, transform: hash_bucket, "
+            "parameter: 1000}",
+            "adplan_id:          {type: category, transform: hash_bucket, "
+            "parameter: 1000, embedding_dim: 16}")
+        open(f"{conf_dir}/feature.yaml", "w").write(feat)
+        plan = FeaturePlan(Config(conf_dir))
+        _, es = plan.embed_slot_by_name["adplan_id"]
+        assert es.dim == 16
+
     def test_dims(self, plan):
         # wide space: sum of all slot sizes, disjoint offsets, padded to the
         # row-alignment multiple for even sharding

@@ -274,8 +274,16 @@ class Config:
                 raise ConfigError(f"{where}: max_len must be a positive int")
             if ftype == "continuous" and max_len != 1:
                 raise ConfigError(f"{where}: continuous features are scalar")
+            emb_dim = conf.get("embedding_dim")
+            if emb_dim is not None:
+                if (not isinstance(emb_dim, int) or emb_dim < 1
+                        or transform != "hash_bucket"):
+                    raise ConfigError(
+                        f"{where}: embedding_dim must be a positive int on a "
+                        "hash_bucket feature")
             out[feature] = {"type": ftype, "transform": transform,
-                            "parameter": parameter, "max_len": max_len}
+                            "parameter": parameter, "max_len": max_len,
+                            "embedding_dim": emb_dim}
         return out
 
     # ----------------------------------------------------------------- crosses

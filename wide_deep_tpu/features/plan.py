@@ -182,7 +182,10 @@ class FeaturePlan:
                     size = int(param)
                     wide_slots.append(WideSlot(name, "hash", size, wide_off, L, wide_col))
                     wide_off += size; wide_col += L
-                    embed_raw.append((name, "hash", size, embedding_dim(size), L))
+                    # per-feature embedding_dim override, else the empirical
+                    # rule (build_estimator.py:57-59)
+                    dim = conf.get("embedding_dim") or embedding_dim(size)
+                    embed_raw.append((name, "hash", size, dim, L))
                 elif tran == "vocab":
                     vocab = tuple(str(v) for v in param)
                     size = len(vocab)
