@@ -368,11 +368,11 @@ class Config:
                                               where, allow_none=True) or 0.0)
         out["dnn_batch_normalization"] = _as_bool(
             raw.get("dnn_batch_normalization"), "dnn_batch_normalization", where)
-        emb_dtype = str(raw.get("embedding_dtype") or "float32").lower()
-        if emb_dtype not in ("float32", "bfloat16"):
-            raise ConfigError(
-                f"{where}: embedding_dtype must be float32|bfloat16")
-        out["embedding_dtype"] = emb_dtype
+        for dkey in ("embedding_dtype", "dense_dtype"):
+            val = str(raw.get(dkey) or "float32").lower()
+            if val not in ("float32", "bfloat16"):
+                raise ConfigError(f"{where}: {dkey} must be float32|bfloat16")
+            out[dkey] = val
 
         out["cnn_use_flag"] = _as_bool(raw.get("cnn_use_flag"), "cnn_use_flag", where)
         out["cnn_model"] = str(raw.get("cnn_model", "vgg16")).lower()

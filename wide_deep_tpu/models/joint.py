@@ -165,10 +165,16 @@ class WideDeep:
 
 def build_model(config, plan: Optional[FeaturePlan] = None,
                 model_type: Optional[str] = None, n_classes: int = 2,
-                dtype=jnp.float32) -> WideDeep:
-    """Config -> WideDeep (build_estimator.py:264-294 analog)."""
+                dtype=None) -> WideDeep:
+    """Config -> WideDeep (build_estimator.py:264-294 analog).
+
+    ``dtype`` overrides the dense compute dtype; default comes from
+    model.yaml dense_dtype."""
     plan = plan or FeaturePlan(config)
     model_conf = config.model
+    if dtype is None:
+        dtype = (jnp.bfloat16 if model_conf.get("dense_dtype") == "bfloat16"
+                 else jnp.float32)
     model_type = model_type or config.train["model_type"]
     deep_spec = None
     if model_type != "wide":

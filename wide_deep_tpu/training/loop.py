@@ -47,7 +47,7 @@ class Trainer:
                  model_dir: Optional[str] = None,
                  n_classes: int = 2,
                  mesh=None,
-                 dtype=np.float32,
+                 dtype=None,
                  overrides: Optional[Dict[str, Any]] = None):
         self.config = config or Config()
         self.train_conf = dict(self.config.train)
