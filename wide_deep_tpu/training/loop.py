@@ -267,7 +267,7 @@ class Trainer:
         """Streaming per-example predictions (pred.py:65-74 parity)."""
         self.ensure_initialized()
         data_path = data_path or self.train_conf["test_data"]
-        for batch in self._dataset(data_path, "pred"):
+        for batch in PrefetchIterator(self._dataset(data_path, "pred")):
             preds = self._predict_step(self.params, self.mstate, batch)
             preds = {k: np.asarray(v) for k, v in preds.items()}
             n = int(batch["mask"].sum())
