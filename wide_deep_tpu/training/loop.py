@@ -304,6 +304,12 @@ class Trainer:
                              os.path.basename(files[i + 1]), _fmt(res))
             self.save()
 
+    def train_and_evaluate(self):
+        """Name-parity alias for the reference's train_and_eval_api mode
+        (train.py:151-170, which wrapped tf.estimator.train_and_evaluate);
+        semantics are the same interleaved loop as train_and_eval."""
+        return self.train_and_eval()
+
     def train(self):
         """Plain training, no interleaved eval (distributed mode default,
         train.py:213-214)."""
