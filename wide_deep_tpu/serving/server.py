@@ -37,6 +37,10 @@ class ServingModel:
             version_dir)
         self.model_name = model_name
         self.max_batch_size = max_batch_size
+        # small requests run in the smallest fitting bucket instead of paying
+        # a full max-batch forward (jit caches one executable per shape)
+        self.batch_buckets = sorted({b for b in (16, 128, max_batch_size)
+                                     if b <= max_batch_size})
         self.transformer = default_transformer(
             self.model.plan, self.bundle["n_classes"])
         self._predict = jax.jit(
@@ -44,12 +48,19 @@ class ServingModel:
         self._native = hasattr(self.transformer, "transform_text")
         self._lock = threading.Lock()
 
+    def _bucket_for(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.max_batch_size
+
     def warmup(self):
-        spec = self.model.plan.batch_spec(self.max_batch_size,
-                                          self.bundle["n_classes"])
-        zero = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
-        zero.pop("label", None); zero.pop("weight", None)
-        self._predict(self.params, self.mstate, zero)
+        for bucket in self.batch_buckets:
+            spec = self.model.plan.batch_spec(bucket,
+                                              self.bundle["n_classes"])
+            zero = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
+            zero.pop("label", None); zero.pop("weight", None)
+            self._predict(self.params, self.mstate, zero)
 
     def score_rows(self, rows: List[str]) -> Dict:
         """TSV rows -> {"scores": [[...]], "class_ids": [...], "valid": [...]}.
@@ -70,17 +81,18 @@ class ServingModel:
         for start in range(0, len(keep), self.max_batch_size):
             chunk = keep[start:start + self.max_batch_size]
             n = len(chunk)
+            bucket = self._bucket_for(n)
             if self._native:
                 text = "\n".join(r for _, r in chunk).encode(
                     "utf-8", errors="replace")
                 batch = self.transformer.transform_text(
-                    text, n, self.max_batch_size, mode="pred")
+                    text, n, bucket, mode="pred")
             else:
                 cells = [r.split("\t") for _, r in chunk]
                 cells = [([""] + c) if len(c) == ncols - 1 else c
                          for c in cells]
                 batch = self.transformer.transform(
-                    cells, self.max_batch_size, mode="pred")
+                    cells, bucket, mode="pred")
             with self._lock:
                 preds = self._predict(self.params, self.mstate, batch)
             probs = np.asarray(preds["probabilities"])
