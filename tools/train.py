@@ -27,15 +27,24 @@ def main():
     trainer = Trainer(config, model_type=args.model_type,
                       overrides=overrides_from(args))
     trainer.maybe_wipe_model_dir()
-    with profile_trace(args.profile_dir):
-        if dist.get("is_distribution"):
-            # interleaved eval is disabled in distributed mode
-            # (train.py:213-214)
-            trainer.train()
-        elif args.dynamic_train:
-            trainer.dynamic_train()
-        else:
-            trainer.train_and_eval()
+    try:
+        with profile_trace(args.profile_dir):
+            if dist.get("is_distribution"):
+                # interleaved eval is disabled in distributed mode
+                # (train.py:213-214)
+                trainer.train()
+            elif args.dynamic_train:
+                trainer.dynamic_train()
+            else:
+                trainer.train_and_eval()
+    except KeyboardInterrupt:
+        # graceful stop (the reference tore down with kill -9,
+        # kill_ps.sh:3): persist progress so keep_train resumes cleanly
+        if trainer.params is not None and trainer.global_step > 0:
+            print(f"interrupted at step {trainer.global_step}; "
+                  "saving checkpoint...", flush=True)
+            trainer.save()
+        raise SystemExit(130)
 
 
 if __name__ == "__main__":
