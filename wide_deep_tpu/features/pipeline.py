@@ -33,7 +33,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from wide_deep_tpu.features import hashing
-from wide_deep_tpu.features.plan import (CrossSpec, FeaturePlan)
+from wide_deep_tpu.features.plan import FeaturePlan
 
 Batch = Dict[str, np.ndarray]
 

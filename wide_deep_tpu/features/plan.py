@@ -323,7 +323,7 @@ class FeaturePlan:
     def describe(self) -> str:
         lines = [
             f"wide: {len(self.wide_slots)} slots, dim={self.wide_dim}, "
-            f"Lw={self.wide_total_len}",
+            f"pool={self.wide_packed_len}",
             f"deep: input_dim={self.deep_input_dim} "
             f"(embed={self.deep_embed_dim}, indicator={self.indicator_dim}, "
             f"continuous={len(self.continuous_slots)})",
@@ -331,7 +331,7 @@ class FeaturePlan:
         for g in self.groups:
             lines.append(
                 f"  dim-{g.dim} group: {len(g.slots)} tables, rows={g.rows}, "
-                f"Lg={g.total_len}")
+                f"pool={self.group_packed_len[g.dim]}")
         lines.append(f"crosses: {len(self.crosses)}")
         return "\n".join(lines)
 
