@@ -6,17 +6,20 @@ compiled plan.  On TPU the *output* of the feature transform goes to the
 device, not the transform itself, so everything here is static metadata that
 the host pipeline (features/pipeline.py) and the model (models/) share:
 
-* **Wide space** — every wide id source (hash/vocab/identity feature,
-  bucketized continuous, cross) gets a disjoint ``[offset, offset+size)``
-  range in one unified id space of ``wide_dim`` rows.  A batch carries one
-  ``wide_ids``/``wide_wts`` pair of shape ``[B, Lw]``; the wide arm is a
-  single gather + segment-sum — one table, one kernel, regardless of how many
-  wide columns the config declares.
+* **Wide space** — every wide id source (hash/cross/bucketized-continuous)
+  gets a disjoint ``[offset, offset+size)`` range in one unified id space of
+  ``wide_dim`` rows.  A batch carries one densely packed
+  ``wide_ids``/``wide_wts`` pool of shape ``[B, wide_packed_len]``; the wide
+  arm is a single gather + weighted sum regardless of how many wide columns
+  the config declares.  (Vocab/identity wide weights ride the indicator
+  block instead — models/linear.py.)
 * **Dim groups** — deep embedding consumers (hash features and deep crosses)
   are grouped by embedding dimension; each group's tables are concatenated
-  row-wise into one ``[rows, dim]`` table so a whole group is one gather.
-  Per-feature mean-combining is a static ``[Lg, Fg]`` segment matrix applied
-  as a matmul (MXU-friendly) in the model.
+  row-wise into one ``[rows, dim]`` table so a whole group is one gather
+  from a densely packed ``[B, packed_len]`` id pool with a parallel segment
+  column; per-feature mean-combining is a per-row one-hot matmul in the
+  model.  Device gather/scatter cost is linear in pool width, so pools are
+  sized for realistic occupancy (pack_budget), not worst case.
 * **Indicator block** — vocab/identity features one-hot into a dense block of
   ``indicator_dim`` columns via offset ids (multi-hot with counts, matching
   ``indicator_column`` semantics).
