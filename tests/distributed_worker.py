@@ -31,14 +31,31 @@ from wide_deep_tpu.training.loop import Trainer  # noqa: E402
 
 FIXTURE = "/root/reference/data/test/test2"
 
+shared_dir = sys.argv[5] if len(sys.argv) > 5 else f"/tmp/wdt_dist_{proc_id}"
+
 trainer = Trainer(
     Config(conf_dir), model_type="wide_deep",
-    model_dir=f"/tmp/wdt_dist_test_{proc_id}",
+    model_dir=shared_dir,
     overrides=dict(train_data=FIXTURE, eval_data=FIXTURE, test_data=FIXTURE,
                    keep_train=True, batch_size=16))
 assert trainer.per_host_batch == 16 // num_procs
 trainer.ensure_initialized(restore=False)
 loss = trainer.train_file(FIXTURE)
 res = trainer.evaluate(FIXTURE)
+
+# multi-host checkpointing: all processes share one model_dir; orbax
+# coordinates the write (primary host persists, others barrier-sync)
+trainer.save()
+step_saved = trainer.global_step
+
+trainer2 = Trainer(
+    Config(conf_dir), model_type="wide_deep", model_dir=shared_dir,
+    overrides=dict(train_data=FIXTURE, eval_data=FIXTURE, test_data=FIXTURE,
+                   keep_train=True, batch_size=16))
+trainer2.ensure_initialized(restore=True)
+assert trainer2.global_step == step_saved, (
+    trainer2.global_step, step_saved)
+
 print(f"RESULT p{proc_id} loss={loss:.6f} eval_loss={res['loss']:.6f} "
-      f"count={res['global_step']}", flush=True)
+      f"count={res['global_step']} resumed={trainer2.global_step}",
+      flush=True)

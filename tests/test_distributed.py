@@ -26,8 +26,9 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_training(small_conf_dir):
+def test_two_process_training(small_conf_dir, tmp_path):
     port = str(_free_port())
+    shared_model_dir = str(tmp_path / "shared_model")
     env = dict(os.environ,
                PALLAS_AXON_POOL_IPS="",
                JAX_PLATFORMS="cpu",
@@ -35,7 +36,7 @@ def test_two_process_training(small_conf_dir):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "distributed_worker.py"),
-             str(i), "2", port, small_conf_dir],
+             str(i), "2", port, small_conf_dir, shared_model_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for i in range(2)

@@ -148,6 +148,49 @@ class TestBf16Bundle:
             np.testing.assert_allclose(sum(s), 1.0, rtol=1e-3)
 
 
+class TestHotReload:
+    def test_version_hot_reload(self, small_config, tmp_path):
+        """A newer version dir appearing under model_base_path must be
+        picked up and served without restarting (TF-Serving parity)."""
+        import time
+        from wide_deep_tpu.serving.export import export_savedmodel
+        from wide_deep_tpu.serving.server import PredictorServer, ServingModel
+        from wide_deep_tpu.training.loop import Trainer
+        tr = Trainer(small_config, model_type="wide",
+                     model_dir=str(tmp_path / "model"),
+                     overrides=dict(train_data=FIXTURE, eval_data=FIXTURE,
+                                    test_data=FIXTURE, keep_train=True,
+                                    batch_size=16))
+        tr.ensure_initialized(restore=False)
+        tr.train_file(FIXTURE)
+        tr.save()
+        export_root = str(tmp_path / "export")
+        export_savedmodel(small_config, export_root, model_type="wide",
+                          model_dir=str(tmp_path / "model"), model_version=1)
+        model = ServingModel(os.path.join(export_root, "1"), 16)
+        srv = PredictorServer(model, port=_free_port(),
+                              tcp_port=_free_port(),
+                              model_base_path=export_root,
+                              reload_interval_s=0.3)
+        srv.start()
+        try:
+            rows = _rows(FIXTURE, 2)
+            assert srv.model.score_rows(rows)["model_version"] == "1"
+            # train further and export v2
+            tr.train_file(FIXTURE)
+            tr.save()
+            export_savedmodel(small_config, export_root, model_type="wide",
+                              model_dir=str(tmp_path / "model"),
+                              model_version=2)
+            deadline = time.time() + 20
+            while time.time() < deadline and srv.model.version != "2":
+                time.sleep(0.3)
+            assert srv.model.version == "2"
+            assert srv.model.score_rows(rows)["model_version"] == "2"
+        finally:
+            srv.stop()
+
+
 class TestTransports:
     def test_grpc_client(self, server):
         from wide_deep_tpu.serving.client import PredictorClient

@@ -35,7 +35,9 @@ def main():
         version_dir = latest_version_dir(args.model_base_path)
     model = ServingModel(version_dir, args.max_batch_size, args.model_name)
     model.warmup()
-    server = PredictorServer(model, port=args.port)
+    # watch for new versions unless one was pinned explicitly
+    watch = None if args.model_version is not None else args.model_base_path
+    server = PredictorServer(model, port=args.port, model_base_path=watch)
     server.start()
     print(f"serving {args.model_name} from {version_dir} "
           f"(grpc :{args.port}, tcp :{args.port + 1})", flush=True)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import concurrent.futures as futures
 import logging
+import os
 import socket
 import threading
 from typing import Dict, List, Optional
@@ -35,6 +36,7 @@ class ServingModel:
                  model_name: str = "wide_deep"):
         self.model, self.params, self.mstate, self.bundle = load_bundle(
             version_dir)
+        self.version = os.path.basename(version_dir.rstrip("/"))
         self.model_name = model_name
         self.max_batch_size = max_batch_size
         # small requests run in the smallest fitting bucket instead of paying
@@ -102,7 +104,8 @@ class ServingModel:
                 class_ids[orig] = int(ids[j])
                 valid[orig] = True
         return {"model_name": self.model_name, "scores": scores,
-                "class_ids": class_ids, "valid": valid}
+                "class_ids": class_ids, "valid": valid,
+                "model_version": getattr(self, "version", None)}
 
     def handle_request(self, payload: bytes) -> bytes:
         try:
@@ -117,31 +120,62 @@ class ServingModel:
 
 
 class PredictorServer:
-    """Runs gRPC and TCP endpoints for one ServingModel."""
+    """Runs gRPC and TCP endpoints for one ServingModel.
+
+    With ``model_base_path`` set, a background poller hot-reloads the model
+    when a newer version directory appears (TF-Serving version-watch parity):
+    the new bundle is loaded and warmed before the atomic swap, so in-flight
+    requests never see a cold model."""
 
     def __init__(self, model: ServingModel, port: int = 8500,
-                 tcp_port: Optional[int] = None, workers: int = 8):
+                 tcp_port: Optional[int] = None, workers: int = 8,
+                 model_base_path: Optional[str] = None,
+                 reload_interval_s: float = 10.0):
         self.model = model
         self.port = port
         self.tcp_port = tcp_port if tcp_port is not None else port + 1
         self.workers = workers
+        self.model_base_path = model_base_path
+        self.reload_interval_s = reload_interval_s
         self._grpc_server = None
         self._tcp_sock = None
         self._tcp_thread = None
+        self._reload_thread = None
         self._stop = threading.Event()
+
+    # ------------------------------------------------------------ hot reload
+    def _reload_loop(self):
+        from wide_deep_tpu.serving.export import latest_version_dir
+        while not self._stop.wait(self.reload_interval_s):
+            try:
+                latest = latest_version_dir(self.model_base_path)
+            except (FileNotFoundError, OSError):
+                continue
+            if os.path.basename(latest.rstrip("/")) == self.model.version:
+                continue
+            try:
+                log.info("loading new model version from %s", latest)
+                new_model = ServingModel(latest, self.model.max_batch_size,
+                                         self.model.model_name)
+                new_model.warmup()
+                self.model = new_model  # atomic reference swap
+                log.info("now serving version %s", new_model.version)
+            except Exception:  # noqa: BLE001 — keep serving the old version
+                log.exception("hot reload failed; keeping version %s",
+                              self.model.version)
 
     # ------------------------------------------------------------------ gRPC
     def _build_grpc(self):
         import grpc
 
-        model = self.model
+        outer = self
 
         class Handler(grpc.GenericRpcHandler):
             def service(self, handler_call_details):
                 if handler_call_details.method != protocol.GRPC_METHOD:
                     return None
                 return grpc.unary_unary_rpc_method_handler(
-                    lambda req, ctx: model.handle_request(req),
+                    lambda req, ctx: outer.model.handle_request(req),
                     request_deserializer=lambda b: b,
                     response_serializer=lambda b: b)
 
@@ -189,8 +223,13 @@ class PredictorServer:
         self._tcp_thread = threading.Thread(target=self._tcp_loop,
                                             daemon=True)
         self._tcp_thread.start()
-        log.info("serving %s: grpc :%d, tcp :%d", self.model.model_name,
-                 self.port, self.tcp_port)
+        if self.model_base_path:
+            self._reload_thread = threading.Thread(target=self._reload_loop,
+                                                   daemon=True)
+            self._reload_thread.start()
+        log.info("serving %s (version %s): grpc :%d, tcp :%d",
+                 self.model.model_name, self.model.version, self.port,
+                 self.tcp_port)
 
     def wait(self):
         self._grpc_server.wait_for_termination()
