@@ -59,3 +59,31 @@ assert trainer2.global_step == step_saved, (
 print(f"RESULT p{proc_id} loss={loss:.6f} eval_loss={res['loss']:.6f} "
       f"count={res['global_step']} resumed={trainer2.global_step}",
       flush=True)
+
+# ---- uneven-shard batch-count sync (round-2 fix) -------------------------
+# 9 rows round-robin over 2 processes -> 5 vs 4 rows; per-host batch 4 ->
+# p0 yields two batches, p1 one.  Without the padding protocol p1 would
+# block forever inside make_array_from_process_local_data while p0 waits on
+# its second batch.
+from jax.experimental import multihost_utils  # noqa: E402
+
+uneven = os.path.join(shared_dir, "uneven9")
+if proc_id == 0:
+    os.makedirs(shared_dir, exist_ok=True)
+    with open(FIXTURE) as f:
+        rows = f.readlines()[:9]
+    with open(uneven + ".tmp", "w") as f:
+        f.writelines(rows)
+    os.replace(uneven + ".tmp", uneven)
+multihost_utils.sync_global_devices("uneven_fixture_ready")
+
+trainer3 = Trainer(
+    Config(conf_dir), model_type="wide_deep", model_dir=shared_dir,
+    overrides=dict(train_data=uneven, eval_data=uneven, test_data=uneven,
+                   keep_train=True, batch_size=8))
+assert trainer3.per_host_batch == 4
+trainer3.ensure_initialized(restore=False)
+loss9 = trainer3.train_file(uneven)
+res9 = trainer3.evaluate(uneven)
+print(f"RESULT2 p{proc_id} loss9={loss9:.6f} eval9={res9['loss']:.6f}",
+      flush=True)

@@ -59,3 +59,11 @@ def test_two_process_training(small_conf_dir, tmp_path):
         losses.append((float(m.group(1)), float(m.group(2))))
     # synchronous SPMD: both processes must agree bit-for-bit on the loss
     assert losses[0] == losses[1], losses
+    # uneven-shard run (5 vs 4 rows, per-host batch 4): the batch-count sync
+    # protocol must complete without deadlock and agree on the eval loss
+    uneven = []
+    for out in outs:
+        m = re.search(r"RESULT2 p\d+ loss9=([\d.]+) eval9=([\d.]+)", out)
+        assert m, out[-2000:]
+        uneven.append((float(m.group(1)), float(m.group(2))))
+    assert uneven[0][1] == uneven[1][1], uneven

@@ -422,6 +422,9 @@ class PrefetchIterator:
     def __next__(self):
         item = self._queue.get()
         if item is self._done:
+            # re-arm the sentinel so further next() calls keep raising
+            # StopIteration instead of blocking on the drained queue
+            self._queue.put(self._done)
             if self._error is not None:
                 raise self._error
             raise StopIteration

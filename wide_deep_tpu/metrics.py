@@ -41,9 +41,15 @@ def init_metrics(num_thresholds: int = NUM_THRESHOLDS) -> Dict[str, jnp.ndarray]
 
 def update_metrics(acc: Dict[str, jnp.ndarray], probs: jnp.ndarray,
                    labels: jnp.ndarray, weights: jnp.ndarray,
-                   per_example_loss: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+                   per_example_loss: jnp.ndarray,
+                   correct: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
     """Fold one batch into the accumulators (all [B] vectors, weights
-    already include the padding mask)."""
+    already include the padding mask).
+
+    ``correct`` is an optional precomputed 0/1 correctness vector; for the
+    multiclass head it must be ``argmax(probabilities) == label`` (the binary
+    default ``(p >= 0.5) == label`` compares a 0/1 indicator against class
+    ids and is wrong for K > 2)."""
     t = jnp.asarray(thresholds(acc["tp"].shape[0]))
     p = probs.astype(jnp.float32)
     y = labels.astype(jnp.float32)
@@ -59,17 +65,31 @@ def update_metrics(acc: Dict[str, jnp.ndarray], probs: jnp.ndarray,
     out["loss_sum"] = acc["loss_sum"] + jnp.sum(per_example_loss * w)
     out["weight_sum"] = acc["weight_sum"] + jnp.sum(w)
     out["count"] = acc["count"] + jnp.sum(w)
-    correct = (p >= 0.5).astype(jnp.float32) == y
+    if correct is None:
+        correct = (p >= 0.5).astype(jnp.float32) == y
     out["correct"] = acc["correct"] + jnp.sum(correct.astype(jnp.float32) * w)
     out["label_sum"] = acc["label_sum"] + jnp.sum(wy)
     out["pred_sum"] = acc["pred_sum"] + jnp.sum(p * w)
     return out
 
 
-def finalize_metrics(acc: Dict[str, jnp.ndarray]) -> Dict[str, float]:
+def finalize_metrics(acc: Dict[str, jnp.ndarray],
+                     binary: bool = True) -> Dict[str, float]:
+    """``binary=False`` (multiclass head) drops the threshold-sweep metrics
+    (auc, auc_precision_recall, label/prediction means): they are only
+    defined against a single positive-class probability, matching the
+    reference's multiclass head which reported loss + accuracy only
+    (/root/reference/python/lib/joint.py:406-412)."""
     a = {k: np.asarray(v) for k, v in acc.items()}
     eps = 1e-12
     w = max(float(a["weight_sum"]), eps)
+    out = {
+        "accuracy": float(a["correct"]) / w,
+        "average_loss": float(a["loss_sum"]) / w,
+        "loss": float(a["loss_sum"]) / w,
+    }
+    if not binary:
+        return out
     tp, fp, tn, fn = a["tp"], a["fp"], a["tn"], a["fn"]
     tpr = tp / np.maximum(tp + fn, eps)
     fpr = fp / np.maximum(fp + tn, eps)
@@ -78,12 +98,10 @@ def finalize_metrics(acc: Dict[str, jnp.ndarray]) -> Dict[str, float]:
     precision = tp / np.maximum(tp + fp, eps)
     recall = tpr
     auc_pr = float(np.trapezoid(precision[::-1], recall[::-1]))
-    return {
-        "accuracy": float(a["correct"]) / w,
+    out.update({
         "auc": auc_roc,
         "auc_precision_recall": auc_pr,
-        "average_loss": float(a["loss_sum"]) / w,
-        "loss": float(a["loss_sum"]) / w,
         "label/mean": float(a["label_sum"]) / w,
         "prediction/mean": float(a["pred_sum"]) / w,
-    }
+    })
+    return out

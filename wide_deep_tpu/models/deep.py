@@ -290,7 +290,7 @@ def _dense(store: ParamStore, path, x, units, dtype):
 
 def _batch_norm(store: ParamStore, state: Optional[Dict], new_state: Dict,
                 path_key: str, tower_idx: int, layer_idx: int, x,
-                training: bool):
+                training: bool, mask: Optional[jnp.ndarray] = None):
     scale = store.get(("towers", tower_idx, "bn", layer_idx, "scale"),
                       (x.shape[-1],), ones_init)
     bias = store.get(("towers", tower_idx, "bn", layer_idx, "bias"),
@@ -298,8 +298,17 @@ def _batch_norm(store: ParamStore, state: Optional[Dict], new_state: Dict,
     skey = f"t{tower_idx}_l{layer_idx}_{path_key}"
     xf = x.astype(jnp.float32)
     if training or state is None or skey not in state:
-        mean = jnp.mean(xf, axis=0)
-        var = jnp.var(xf, axis=0)
+        # masked moments: batches are zero-padded to a fixed size, so plain
+        # jnp.mean/var over axis 0 would bias both the normalization of real
+        # rows and the moving statistics on partial final batches
+        if mask is not None:
+            m = mask.astype(jnp.float32)[:, None]
+            denom = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(xf * m, axis=0) / denom
+            var = jnp.sum(m * (xf - mean) ** 2, axis=0) / denom
+        else:
+            mean = jnp.mean(xf, axis=0)
+            var = jnp.var(xf, axis=0)
     else:
         mean, var = state[skey]["mean"], state[skey]["var"]
     if training:
@@ -321,7 +330,8 @@ def _batch_norm(store: ParamStore, state: Optional[Dict], new_state: Dict,
 def tower_forward(store: ParamStore, spec: DeepSpec, tower_idx: int,
                   x: jnp.ndarray, n_logits: int, training: bool,
                   rng: Optional[jax.Array],
-                  bn_state: Optional[Dict], new_bn_state: Dict) -> jnp.ndarray:
+                  bn_state: Optional[Dict], new_bn_state: Dict,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """One tower: DAG-connected hidden stack -> logits [B, n_logits]."""
     tower = spec.towers[tower_idx]
     act = activation_fn(spec.activation)
@@ -341,7 +351,7 @@ def tower_forward(store: ParamStore, spec: DeepSpec, tower_idx: int,
             h = jnp.where(mask, h / keep, 0.0).astype(h.dtype)
         if spec.batch_norm:
             h = _batch_norm(store, bn_state, new_bn_state, "bn", tower_idx,
-                            layer_id, h, training)
+                            layer_id, h, training, mask)
         if isinstance(mode, str):
             if mode == "simple":
                 net = h
@@ -387,9 +397,10 @@ def deep_logits(store: ParamStore, plan: FeaturePlan, consts: PlanConstants,
                          spec.embedding_dtype)
     new_bn_state: Dict = {}
     logits = None
+    mask = batch.get("mask")
     for t in range(len(spec.towers)):
         lt = tower_forward(store, spec, t, x, n_logits, training, rng,
-                           bn_state, new_bn_state)
+                           bn_state, new_bn_state, mask)
         logits = lt if logits is None else logits + lt
     return logits, new_bn_state
 

@@ -53,14 +53,31 @@ def export_savedmodel(config: Config, export_dir: str,
     sample = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
     params, mstate = model.init(jax.random.PRNGKey(0), sample)
 
-    ckpt_dir = checkpoint_path or os.path.join(
-        model_dir or config.train["model_dir"], model_type)
+    # Resolve the checkpoint: an explicit checkpoint_path pins the exact step
+    # it names (orbax layout <model_dir>/<step>/); otherwise latest under the
+    # model dir.  A missing checkpoint is an error — silently exporting the
+    # freshly-initialized params would produce a valid-looking but untrained
+    # bundle (the reference likewise failed on a missing checkpoint,
+    # export_savedmodel.py:34-35,74-80).
+    from wide_deep_tpu.training.loop import resolve_checkpoint
+    if checkpoint_path:
+        ckpt_dir, step = resolve_checkpoint(checkpoint_path)
+    else:
+        ckpt_dir = os.path.join(
+            model_dir or config.train["model_dir"], model_type)
+        step = None
     mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
-    step = mgr.latest_step()
-    if step is not None:
-        restored = mgr.restore(step)
-        params = restored["params"]
-        mstate = restored["mstate"]
+    steps = list(mgr.all_steps() or [])
+    if step is None:
+        step = mgr.latest_step()
+    if step is None or step not in steps:
+        mgr.close()
+        raise FileNotFoundError(
+            f"no checkpoint to export at {checkpoint_path or ckpt_dir!r} "
+            f"(available steps: {steps})")
+    restored = mgr.restore(step)
+    params = restored["params"]
+    mstate = restored["mstate"]
     mgr.close()
 
     version_dir = os.path.join(os.path.abspath(export_dir), str(model_version))

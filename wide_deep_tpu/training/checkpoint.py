@@ -61,6 +61,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        return list(self._mgr.all_steps() or [])
+
     def restore(self, tree: Dict[str, Any],
                 step: Optional[int] = None) -> Optional[Dict[str, Any]]:
         """Restore into the structure/shardings of ``tree`` (the live target

@@ -41,6 +41,21 @@ from wide_deep_tpu.training.step import (make_eval_step, make_predict_step,
 log = logging.getLogger("wide_deep_tpu")
 
 
+def resolve_checkpoint(checkpoint_path: str):
+    """Split an explicit checkpoint path into (manager_dir, step).
+
+    The reference restored the *specific* checkpoint the path names
+    (/root/reference/python/eval.py:74-78, pred.py:47-49).  Orbax lays
+    checkpoints out as ``<model_dir>/<step>/``, so a path whose basename is an
+    integer pins that step; a path to the model dir itself means "latest"
+    (step None)."""
+    p = os.path.abspath(checkpoint_path.rstrip("/"))
+    base = os.path.basename(p)
+    if base.isdigit():
+        return os.path.dirname(p), int(base)
+    return p, None
+
+
 class Trainer:
     def __init__(self, config: Optional[Config] = None,
                  model_type: Optional[str] = None,
@@ -188,6 +203,41 @@ class Trainer:
     def per_host_batch(self) -> int:
         return max(self.batch_size // jax.process_count(), 1)
 
+    def _synced_batches(self, dataset):
+        """Prefetched batches with process-synchronized batch counts.
+
+        Rows are round-robin sharded per process (pipeline.CsvDataset), so
+        shard sizes straddling a batch boundary can leave one process with
+        one more batch than another — and make_array_from_process_local_data
+        requires every process to participate in every global array, which
+        would deadlock.  Before each batch, processes agree on whether anyone
+        still has data; exhausted processes feed zero-mask padding batches
+        (weight 0, so metrics/loss are unaffected) until all are done."""
+        it = iter(PrefetchIterator(dataset))
+        if jax.process_count() == 1:
+            yield from it
+            return
+        from jax.experimental import multihost_utils
+        pad = None
+        mode = getattr(dataset, "mode", "train")
+        exhausted = False
+        while True:
+            batch = None if exhausted else next(it, None)
+            exhausted = batch is None
+            have = multihost_utils.process_allgather(
+                np.asarray(batch is not None))
+            if not np.any(have):
+                return
+            if batch is None:
+                if pad is None:
+                    spec = self.plan.batch_spec(
+                        self.per_host_batch, self.n_classes,
+                        with_image=self.model.has_cnn, mode=mode)
+                    pad = {k: np.zeros(shape, dt)
+                           for k, (shape, dt) in spec.items()}
+                batch = pad
+            yield batch
+
     def train_file(self, path: str, epoch_seed: int = 0) -> float:
         """Train over one file; returns the last batch loss."""
         self.ensure_initialized()
@@ -196,7 +246,8 @@ class Trainer:
         last_log_step, last_log_time = self.global_step, t0
         loss = float("nan")
         summary_every = int(self.runconfig.get("save_summary_steps") or 0)
-        for batch in PrefetchIterator(self._dataset(path, "train", epoch_seed)):
+        for batch in self._synced_batches(
+                self._dataset(path, "train", epoch_seed)):
             batch = self._to_device(batch)
             (self.params, self.mstate, self.opt_state, loss,
              stats) = self._train_step(
@@ -244,28 +295,44 @@ class Trainer:
                             self.global_step)
         w.flush()
 
+    def _restore_pinned(self, checkpoint_path: str):
+        """Restore the exact checkpoint an explicit path names (eval.py:74-78,
+        pred.py:47-49 parity); raises if it does not exist."""
+        mgr_dir, step = resolve_checkpoint(checkpoint_path)
+        mgr = CheckpointManager(mgr_dir, self.runconfig)
+        steps = mgr.all_steps()
+        if step is None:
+            step = mgr.latest_step()
+        if step is None or step not in steps:
+            raise FileNotFoundError(
+                f"no checkpoint at {checkpoint_path!r} "
+                f"(available steps under {mgr_dir}: {steps})")
+        restored = mgr.restore(self._ckpt_tree(), step=step)
+        self.params, self.mstate = restored["params"], restored["mstate"]
+        self.global_step = int(restored["step"])
+
     # ------------------------------------------------------------------- eval
     def evaluate(self, data_path: Optional[str] = None,
                  checkpoint_path: Optional[str] = None) -> Dict[str, float]:
         self.ensure_initialized()
         data_path = data_path or self.train_conf["test_data"]
         if checkpoint_path:
-            restored = CheckpointManager(
-                os.path.dirname(checkpoint_path.rstrip("/")),
-                self.runconfig).restore(self._ckpt_tree())
-            if restored is not None:
-                self.params, self.mstate = restored["params"], restored["mstate"]
+            self._restore_pinned(checkpoint_path)
         acc = metrics_lib.init_metrics()
-        for batch in PrefetchIterator(self._dataset(data_path, "eval")):
+        for batch in self._synced_batches(self._dataset(data_path, "eval")):
             batch = self._to_device(batch)
             acc = self._eval_step(self.params, self.mstate, batch, acc)
-        results = metrics_lib.finalize_metrics(acc)
+        results = metrics_lib.finalize_metrics(acc, binary=self.n_classes == 2)
         results["global_step"] = self.global_step
         return results
 
-    def predict(self, data_path: Optional[str] = None) -> Iterator[Dict[str, Any]]:
+    def predict(self, data_path: Optional[str] = None,
+                checkpoint_path: Optional[str] = None
+                ) -> Iterator[Dict[str, Any]]:
         """Streaming per-example predictions (pred.py:65-74 parity)."""
         self.ensure_initialized()
+        if checkpoint_path:
+            self._restore_pinned(checkpoint_path)
         data_path = data_path or self.train_conf["test_data"]
         for batch in PrefetchIterator(self._dataset(data_path, "pred")):
             preds = self._predict_step(self.params, self.mstate, batch)

@@ -60,12 +60,16 @@ def make_eval_step(model: WideDeep):
             params, mstate, batch, training=False)
         if model.n_classes == 2:
             probs = preds["logistic"]
+            correct = None  # default (p >= 0.5) == label
         else:
-            # prob of the true class is not a single scalar for multiclass;
-            # use max-prob for threshold metrics, matching accuracy semantics
+            # multiclass: accuracy from argmax(probabilities) == label; the
+            # probs vector only feeds the (dropped) threshold metrics
             probs = jnp.max(preds["probabilities"], axis=-1)
+            correct = (preds["class_ids"]
+                       == batch["label"].astype(jnp.int32))
         w = batch["weight"] * batch["mask"]
-        acc = metrics_lib.update_metrics(acc, probs, batch["label"], w, per_ex)
+        acc = metrics_lib.update_metrics(acc, probs, batch["label"], w, per_ex,
+                                         correct=correct)
         return acc
 
     return jax.jit(step, donate_argnums=(3,))
