@@ -55,6 +55,8 @@ def synthetic_batch(plan, batch_size, rng):
     wide_wts = np.zeros((batch_size, Pw), np.float32)
     cur = 0
     for s in plan.wide_slots:
+        if s.folded:
+            continue  # wide weight rides the fused embedding gather
         occ = 1 if s.max_len == 1 else 2
         occ = min(occ, Pw - cur)
         if occ <= 0:

@@ -121,12 +121,14 @@ struct Feature {
   int64_t cont_idx = 0;
   std::vector<double> bounds;
   int64_t has_wide = 0;
+  int64_t wide_folded = 0;  // wide weight rides the fused embedding table
 };
 
 struct Cross {
   std::vector<int64_t> members;  // indices into features
   int64_t bucket = 0, max_len = 0, wide_off = 0;
   int64_t is_deep = 0, group = 0, row_off = 0, slot_index = 0;
+  int64_t wide_folded = 0;
 };
 
 struct Plan {
@@ -168,7 +170,7 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  if (r.i64() != 3) return nullptr;  // version (packed pools, slot caps)
+  if (r.i64() != 4) return nullptr;  // version (packed pools + wide fold)
   auto plan = new Plan();
   plan->n_columns = r.i64();
   plan->multivalue = r.i64();
@@ -194,6 +196,7 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
       f.group = r.i64();
       f.row_off = r.i64();
       f.slot_index = r.i64();
+      f.wide_folded = r.i64();
     } else if (f.kind == kVocab || f.kind == kIdentity) {
       f.max_len = r.i64();
       f.size = r.i64();
@@ -229,6 +232,7 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
     c.group = r.i64();
     c.row_off = r.i64();
     c.slot_index = r.i64();
+    c.wide_folded = r.i64();
     plan->crosses.push_back(std::move(c));
   }
   if (!r.ok) { delete plan; return nullptr; }
@@ -366,7 +370,7 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
         uint64_t fp = xxh64(vals[j].p, vals[j].n);
         int64_t id = fp % static_cast<uint64_t>(f.size);
         if (j < kept) {
-          wide_put(f.wide_off + id);
+          if (!f.wide_folded) wide_put(f.wide_off + id);
           if (c < glen) {
             o.g_ids[f.group][b * glen + c] = static_cast<int32_t>(f.row_off + id);
             o.g_wts[f.group][b * glen + c] = w;
@@ -425,7 +429,7 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
     float w = 1.0f / ckept;
     for (int j = 0; j < ckept; ++j) {
       int64_t id = combos[j] % static_cast<uint64_t>(c.bucket);
-      wide_put(c.wide_off + id);
+      if (!c.wide_folded) wide_put(c.wide_off + id);
       if (c.is_deep) {
         int64_t glen = group_lens[c.group];
         int64_t& gc = gcur[c.group];

@@ -77,6 +77,14 @@ def small_plan(small_config):
 
 
 @pytest.fixture(scope="session")
+def small_plan_nofold(small_config):
+    """Legacy layout: every wide slot in the pool (fold disabled) — for
+    wide-only models, FM, and arm-decomposition tests."""
+    from wide_deep_tpu.features.plan import FeaturePlan
+    return FeaturePlan(small_config, fold=False)
+
+
+@pytest.fixture(scope="session")
 def fixture_rows():
     """10-row TSV fixture (reference data/test/test2)."""
     path = os.path.join(REF_DATA, "test", "test2")

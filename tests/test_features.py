@@ -65,14 +65,25 @@ class TestPlan:
         assert es.dim == 16
 
     def test_dims(self, plan):
-        # wide space: sum of all slot sizes, disjoint offsets, padded to the
-        # row-alignment multiple for even sharding
-        used = sum(s.size for s in plan.wide_slots)
+        # wide space: sum of the unfolded slot sizes, disjoint offsets,
+        # padded to the row-alignment multiple for even sharding (folded
+        # slots live as trailing columns of their embedding tables instead)
+        resident = [s for s in plan.wide_slots if not s.folded]
+        used = sum(s.size for s in resident)
         assert used <= plan.wide_dim < used + 256
         assert plan.wide_dim % 256 == 0
-        offs = sorted((s.offset, s.offset + s.size) for s in plan.wide_slots)
+        offs = sorted((s.offset, s.offset + s.size) for s in resident)
         for (a1, b1), (a2, b2) in zip(offs, offs[1:]):
             assert b1 == a2
+        # folded slots: exactly the hash/deep-cross slots whose dim group
+        # folds; they own no wide rows and no pool column
+        for s in plan.wide_slots:
+            if s.folded:
+                assert s.offset == -1 and s.col_offset == -1
+                g, _ = plan.embed_slot_by_name[s.name]
+                assert g.folded
+        assert plan.folded_names == {
+            s.name for g in plan.groups if g.folded for s in g.slots}
         assert plan.deep_input_dim == (plan.deep_embed_dim + plan.indicator_dim
                                        + len(plan.continuous_slots))
         assert len(plan.crosses) == 31

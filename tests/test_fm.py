@@ -11,25 +11,25 @@ FIXTURE = "/root/reference/data/test/test2"
 
 
 @pytest.fixture(scope="module")
-def fm_model(small_plan):
+def fm_model(small_plan_nofold):
     from wide_deep_tpu.models.joint import WideDeep
-    return WideDeep(plan=small_plan, model_type="wide", fm_factors=4)
+    return WideDeep(plan=small_plan_nofold, model_type="wide", fm_factors=4)
 
 
 @pytest.fixture(scope="module")
-def batch(small_plan, fixture_rows):
+def batch(small_plan_nofold, fixture_rows):
     from wide_deep_tpu.features.pipeline import FeatureTransformer
-    tr = FeatureTransformer(small_plan)
+    tr = FeatureTransformer(small_plan_nofold)
     return {k: jnp.asarray(v)
             for k, v in tr.transform(fixture_rows, 16).items()}
 
 
 class TestFm:
-    def test_params_include_factors(self, fm_model, batch, small_plan):
+    def test_params_include_factors(self, fm_model, batch, small_plan_nofold):
         params, state = fm_model.init(jax.random.PRNGKey(0), dict(batch))
-        assert params["linear"]["v"].shape == (small_plan.wide_dim, 4)
+        assert params["linear"]["v"].shape == (small_plan_nofold.wide_dim, 4)
 
-    def test_fm_changes_logits(self, fm_model, batch, small_plan):
+    def test_fm_changes_logits(self, fm_model, batch, small_plan_nofold):
         params, state = fm_model.init(jax.random.PRNGKey(0), dict(batch))
         with_fm, _ = fm_model.apply(params, state, batch)
         no_v = {"linear": {k: v for k, v in params["linear"].items()
@@ -37,7 +37,7 @@ class TestFm:
         without_fm, _ = fm_model.apply(no_v, state, batch)
         assert not np.allclose(np.asarray(with_fm), np.asarray(without_fm))
 
-    def test_fm_term_matches_manual(self, small_plan):
+    def test_fm_term_matches_manual(self, small_plan_nofold):
         """0.5 * sum((sum x_i v_i)^2 - sum x_i^2 v_i^2) on a toy case."""
         from wide_deep_tpu.models.linear import _fm_term
         rng = np.random.default_rng(0)

@@ -23,6 +23,13 @@ def batch(small_plan, fixture_rows):
             for k, v in tr.transform(fixture_rows, 16).items()}
 
 
+@pytest.fixture(scope="module")
+def batch_nofold(small_plan_nofold, fixture_rows):
+    tr = FeatureTransformer(small_plan_nofold)
+    return {k: jnp.asarray(v)
+            for k, v in tr.transform(fixture_rows, 16).items()}
+
+
 def _spec(mode, **kw):
     return DeepSpec(towers=(TowerSpec((8, 8, 8), parse_connected_mode(mode)),),
                     **kw)
@@ -36,7 +43,7 @@ class TestDeepArm:
         consts = PlanConstants(small_plan)
         params, bn = init_deep_params(jax.random.PRNGKey(0), small_plan,
                                       consts, spec, 1, batch)
-        logits, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
+        logits, _, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
                                 batch, 1, False, None, bn)
         assert logits.shape == (16, 1)
         assert np.isfinite(np.asarray(logits)).all()
@@ -47,7 +54,7 @@ class TestDeepArm:
         consts = PlanConstants(small_plan)
         params, bn = init_deep_params(jax.random.PRNGKey(0), small_plan,
                                       consts, spec, 1, batch)
-        logits, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
+        logits, _, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
                                 batch, 1, False, None, bn)
         assert logits.shape == (16, 1)
 
@@ -60,7 +67,7 @@ class TestDeepArm:
         params, bn = init_deep_params(jax.random.PRNGKey(0), small_plan,
                                       consts, spec, 1, batch)
         assert len(params["towers"]) == 3
-        logits, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
+        logits, _, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
                                 batch, 1, False, None, bn)
         assert logits.shape == (16, 1)
 
@@ -78,14 +85,14 @@ class TestDeepArm:
         params, bn = init_deep_params(jax.random.PRNGKey(0), small_plan,
                                       consts, spec, 1, batch)
         assert bn  # moving stats exist
-        _, new_bn = deep_logits(ParamStore(params), small_plan, consts, spec,
+        _, new_bn, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
                                 batch, 1, True, jax.random.PRNGKey(1), bn)
         changed = any(
             not np.allclose(np.asarray(new_bn[k]["mean"]),
                             np.asarray(bn[k]["mean"])) for k in bn)
         assert changed
         # eval mode keeps state
-        _, eval_bn = deep_logits(ParamStore(params), small_plan, consts, spec,
+        _, eval_bn, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
                                  batch, 1, False, None, bn)
         for k in bn:
             np.testing.assert_array_equal(np.asarray(eval_bn[k]["mean"]),
@@ -96,14 +103,14 @@ class TestDeepArm:
         consts = PlanConstants(small_plan)
         params, bn = init_deep_params(jax.random.PRNGKey(0), small_plan,
                                       consts, spec, 1, batch)
-        l_eval1, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
+        l_eval1, _, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
                                  batch, 1, False, None, bn)
-        l_eval2, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
+        l_eval2, _, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
                                  batch, 1, False, None, bn)
         np.testing.assert_array_equal(np.asarray(l_eval1), np.asarray(l_eval2))
-        l_tr1, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
+        l_tr1, _, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
                                batch, 1, True, jax.random.PRNGKey(1), bn)
-        l_tr2, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
+        l_tr2, _, _ = deep_logits(ParamStore(params), small_plan, consts, spec,
                                batch, 1, True, jax.random.PRNGKey(2), bn)
         assert not np.allclose(np.asarray(l_tr1), np.asarray(l_tr2))
 
@@ -208,7 +215,10 @@ class TestOptim:
 
 class TestJointModel:
     @pytest.mark.parametrize("model_type", ["wide", "deep", "wide_deep"])
-    def test_model_types(self, small_config, small_plan, batch, model_type):
+    def test_model_types(self, small_config, small_plan, batch,
+                         small_plan_nofold, batch_nofold, model_type):
+        if model_type == "wide":  # wide-only models need the legacy layout
+            small_plan, batch = small_plan_nofold, batch_nofold
         model = build_model(small_config, plan=small_plan,
                             model_type=model_type)
         params, state = model.init(jax.random.PRNGKey(0), dict(batch))
@@ -220,7 +230,11 @@ class TestJointModel:
             params, state, batch, training=False)
         assert np.isfinite(float(loss))
 
-    def test_wide_deep_is_sum(self, small_config, small_plan, batch):
+    def test_wide_deep_is_sum(self, small_config, small_plan_nofold, batch_nofold):
+        # arm decomposition needs the legacy layout: with the wide fold the
+        # joint model carries wide weights inside the embedding tables, which
+        # a wide-only model cannot hold
+        small_plan, batch = small_plan_nofold, batch_nofold
         model = build_model(small_config, plan=small_plan,
                             model_type="wide_deep")
         params, state = model.init(jax.random.PRNGKey(0), dict(batch))

@@ -168,10 +168,10 @@ class TestMaskedBatchNorm:
         padded["mask"] = np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32)
         unpadded = {k: v[:4] for k, v in full.items()}
 
-        _, st_pad = deep_logits(ParamStore(params), plan, consts, spec,
+        _, st_pad, _ = deep_logits(ParamStore(params), plan, consts, spec,
                                 {k: jnp.asarray(v) for k, v in padded.items()},
                                 1, True, jax.random.PRNGKey(1), bn0)
-        _, st_ref = deep_logits(ParamStore(params), plan, consts, spec,
+        _, st_ref, _ = deep_logits(ParamStore(params), plan, consts, spec,
                                 {k: jnp.asarray(v)
                                  for k, v in unpadded.items()},
                                 1, True, jax.random.PRNGKey(1), bn0)

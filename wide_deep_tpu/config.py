@@ -349,6 +349,14 @@ class Config:
         out["cnn_optimizer"] = parse_optimizer_spec(
             raw.get("cnn_optimizer", "Adagrad"), cnn_lr)
         out["linear_fm_factors"] = int(raw.get("linear_fm_factors") or 0)
+        # wide fold: store hash/deep-cross wide weights as trailing columns
+        # of their fused embedding tables (features/plan.py "wide fold");
+        # default on — it is exactly equivalent and ~halves device id traffic
+        wf = raw.get("wide_fold")
+        out["wide_fold"] = True if wf is None else _as_bool(
+            wf, "wide_fold", where)
+        out["wide_fold_max_rows"] = int(raw.get("wide_fold_max_rows") or 0) \
+            or None
         for key in ("linear_decay_rate", "dnn_decay_rate", "cnn_decay_rate"):
             v = _as_number(raw.get(key), key, where, allow_none=True)
             out[key] = 1.0 if v in (None, 0) else float(v)

@@ -31,9 +31,10 @@ _TRAN = {None: 0, "min_max": 1, "standard": 2, "log": 3}
 
 
 def serialize_plan(plan: FeaturePlan) -> bytes:
-    """FeaturePlan -> binary blob for wdt_plan_create (format v3, packed
+    """FeaturePlan -> binary blob for wdt_plan_create (format v4, packed
     pools: per-group/wide shared id pools with slot indices for the segment
-    column; per-slot entry caps = pack_budget).
+    column; per-slot entry caps = pack_budget; v4 adds per-slot wide-fold
+    flags — folded slots emit no wide-pool entries).
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
     lockstep with cpp/fastdata.cc::parse_plan.
@@ -53,7 +54,7 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(3)  # version
+    i64(4)  # version
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
     i64(len(plan.columns), int(plan.multivalue), int(plan.pack_budget),
         plan.wide_packed_len,
@@ -75,7 +76,8 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
             ws = plan.wide_slot_by_name[name]
             _, es = plan.embed_slot_by_name[name]
             i64(ws.max_len, ws.size, ws.offset,
-                group_index[es.dim], es.row_offset, es.index)
+                group_index[es.dim], es.row_offset, es.index,
+                int(ws.folded))
         elif kind in (1, 2):  # vocab / identity
             ws = plan.wide_slot_by_name[name]
             isl = next(x for x in plan.indicator_slots if x.name == name)
@@ -107,9 +109,10 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         if es is not None:
             g, slot = es
             i64(cs.bucket_size, cs.max_len, ws.offset, 1,
-                group_index[slot.dim], slot.row_offset, slot.index)
+                group_index[slot.dim], slot.row_offset, slot.index,
+                int(ws.folded))
         else:
-            i64(cs.bucket_size, cs.max_len, ws.offset, 0, 0, 0, 0)
+            i64(cs.bucket_size, cs.max_len, ws.offset, 0, 0, 0, 0, 0)
     return bytes(out)
 
 

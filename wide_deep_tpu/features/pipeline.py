@@ -163,8 +163,12 @@ class FeatureTransformer:
 
             def wide_put_slot(ws, ids_list):
                 # per-slot cap = pack_budget for multivalue slots, so pools
-                # fit exactly and no slot can starve later slots
+                # fit exactly and no slot can starve later slots.  Folded
+                # slots have no pool column: their wide weight rides the
+                # fused embedding table (plan "wide fold").
                 nonlocal wcur
+                if ws.folded:
+                    return
                 cap = 1 if ws.max_len == 1 else budget
                 for i in ids_list[:cap]:
                     if wcur >= Pw:

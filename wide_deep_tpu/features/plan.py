@@ -13,6 +13,15 @@ the host pipeline (features/pipeline.py) and the model (models/) share:
   arm is a single gather + weighted sum regardless of how many wide columns
   the config declares.  (Vocab/identity wide weights ride the indicator
   block instead — models/linear.py.)
+* **Wide fold** — a hash feature / deep cross uses the *same* bucket ids for
+  its wide weight and its embedding row, so when both arms exist the wide
+  weight is stored as trailing column(s) of the fused embedding table and the
+  slot vanishes from the wide pool entirely: one gather serves both arms
+  (models/deep.py fused path; the extra columns stay under the 'linear'
+  param partition so FTRL semantics are preserved).  On the production
+  config this removes ~95% of the wide pool's id traffic — the dominant
+  device cost (ARCHITECTURE.md).  Groups with more than ``fold_max_rows``
+  rows stay unfolded (the per-step table||wide concat scales with rows).
 * **Dim groups** — deep embedding consumers (hash features and deep crosses)
   are grouped by embedding dimension; each group's tables are concatenated
   row-wise into one ``[rows, dim]`` table so a whole group is one gather
@@ -47,6 +56,11 @@ ROW_ALIGN = 256     # table row counts padded to this multiple so row-sharded
                     # tables divide evenly over up to 256 devices
 PACK_BUDGET = 3     # packed-pool capacity contributed by each multivalue
                     # slot (singles contribute 1); see packed_len below
+FOLD_MAX_ROWS = 4 * 1024 * 1024  # wide-fold eligibility: dim groups with more
+                    # rows than this keep their wide ids in the wide pool (the
+                    # per-step concat of table+wide column scales with rows,
+                    # the saved id traffic with batch; ~4M rows is breakeven
+                    # at batch 25600 on v5e)
 
 
 def _align_rows(n: int) -> int:
@@ -62,14 +76,35 @@ def embedding_dim(n_buckets: int) -> int:
     return int(2 ** math.ceil(math.log(n_buckets ** 0.25)))
 
 
+def fold_default(config: Config) -> bool:
+    """Whether the wide fold is on for this config (model.yaml ``wide_fold``,
+    default on).  The FM term (linear_fm_factors) reads factor rows by wide
+    id, which requires every wide slot in the pool — FM disables the fold."""
+    model_conf = config.model
+    if int(model_conf.get("linear_fm_factors") or 0) > 0:
+        return False
+    v = model_conf.get("wide_fold")
+    return True if v is None else bool(v)
+
+
+def fold_enabled(config: Config, model_type: str) -> bool:
+    """Fold requires both arms: a wide-only model has no embedding tables to
+    carry the wide columns, and a deep-only model has no wide arm at all."""
+    return model_type == "wide_deep" and fold_default(config)
+
+
 @dataclasses.dataclass(frozen=True)
 class WideSlot:
     name: str
     kind: str          # hash | vocab | identity | bucketized | cross
     size: int          # rows this slot owns in the wide space
-    offset: int        # first row in the unified wide space
+    offset: int        # first row in the unified wide space (-1 when folded)
     max_len: int       # static per-example id capacity
-    col_offset: int    # first column in the packed [B, Lw] id tensor
+    col_offset: int    # first column in the packed [B, Lw] id tensor (-1 folded)
+    folded: bool = False  # wide weight lives as extra column(s) of the slot's
+                          # fused embedding table (no wide-pool entry, no rows
+                          # in the wide table) — see "wide fold" in the module
+                          # docstring
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +125,8 @@ class DimGroup:
     rows: int          # fused table rows (sum of member vocab sizes)
     total_len: int     # Lg: packed id-tensor width
     slots: Tuple[EmbedSlot, ...]
+    folded: bool = False  # wide weights for this group's slots ride the fused
+                          # table as trailing column(s)
 
     def segment_matrix(self) -> np.ndarray:
         """Static [Lg, Fg] 0/1 matrix mapping id columns to features."""
@@ -150,12 +187,20 @@ class FeaturePlan:
     """Everything static about the feature layout, compiled from Config."""
 
     def __init__(self, config: Config, multivalue: Optional[bool] = None,
-                 pack_budget: Optional[int] = None):
+                 pack_budget: Optional[int] = None,
+                 fold: Optional[bool] = None,
+                 fold_max_rows: Optional[int] = None):
         self.config = config
         train = config.train
         self.multivalue = train["multivalue"] if multivalue is None else multivalue
         self.pack_budget = (pack_budget if pack_budget is not None
                             else int(train.get("pack_budget") or PACK_BUDGET))
+        if fold is None:
+            fold = fold_default(config)
+        self.fold = bool(fold)
+        self.fold_max_rows = int(
+            fold_max_rows if fold_max_rows is not None
+            else (config.model.get("wide_fold_max_rows") or FOLD_MAX_ROWS))
         schema = config.schema_columns()
         self.columns = schema
         self.label = schema[0]
@@ -166,11 +211,10 @@ class FeaturePlan:
         self.feature_order = [c for c in feature_conf]
         self.feature_conf = feature_conf
 
-        wide_slots: List[WideSlot] = []
+        wide_raw: List[Tuple[str, str, int, int]] = []  # name,kind,size,L
         embed_raw: List[Tuple[str, str, int, int, int]] = []  # name,kind,rows,dim,L
         indicator_slots: List[IndicatorSlot] = []
         continuous_slots: List[ContinuousSlot] = []
-        wide_off = wide_col = 0
         ind_off = ind_col = 0
 
         def eff_len(ml: int) -> int:
@@ -183,8 +227,7 @@ class FeaturePlan:
             if ftype == "category":
                 if tran == "hash_bucket":
                     size = int(param)
-                    wide_slots.append(WideSlot(name, "hash", size, wide_off, L, wide_col))
-                    wide_off += size; wide_col += L
+                    wide_raw.append((name, "hash", size, L))
                     # per-feature embedding_dim override, else the empirical
                     # rule (build_estimator.py:57-59)
                     dim = conf.get("embedding_dim") or embedding_dim(size)
@@ -192,15 +235,13 @@ class FeaturePlan:
                 elif tran == "vocab":
                     vocab = tuple(str(v) for v in param)
                     size = len(vocab)
-                    wide_slots.append(WideSlot(name, "vocab", size, wide_off, L, wide_col))
-                    wide_off += size; wide_col += L
+                    wide_raw.append((name, "vocab", size, L))
                     indicator_slots.append(IndicatorSlot(
                         name, "vocab", size, ind_off, L, ind_col, vocab))
                     ind_off += size; ind_col += L
                 else:  # identity
                     size = int(param)
-                    wide_slots.append(WideSlot(name, "identity", size, wide_off, L, wide_col))
-                    wide_off += size; wide_col += L
+                    wide_raw.append((name, "identity", size, L))
                     indicator_slots.append(IndicatorSlot(
                         name, "identity", size, ind_off, L, ind_col))
                     ind_off += size; ind_col += L
@@ -212,13 +253,11 @@ class FeaturePlan:
                     name, tran, float(norm[0]), float(norm[1]),
                     len(continuous_slots), bounds))
                 if bounds:
-                    size = len(bounds) + 1
-                    wide_slots.append(WideSlot(
-                        name, "bucketized", size, wide_off, 1, wide_col))
-                    wide_off += size; wide_col += 1
+                    wide_raw.append((name, "bucketized", len(bounds) + 1, 1))
 
         # crosses
         crosses: List[CrossSpec] = []
+        deep_cross_names = set()
         for members, bucket_size, is_deep in cross_conf:
             cms: List[CrossMember] = []
             prod_len = 1
@@ -236,14 +275,18 @@ class FeaturePlan:
             cname = "&".join(members)
             L = min(prod_len, CROSS_MAX_LEN)
             crosses.append(CrossSpec(cname, tuple(cms), bucket_size, is_deep, L))
-            wide_slots.append(WideSlot(cname, "cross", bucket_size, wide_off, L, wide_col))
-            wide_off += bucket_size; wide_col += L
+            wide_raw.append((cname, "cross", bucket_size, L))
             if is_deep:
+                deep_cross_names.add(cname)
                 embed_raw.append((cname, "cross", bucket_size,
                                   embedding_dim(bucket_size), L))
 
-        # dim groups: ascending dim, members in declaration order
+        # dim groups: ascending dim, members in declaration order.  A group
+        # folds (carries its members' wide weights as trailing table columns)
+        # when small enough that the per-step table+wide concat costs less
+        # than the wide-pool id traffic it removes.
         groups: List[DimGroup] = []
+        slot_dim: Dict[str, int] = {}
         for dim in sorted({d for _, _, _, d, _ in embed_raw}):
             slots: List[EmbedSlot] = []
             row = col = 0
@@ -251,8 +294,30 @@ class FeaturePlan:
                 if d != dim:
                     continue
                 slots.append(EmbedSlot(name, kind, rows, d, L, row, col, len(slots)))
+                slot_dim[name] = d
                 row += rows; col += L
-            groups.append(DimGroup(dim, _align_rows(row), col, tuple(slots)))
+            aligned = _align_rows(row)
+            groups.append(DimGroup(dim, aligned, col, tuple(slots),
+                                   folded=self.fold
+                                   and aligned <= self.fold_max_rows))
+        folded_dims = frozenset(g.dim for g in groups if g.folded)
+
+        # wide slots: hash features and deep crosses whose dim group folds
+        # get no wide-pool column and no rows in the wide table — their wide
+        # weight is column dim.. of the fused embedding table instead
+        # (models/deep.py fused gather; FTRL still owns it via the 'linear'
+        # param partition).  Everything else packs as before.
+        wide_slots: List[WideSlot] = []
+        wide_off = wide_col = 0
+        for name, kind, size, L in wide_raw:
+            is_foldable = (kind == "hash"
+                           or (kind == "cross" and name in deep_cross_names))
+            if is_foldable and slot_dim.get(name) in folded_dims:
+                wide_slots.append(WideSlot(name, kind, size, -1, L, -1,
+                                           folded=True))
+                continue
+            wide_slots.append(WideSlot(name, kind, size, wide_off, L, wide_col))
+            wide_off += size; wide_col += L
 
         def packed_capacity(slots) -> int:
             """Shared per-row id-pool capacity: 1 per single-valued slot,
@@ -264,9 +329,13 @@ class FeaturePlan:
             matmul against a 379-row static gather (models/linear.py)."""
             return sum(1 if s.max_len == 1 else self.pack_budget
                        for s in slots
-                       if s.kind not in ("vocab", "identity"))
+                       if s.kind not in ("vocab", "identity")
+                       and not getattr(s, "folded", False))
 
         self.wide_slots = wide_slots
+        self.folded_dims = folded_dims
+        self.folded_names = frozenset(
+            s.name for s in wide_slots if s.folded)
         self.wide_dim = _align_rows(wide_off)
         self.wide_total_len = wide_col
         self.wide_packed_len = packed_capacity(wide_slots)
@@ -324,9 +393,10 @@ class FeaturePlan:
         return spec
 
     def describe(self) -> str:
+        n_folded = len(self.folded_names)
         lines = [
-            f"wide: {len(self.wide_slots)} slots, dim={self.wide_dim}, "
-            f"pool={self.wide_packed_len}",
+            f"wide: {len(self.wide_slots)} slots ({n_folded} folded), "
+            f"dim={self.wide_dim}, pool={self.wide_packed_len}",
             f"deep: input_dim={self.deep_input_dim} "
             f"(embed={self.deep_embed_dim}, indicator={self.indicator_dim}, "
             f"continuous={len(self.continuous_slots)})",
@@ -334,7 +404,8 @@ class FeaturePlan:
         for g in self.groups:
             lines.append(
                 f"  dim-{g.dim} group: {len(g.slots)} tables, rows={g.rows}, "
-                f"pool={self.group_packed_len[g.dim]}")
+                f"pool={self.group_packed_len[g.dim]}"
+                + (" [folded wide]" if g.folded else ""))
         lines.append(f"crosses: {len(self.crosses)}")
         return "\n".join(lines)
 
@@ -342,12 +413,16 @@ class FeaturePlan:
     def to_dict(self) -> Dict[str, Any]:
         return {
             "multivalue": self.multivalue,
+            "fold": self.fold,
+            "fold_max_rows": self.fold_max_rows,
+            "pack_budget": self.pack_budget,
             "columns": self.columns,
             "wide_dim": self.wide_dim,
             "deep_input_dim": self.deep_input_dim,
             "wide_slots": [dataclasses.asdict(s) for s in self.wide_slots],
             "groups": [
                 {"dim": g.dim, "rows": g.rows, "total_len": g.total_len,
+                 "folded": g.folded,
                  "slots": [dataclasses.asdict(s) for s in g.slots]}
                 for g in self.groups],
             "indicator_slots": [dataclasses.asdict(s) for s in self.indicator_slots],

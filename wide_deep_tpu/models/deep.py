@@ -239,12 +239,21 @@ def indicator_block(batch: Dict[str, jnp.ndarray], indicator_dim: int,
 def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                      consts: PlanConstants, batch: Dict[str, jnp.ndarray],
                      dtype=jnp.float32,
-                     embedding_dtype=jnp.float32) -> jnp.ndarray:
-    """Packed batch -> [B, deep_input_dim] dense input.
+                     embedding_dtype=jnp.float32,
+                     fold_params: Optional[Dict[str, jnp.ndarray]] = None):
+    """Packed batch -> ([B, deep_input_dim] dense input, fold_wide | None).
 
     One fused-table gather per dim group, then per-feature mean combining as
     an einsum against the static segment matrix (a [B,L,D]x[L,F] contraction
     the MXU eats), indicator scatter-add, continuous concat.
+
+    **Wide fold**: for folded dim groups the wide arm's weights for the
+    group's slots ride the same gather as trailing column(s) — the table is
+    concatenated with ``fold_params['d<dim>']`` ([rows, n_logits], owned by
+    the 'linear' optimizer partition) and the per-slot wide sum (tf
+    ``sparse_combiner='sum'`` semantics, linear.py:33) is an einsum against
+    the entry-presence mask.  Returns that [B, n_logits] wide contribution
+    as ``fold_wide`` for models/joint.py to add to the linear logits.
     """
     parts = []
     B = batch["wide_ids"].shape[0] if "wide_ids" in batch else (
@@ -252,12 +261,25 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
     emb_init = (embedding_init if embedding_dtype == jnp.float32
                 else (lambda rng, shape:
                       embedding_init(rng, shape).astype(embedding_dtype)))
+    fold_wide = None
     for g in plan.groups:
         table = store.get(("embed", f"d{g.dim}"), (g.rows, g.dim), emb_init)
         ids = batch[f"emb_ids_d{g.dim}"]            # [B, P] packed pool
         wts = batch[f"emb_wts_d{g.dim}"]            # [B, P]
         seg = batch[f"emb_seg_d{g.dim}"]            # [B, P] slot index
-        gathered = jnp.take(table, ids, axis=0)      # [B, P, dim]
+        if fold_params is not None and g.folded:
+            fcol = fold_params[f"d{g.dim}"].astype(table.dtype)
+            fused = jnp.concatenate([table, fcol], axis=1)
+            full = jnp.take(fused, ids, axis=0)      # [B, P, dim+n_logits]
+            gathered = full[..., :g.dim]
+            # wide sum: weight 1 per present entry (padding has wts == 0)
+            presence = (wts > 0).astype(jnp.float32)
+            fw = jnp.einsum("bpn,bp->bn",
+                            full[..., g.dim:].astype(jnp.float32), presence,
+                            preferred_element_type=jnp.float32)
+            fold_wide = fw if fold_wide is None else fold_wide + fw
+        else:
+            gathered = jnp.take(table, ids, axis=0)  # [B, P, dim]
         weighted = (gathered * wts[..., None]).astype(jnp.float32)
         # Per-feature mean combine over the packed pool: a per-row one-hot
         # segment matmul (MXU).  Gather/scatter cost is linear in P (measured
@@ -275,7 +297,7 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         parts.append(ind.astype(dtype))
     if consts.n_continuous:
         parts.append(batch["cont"].astype(dtype))
-    return jnp.concatenate(parts, axis=-1)
+    return jnp.concatenate(parts, axis=-1), fold_wide
 
 
 # ------------------------------------------------------------------- towers
@@ -347,8 +369,8 @@ def tower_forward(store: ParamStore, spec: DeepSpec, tower_idx: int,
         if spec.dropout and training:
             key = jax.random.fold_in(rng, tower_idx * 1000 + layer_id)
             keep = 1.0 - spec.dropout
-            mask = jax.random.bernoulli(key, keep, h.shape)
-            h = jnp.where(mask, h / keep, 0.0).astype(h.dtype)
+            drop_mask = jax.random.bernoulli(key, keep, h.shape)
+            h = jnp.where(drop_mask, h / keep, 0.0).astype(h.dtype)
         if spec.batch_norm:
             h = _batch_norm(store, bn_state, new_bn_state, "bn", tower_idx,
                             layer_id, h, training, mask)
@@ -388,13 +410,17 @@ def tower_forward(store: ParamStore, spec: DeepSpec, tower_idx: int,
 def deep_logits(store: ParamStore, plan: FeaturePlan, consts: PlanConstants,
                 spec: DeepSpec, batch: Dict[str, jnp.ndarray], n_logits: int,
                 training: bool, rng: Optional[jax.Array],
-                bn_state: Optional[Dict]) -> Tuple[jnp.ndarray, Dict]:
+                bn_state: Optional[Dict],
+                fold_params: Optional[Dict[str, jnp.ndarray]] = None
+                ) -> Tuple[jnp.ndarray, Dict, Optional[jnp.ndarray]]:
     """Full deep arm: input layer + summed tower logits.
 
-    Returns (logits [B, n_logits], new_bn_state).
+    Returns (logits [B, n_logits], new_bn_state, fold_wide | None) where
+    fold_wide is the wide arm's contribution carried by the fused gathers
+    (see deep_input_layer).
     """
-    x = deep_input_layer(store, plan, consts, batch, spec.dtype,
-                         spec.embedding_dtype)
+    x, fold_wide = deep_input_layer(store, plan, consts, batch, spec.dtype,
+                                    spec.embedding_dtype, fold_params)
     new_bn_state: Dict = {}
     logits = None
     mask = batch.get("mask")
@@ -402,7 +428,7 @@ def deep_logits(store: ParamStore, plan: FeaturePlan, consts: PlanConstants,
         lt = tower_forward(store, spec, t, x, n_logits, training, rng,
                            bn_state, new_bn_state, mask)
         logits = lt if logits is None else logits + lt
-    return logits, new_bn_state
+    return logits, new_bn_state, fold_wide
 
 
 def init_deep_params(rng: jax.Array, plan: FeaturePlan, consts: PlanConstants,
@@ -415,9 +441,9 @@ def init_deep_params(rng: jax.Array, plan: FeaturePlan, consts: PlanConstants,
     deep_logits(store, plan, consts, spec, sample_batch, n_logits,
                 training=True, rng=jax.random.PRNGKey(0), bn_state=bn_state)
     # run once more in training mode to materialize moving-stat slots
-    _, new_state = deep_logits(ParamStore(params), plan, consts, spec,
-                               sample_batch, n_logits, training=True,
-                               rng=jax.random.PRNGKey(0), bn_state=None)
+    _, new_state, _ = deep_logits(ParamStore(params), plan, consts, spec,
+                                  sample_batch, n_logits, training=True,
+                                  rng=jax.random.PRNGKey(0), bn_state=None)
     init_state = jax.tree.map(
         lambda x: jnp.zeros_like(x), new_state)
     for k in init_state:

@@ -51,6 +51,15 @@ class WideDeep:
                 f"{self.model_type!r}")
         if self.model_type != "wide" and self.deep_spec is None:
             raise ValueError(f"model_type {self.model_type} needs a DeepSpec")
+        if self.plan.fold and self.model_type == "wide":
+            raise ValueError(
+                "a folded FeaturePlan carries wide weights in the embedding "
+                "tables — model_type 'wide' has none; build the plan with "
+                "fold=False (plan.fold_enabled(config, model_type))")
+        if self.plan.fold and self.fm_factors:
+            raise ValueError(
+                "linear_fm_factors needs every wide slot in the id pool; "
+                "build the plan with fold=False")
         self.consts = PlanConstants(self.plan)
         self.n_logits = heads.n_logits_for(self.n_classes)
 
@@ -80,7 +89,7 @@ class WideDeep:
         if self.has_wide:
             params["linear"] = init_linear_params(
                 self.plan, self.n_logits, self.fm_factors,
-                jax.random.fold_in(rng, 3))
+                jax.random.fold_in(rng, 3), with_fold=self.has_deep)
         if self.has_deep:
             r_deep = jax.random.fold_in(rng, 1)
             params["dnn"], state["bn"] = init_deep_params(
@@ -112,11 +121,17 @@ class WideDeep:
                 batch, self.consts.indicator_dim)
         if self.has_deep:
             store = ParamStore(params["dnn"])
-            dl, new_bn = deep_logits(store, self.plan, self.consts,
-                                     self.deep_spec, batch, self.n_logits,
-                                     training, rng, state.get("bn"))
+            # folded wide columns ride the deep arm's fused gathers (one
+            # gather serves both arms); their logits join the linear sum
+            fold_params = (params.get("linear", {}).get("fold")
+                           if self.has_wide else None)
+            dl, new_bn, fold_wide = deep_logits(
+                store, self.plan, self.consts, self.deep_spec, batch,
+                self.n_logits, training, rng, state.get("bn"), fold_params)
             new_state["bn"] = new_bn
             add(dl)
+            if fold_wide is not None:
+                add(fold_wide)
         if self.has_wide:
             add(linear_logits(params["linear"], batch, self.consts))
         if self.has_cnn:
@@ -170,12 +185,14 @@ def build_model(config, plan: Optional[FeaturePlan] = None,
 
     ``dtype`` overrides the dense compute dtype; default comes from
     model.yaml dense_dtype."""
-    plan = plan or FeaturePlan(config)
     model_conf = config.model
+    model_type = model_type or config.train["model_type"]
+    if plan is None:
+        from wide_deep_tpu.features.plan import fold_enabled
+        plan = FeaturePlan(config, fold=fold_enabled(config, model_type))
     if dtype is None:
         dtype = (jnp.bfloat16 if model_conf.get("dense_dtype") == "bfloat16"
                  else jnp.float32)
-    model_type = model_type or config.train["model_type"]
     deep_spec = None
     if model_type != "wide":
         deep_spec = DeepSpec.from_model_conf(model_conf, dtype=dtype)

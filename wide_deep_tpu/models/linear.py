@@ -28,11 +28,20 @@ from wide_deep_tpu.features.plan import FeaturePlan
 
 def init_linear_params(plan: FeaturePlan, n_logits: int,
                        fm_factors: int = 0,
-                       rng=None) -> Dict[str, Any]:
+                       rng=None, with_fold: bool = False) -> Dict[str, Any]:
     params = {
         "w": jnp.zeros((plan.wide_dim, n_logits), jnp.float32),
         "b": jnp.zeros((n_logits,), jnp.float32),
     }
+    if with_fold and plan.fold:
+        # folded wide weights: trailing column(s) of each folded dim group's
+        # fused embedding table (plan.py "wide fold").  f32 master copies
+        # under the 'linear' partition so FTRL + its decay schedule own them;
+        # zeros init matches tf linear_model / FTRL sparsity semantics.
+        fold = {f"d{g.dim}": jnp.zeros((g.rows, n_logits), jnp.float32)
+                for g in plan.groups if g.folded}
+        if fold:
+            params["fold"] = fold
     if fm_factors > 0:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         params["v"] = 0.01 * jax.random.normal(

@@ -78,7 +78,8 @@ def param_shardings(mesh: Mesh, params: Any,
     def rule(path, leaf):
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         big = leaf.ndim >= 1 and leaf.size >= size_threshold * max(n_dev, 1)
-        if big and leaf.ndim == 2 and ("embed" in keys or "w" in keys):
+        if big and leaf.ndim == 2 and ("embed" in keys or "w" in keys
+                                       or "fold" in keys):
             return row_sharded(mesh)
         return replicated(mesh)
 

@@ -44,7 +44,8 @@ def export_savedmodel(config: Config, export_dir: str,
     Returns the versioned bundle path."""
     serving = config.serving
     model_type = model_type or serving["model_type"]
-    plan = FeaturePlan(config)
+    from wide_deep_tpu.features.plan import fold_enabled
+    plan = FeaturePlan(config, fold=fold_enabled(config, model_type))
     model = build_model(config, plan=plan, model_type=model_type,
                         n_classes=n_classes)
 
@@ -154,7 +155,9 @@ def load_bundle(version_dir: str, config: Optional[Config] = None
             with open(os.path.join(conf_dir, name), "w") as fdst:
                 fdst.write(text)
         config = Config(conf_dir)
-    plan = FeaturePlan(config, multivalue=bundle["train_conf"]["multivalue"])
+    plan = FeaturePlan(config, multivalue=bundle["train_conf"]["multivalue"],
+                       fold=bundle["plan"].get("fold", False),
+                       pack_budget=bundle["plan"].get("pack_budget"))
     model = build_model(config, plan=plan, model_type=bundle["model_type"],
                         n_classes=bundle["n_classes"])
     spec = plan.batch_spec(1, bundle["n_classes"], with_image=model.has_cnn)

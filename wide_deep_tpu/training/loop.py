@@ -77,8 +77,10 @@ class Trainer:
         self.n_classes = n_classes
         self.seed = int(self.runconfig.get("tf_random_seed") or 123)
 
-        self.plan = FeaturePlan(self.config,
-                                multivalue=self.train_conf["multivalue"])
+        from wide_deep_tpu.features.plan import fold_enabled
+        self.plan = FeaturePlan(
+            self.config, multivalue=self.train_conf["multivalue"],
+            fold=fold_enabled(self.config, self.model_type))
         self.model: WideDeep = build_model(
             self.config, plan=self.plan, model_type=self.model_type,
             n_classes=n_classes, dtype=dtype)
