@@ -134,14 +134,21 @@ def main():
     params = jax.device_put(params, shardings)
     mstate = jax.device_put(mstate, mesh_lib.replicated(mesh))
     decay_steps = float(config.train["num_examples"]) / BATCH_SIZE
+    from wide_deep_tpu.optim.sparse import plan_sparse_tables
+    from wide_deep_tpu.training.step import init_opt_state
+    sparse_tables, sparse_paths = plan_sparse_tables(
+        plan, config.model, max(decay_steps, 1.0), BATCH_SIZE)
+    log(f"sparse tables: {sorted(sparse_tables)}")
     tx = build_joint_optimizer(config.model, max(decay_steps, 1.0),
-                               {"linear": True, "dnn": True})
-    opt_struct = jax.eval_shape(tx.init, params)
+                               {"linear": True, "dnn": True},
+                               sparse_paths=sparse_paths)
+    init_fn = lambda p: init_opt_state(tx, p, sparse_tables)  # noqa: E731
+    opt_struct = jax.eval_shape(init_fn, params)
     opt_sh = mesh_lib.opt_state_shardings(mesh, params, shardings, opt_struct)
-    opt_state = jax.jit(tx.init, out_shardings=opt_sh)(params)
+    opt_state = jax.jit(init_fn, out_shardings=opt_sh)(params)
     log(f"init in {time.time()-t0:.1f}s")
 
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, sparse_tables=sparse_tables)
     bsh = mesh_lib.batch_sharding(mesh)
     dbatch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
     key = jax.random.PRNGKey(0)

@@ -244,3 +244,52 @@ class TestTransports:
         assert stats["errors"] == 0
         assert stats["rows_per_s"] > 0
         client.close()
+
+
+class TestMicroBatching:
+    """Server-side request coalescing (tensorflow_model_server
+    --enable_batching parity, reference run_serving.sh:60-70)."""
+
+    def test_concurrent_requests_coalesce(self, bundle_dir):
+        import concurrent.futures as futures
+        from wide_deep_tpu.serving.server import ServingModel
+        model = ServingModel(bundle_dir, max_batch_size=64,
+                             batch_timeout_micros=50_000)
+        rows = _rows(FIXTURE, 4)
+        serial = model.score_rows(rows)  # warm the bucket
+        calls_before = model.batcher.device_calls
+        with futures.ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(lambda _: model.score_rows(rows),
+                                    range(8)))
+        calls = model.batcher.device_calls - calls_before
+        # 8 concurrent 4-row requests must coalesce into fewer device calls
+        assert calls < 8, f"no coalescing: {calls} device calls"
+        for res in results:
+            assert res["valid"] == serial["valid"]
+            np.testing.assert_allclose(res["scores"], serial["scores"],
+                                       rtol=1e-6)
+        model.close()
+
+    def test_oversized_request_chunks(self, bundle_dir):
+        from wide_deep_tpu.serving.server import ServingModel
+        model = ServingModel(bundle_dir, max_batch_size=8,
+                             batch_timeout_micros=0)
+        rows = _rows(FIXTURE, 10)  # > max_batch_size -> two chunks
+        res = model.score_rows(rows)
+        assert all(res["valid"])
+        assert len(res["scores"]) == 10
+        model.close()
+
+    def test_close_drains_pending(self, bundle_dir):
+        import threading
+        from wide_deep_tpu.serving.server import ServingModel
+        model = ServingModel(bundle_dir, max_batch_size=16,
+                             batch_timeout_micros=10_000)
+        rows = _rows(FIXTURE, 2)
+        results = []
+        t = threading.Thread(target=lambda: results.append(
+            model.score_rows(rows)))
+        t.start()
+        model.close()
+        t.join(timeout=15)
+        assert results and all(results[0]["valid"])

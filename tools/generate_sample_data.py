@@ -79,8 +79,8 @@ def write(path, rows):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out_dir", default="data")
-    p.add_argument("--train_rows", type=int, default=1000)
-    p.add_argument("--eval_rows", type=int, default=500)
+    p.add_argument("--train_rows", type=int, default=2000)
+    p.add_argument("--eval_rows", type=int, default=1000)
     p.add_argument("--seed", type=int, default=123)
     args = p.parse_args()
 

@@ -23,6 +23,10 @@ def main():
     p.add_argument("--model_name", default=server_conf["model_name"])
     p.add_argument("--max_batch_size", type=int,
                    default=server_conf["max_batch_size"])
+    p.add_argument("--batch_timeout_micros", type=int,
+                   default=server_conf["batch_timeout_micros"],
+                   help="micro-batch window for coalescing concurrent "
+                        "requests into one device call (0 = drain-only)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -33,7 +37,8 @@ def main():
                                    str(args.model_version))
     else:
         version_dir = latest_version_dir(args.model_base_path)
-    model = ServingModel(version_dir, args.max_batch_size, args.model_name)
+    model = ServingModel(version_dir, args.max_batch_size, args.model_name,
+                         batch_timeout_micros=args.batch_timeout_micros)
     model.warmup()
     # watch for new versions unless one was pinned explicitly
     watch = None if args.model_version is not None else args.model_base_path

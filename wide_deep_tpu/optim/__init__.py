@@ -194,13 +194,19 @@ def linear_learning_rate(num_wide_columns: int) -> float:
 
 
 def build_joint_optimizer(model_conf: Dict[str, Any], decay_steps: float,
-                          arms: Dict[str, bool]
+                          arms: Dict[str, bool],
+                          sparse_paths: frozenset = frozenset()
                           ) -> optax.GradientTransformation:
     """Per-arm optimizers over one loss, partitioned by top-level param key.
 
     ``arms``: {'linear': bool, 'dnn': bool, 'cnn': bool} — which arms exist in
     the param tree.  Each arm gets its configured optimizer wrapped with its
     exponential-decay schedule (driven by the transform's own step count).
+
+    ``sparse_paths``: param tree paths (tuples of keys) handled by the
+    touched-rows sparse updater (optim/sparse.py) instead — those leaves are
+    labeled ``optax.set_to_zero`` so the dense transforms neither sweep nor
+    hold state for them; the train step applies their updates in place.
     """
     transforms = {}
     for arm, conf_key in (("linear", "linear"), ("dnn", "dnn"), ("cnn", "cnn")):
@@ -213,7 +219,20 @@ def build_joint_optimizer(model_conf: Dict[str, Any], decay_steps: float,
             lr0, model_conf.get(f"{conf_key}_decay_rate", 1.0), decay_steps)
         transforms[arm] = get_optimizer(spec, schedule)
 
+    if not sparse_paths:
+        def labeler(params):
+            return {k: jax.tree.map(lambda _: k, v) for k, v in params.items()}
+        return optax.multi_transform(transforms, labeler)
+
+    transforms["_sparse"] = optax.set_to_zero()
+
     def labeler(params):
-        return {k: jax.tree.map(lambda _: k, v) for k, v in params.items()}
+        def label(path, _):
+            keys = tuple(getattr(p, "key", getattr(p, "idx", None))
+                         for p in path)
+            if keys in sparse_paths:
+                return "_sparse"
+            return keys[0]
+        return jax.tree_util.tree_map_with_path(label, params)
 
     return optax.multi_transform(transforms, labeler)

@@ -15,9 +15,11 @@ from __future__ import annotations
 import concurrent.futures as futures
 import logging
 import os
+import queue
 import socket
 import threading
-from typing import Dict, List, Optional
+import time
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -29,11 +31,88 @@ from wide_deep_tpu.serving.export import load_bundle
 log = logging.getLogger("wide_deep_tpu.serving")
 
 
+class MicroBatcher:
+    """Coalesces concurrent scoring requests into one device call.
+
+    The reference delegated serving to ``tensorflow_model_server`` whose
+    ``--enable_batching`` queues concurrent requests and runs them as one
+    session step (reference scripts/run_serving.sh:60-70, conf/serving.yaml).
+    Here: request threads enqueue ``(rows, future)``; one batcher thread
+    drains the queue for up to ``batch_timeout_micros`` (or until
+    ``max_batch_size`` rows are pending), scores everything in one bucketed
+    forward, and slices results back per request.  The device has a single
+    owner thread, so no per-request lock serializes transports.
+    """
+
+    def __init__(self, score_fn, max_batch_size: int, timeout_micros: int):
+        self._score = score_fn          # List[str] -> (probs [N,C], ids [N])
+        self.max_batch_size = max(int(max_batch_size), 1)
+        self.timeout_s = max(int(timeout_micros), 0) / 1e6
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.device_calls = 0           # instrumentation (tests/bench)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, rows: List[str]) -> "futures.Future":
+        fut: "futures.Future" = futures.Future()
+        if not rows:
+            fut.set_result((np.zeros((0, 1), np.float32),
+                            np.zeros((0,), np.int64)))
+            return fut
+        self._q.put((rows, fut))
+        return fut
+
+    def close(self):
+        """Stop accepting work and drain: every already-submitted future
+        resolves before close returns (hot-reload swaps rely on this)."""
+        self._stop.set()
+        self._thread.join(timeout=10.0)
+
+    def _loop(self):
+        while True:
+            try:
+                items = [self._q.get(timeout=0.2)]
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
+            total = len(items[0][0])
+            deadline = time.monotonic() + self.timeout_s
+            while total < self.max_batch_size:
+                wait = deadline - time.monotonic()
+                try:
+                    nxt = (self._q.get(timeout=wait) if wait > 0
+                           else self._q.get_nowait())
+                except queue.Empty:
+                    break
+                items.append(nxt)
+                total += len(nxt[0])
+            self._run(items)
+
+    def _run(self, items: List[Tuple[List[str], "futures.Future"]]):
+        rows = [r for rws, _ in items for r in rws]
+        try:
+            probs, ids = self._score(rows)
+            self.device_calls += 1
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            for _, fut in items:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        off = 0
+        for rws, fut in items:
+            n = len(rws)
+            fut.set_result((probs[off:off + n], ids[off:off + n]))
+            off += n
+
+
 class ServingModel:
     """A loaded bundle + compiled predict path."""
 
     def __init__(self, version_dir: str, max_batch_size: int = 1024,
-                 model_name: str = "wide_deep"):
+                 model_name: str = "wide_deep",
+                 batch_timeout_micros: int = 2000):
         self.model, self.params, self.mstate, self.bundle = load_bundle(
             version_dir)
         self.version = os.path.basename(version_dir.rstrip("/"))
@@ -48,13 +127,17 @@ class ServingModel:
         self._predict = jax.jit(
             lambda p, s, b: self.model.predict(p, s, b))
         self._native = hasattr(self.transformer, "transform_text")
-        self._lock = threading.Lock()
+        self.batcher = MicroBatcher(self._score_texts, max_batch_size,
+                                    batch_timeout_micros)
 
     def _bucket_for(self, n: int) -> int:
         for b in self.batch_buckets:
             if n <= b:
                 return b
         return self.max_batch_size
+
+    def close(self):
+        self.batcher.close()
 
     def warmup(self):
         for bucket in self.batch_buckets:
@@ -64,12 +147,43 @@ class ServingModel:
             zero.pop("label", None); zero.pop("weight", None)
             self._predict(self.params, self.mstate, zero)
 
+    def _score_texts(self, rows: List[str]
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pre-validated TSV rows -> (probs [N, n_classes], class_ids [N]).
+
+        Single-owner device path (called only from the MicroBatcher thread):
+        chunks of up to max_batch_size run in the smallest fitting bucket.
+        """
+        ncols = len(self.model.plan.columns)
+        probs_out: List[np.ndarray] = []
+        ids_out: List[np.ndarray] = []
+        for start in range(0, len(rows), self.max_batch_size):
+            chunk = rows[start:start + self.max_batch_size]
+            n = len(chunk)
+            bucket = self._bucket_for(n)
+            if self._native:
+                text = "\n".join(chunk).encode("utf-8", errors="replace")
+                batch = self.transformer.transform_text(
+                    text, n, bucket, mode="pred")
+            else:
+                cells = [r.split("\t") for r in chunk]
+                cells = [([""] + c) if len(c) == ncols - 1 else c
+                         for c in cells]
+                batch = self.transformer.transform(
+                    cells, bucket, mode="pred")
+            preds = self._predict(self.params, self.mstate, batch)
+            probs_out.append(np.asarray(preds["probabilities"])[:n])
+            ids_out.append(np.asarray(preds["class_ids"])[:n])
+        return np.concatenate(probs_out), np.concatenate(ids_out)
+
     def score_rows(self, rows: List[str]) -> Dict:
         """TSV rows -> {"scores": [[...]], "class_ids": [...], "valid": [...]}.
 
         Rows are validated (column count) BEFORE batching so malformed rows
         can't shift the alignment of the packed batch; they come back with
-        ``valid[i] = false`` and zero scores.
+        ``valid[i] = false`` and zero scores.  The device call goes through
+        the MicroBatcher, which coalesces concurrent requests into one
+        forward (tensorflow_model_server --enable_batching parity).
         """
         ncols = len(self.model.plan.columns)
         n_rows = len(rows)
@@ -80,26 +194,9 @@ class ServingModel:
         valid: List[bool] = [False] * n_rows
         keep = [(i, r) for i, r in enumerate(rows)
                 if r.count("\t") + 1 in (ncols, ncols - 1)]
-        for start in range(0, len(keep), self.max_batch_size):
-            chunk = keep[start:start + self.max_batch_size]
-            n = len(chunk)
-            bucket = self._bucket_for(n)
-            if self._native:
-                text = "\n".join(r for _, r in chunk).encode(
-                    "utf-8", errors="replace")
-                batch = self.transformer.transform_text(
-                    text, n, bucket, mode="pred")
-            else:
-                cells = [r.split("\t") for _, r in chunk]
-                cells = [([""] + c) if len(c) == ncols - 1 else c
-                         for c in cells]
-                batch = self.transformer.transform(
-                    cells, bucket, mode="pred")
-            with self._lock:
-                preds = self._predict(self.params, self.mstate, batch)
-            probs = np.asarray(preds["probabilities"])
-            ids = np.asarray(preds["class_ids"])
-            for j, (orig, _) in enumerate(chunk):
+        if keep:
+            probs, ids = self.batcher.submit([r for _, r in keep]).result()
+            for j, (orig, _) in enumerate(keep):
                 scores[orig] = list(map(float, probs[j]))
                 class_ids[orig] = int(ids[j])
                 valid[orig] = True
@@ -155,11 +252,14 @@ class PredictorServer:
                 continue
             try:
                 log.info("loading new model version from %s", latest)
-                new_model = ServingModel(latest, self.model.max_batch_size,
-                                         self.model.model_name)
+                new_model = ServingModel(
+                    latest, self.model.max_batch_size, self.model.model_name,
+                    batch_timeout_micros=self.model.batcher.timeout_s * 1e6)
                 new_model.warmup()
+                old = self.model
                 self.model = new_model  # atomic reference swap
                 log.info("now serving version %s", new_model.version)
+                old.close()  # in-flight batches finish first (close joins)
             except Exception:  # noqa: BLE001 — keep serving the old version
                 log.exception("hot reload failed; keeping version %s",
                               self.model.version)

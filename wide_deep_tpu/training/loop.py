@@ -88,10 +88,18 @@ class Trainer:
             self.config)
         decay_steps = max(
             float(self.train_conf["num_examples"]) / self.batch_size, 1.0)
+        # touched-rows sparse updates for big tables (reference
+        # SparseApplyAdagrad/Ftrl semantics; optim/sparse.py)
+        from wide_deep_tpu.optim.sparse import plan_sparse_tables
+        self.sparse_tables, sparse_paths = (
+            plan_sparse_tables(self.plan, self.config.model, decay_steps,
+                               self.batch_size)
+            if self.model.has_deep else ({}, frozenset()))
         self.tx = build_joint_optimizer(
             self.config.model, decay_steps,
             arms={"linear": self.model.has_wide, "dnn": self.model.has_deep,
-                  "cnn": self.model.has_cnn})
+                  "cnn": self.model.has_cnn},
+            sparse_paths=sparse_paths)
         self.pos_weight = self.train_conf.get("pos_sample_loss_weight")
         self.neg_weight = self.train_conf.get("neg_sample_loss_weight")
         self.transformer = default_transformer(
@@ -99,7 +107,8 @@ class Trainer:
             num_parallel_calls=self.train_conf.get("num_parallel_calls"))
 
         self._train_step = make_train_step(self.model, self.tx,
-                                           with_summaries=True)
+                                           with_summaries=True,
+                                           sparse_tables=self.sparse_tables)
         self._eval_step = make_eval_step(self.model)
         self._predict_step = make_predict_step(self.model)
         self._ckpt: Optional[CheckpointManager] = None
@@ -131,10 +140,12 @@ class Trainer:
         mstate = jax.device_put(mstate, mesh_lib.replicated(self.mesh))
         # commit every opt-state leaf to the mesh explicitly (table slots
         # row-sharded, the rest replicated) — keeps restore/jit consistent
-        opt_struct = jax.eval_shape(self.tx.init, params)
+        from wide_deep_tpu.training.step import init_opt_state
+        init_fn = lambda p: init_opt_state(self.tx, p, self.sparse_tables)  # noqa: E731
+        opt_struct = jax.eval_shape(init_fn, params)
         opt_shardings = mesh_lib.opt_state_shardings(
             self.mesh, params, shardings, opt_struct)
-        opt_state = jax.jit(self.tx.init,
+        opt_state = jax.jit(init_fn,
                             out_shardings=opt_shardings)(params)
         self.params, self.mstate, self.opt_state = params, mstate, opt_state
         self._ckpt = CheckpointManager(self.model_dir, self.runconfig)

@@ -24,14 +24,23 @@ from wide_deep_tpu.models.joint import WideDeep
 
 
 def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
-                    donate: bool = True, with_summaries: bool = False):
+                    donate: bool = True, with_summaries: bool = False,
+                    sparse_tables: Optional[Dict[str, Any]] = None):
     """Returns jit'd step: (params, mstate, opt_state, batch, rng, step)
     -> (params, mstate, opt_state, loss[, stats]).
 
     ``with_summaries`` adds a dict of per-layer activation scalars
     (zero-fraction/mean/std — the reference's add_layer_summary stats) to the
     outputs; they are collected at trace time through models.deep's summary
-    sink, so the overhead is a handful of fused reductions."""
+    sink, so the overhead is a handful of fused reductions.
+
+    ``sparse_tables`` ({name: optim.sparse.SparseTable}) routes those params
+    around the dense optax transforms: the step updates only the rows named
+    by the batch ids (reference SparseApplyAdagrad/Ftrl semantics,
+    joint.py:224-262).  The opt_state then has the shape
+    ``{"dense": <optax state>, "sparse": {name: slots}}`` (init with
+    ``init_opt_state``)."""
+    sparse_tables = sparse_tables or {}
 
     def step(params, mstate, opt_state, batch, rng, step_idx):
         rng = jax.random.fold_in(rng, step_idx)
@@ -42,14 +51,43 @@ def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
         else:
             (loss, (new_mstate, _, _)), grads = grad_fn(
                 params, mstate, batch, True, rng)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if sparse_tables:
+            from wide_deep_tpu.optim import sparse as sparse_lib
+            updates, dense_state = tx.update(grads, opt_state["dense"],
+                                             params)
+            params = optax.apply_updates(params, updates)
+            sp_state = dict(opt_state["sparse"])
+            for name, table in sparse_tables.items():
+                param = sparse_lib.tree_get(params, table.path)
+                grad = sparse_lib.tree_get(grads, table.path)
+                param, sp_state[name] = sparse_lib.apply_sparse_update(
+                    table, param, grad, batch[table.ids_key], sp_state[name])
+                params = sparse_lib.tree_set(params, table.path, param)
+            opt_state = {"dense": dense_state, "sparse": sp_state}
+        else:
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         if with_summaries:
             return params, new_mstate, opt_state, loss, stats
         return params, new_mstate, opt_state, loss
 
     kwargs = {"donate_argnums": (0, 1, 2)} if donate else {}
     return jax.jit(step, **kwargs)
+
+
+def init_opt_state(tx: optax.GradientTransformation, params,
+                   sparse_tables: Optional[Dict[str, Any]] = None):
+    """Optimizer-state init matching make_train_step's expectations."""
+    if not sparse_tables:
+        return tx.init(params)
+    from wide_deep_tpu.optim import sparse as sparse_lib
+    return {
+        "dense": tx.init(params),
+        "sparse": {
+            name: sparse_lib.init_table_state(
+                t, sparse_lib.tree_get(params, t.path))
+            for name, t in sparse_tables.items()},
+    }
 
 
 def make_eval_step(model: WideDeep):
