@@ -123,7 +123,15 @@ def main():
 
     config = Config()
     plan = FeaturePlan(config)
-    model = build_model(config, plan=plan, model_type="wide_deep")
+    # BENCH_DENSE_DTYPE=bfloat16 measures the MLP-in-bf16 knob (model.yaml
+    # dense_dtype) without editing the conf
+    dtype_env = os.environ.get("BENCH_DENSE_DTYPE")
+    dtype = None
+    if dtype_env:
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16 if dtype_env == "bfloat16" else jnp.float32
+    model = build_model(config, plan=plan, model_type="wide_deep",
+                        dtype=dtype)
     log(plan.describe())
 
     rng = np.random.default_rng(0)
@@ -136,8 +144,11 @@ def main():
     decay_steps = float(config.train["num_examples"]) / BATCH_SIZE
     from wide_deep_tpu.optim.sparse import plan_sparse_tables
     from wide_deep_tpu.training.step import init_opt_state
+    # BENCH_SPARSE=1 measures the opt-in touched-rows path (see
+    # optim/sparse.py: measured slower than XLA's fused dense update)
     sparse_tables, sparse_paths = plan_sparse_tables(
-        plan, config.model, max(decay_steps, 1.0), BATCH_SIZE)
+        plan, config.model, max(decay_steps, 1.0), BATCH_SIZE,
+        enabled=os.environ.get("BENCH_SPARSE") == "1")
     log(f"sparse tables: {sorted(sparse_tables)}")
     tx = build_joint_optimizer(config.model, max(decay_steps, 1.0),
                                {"linear": True, "dnn": True},
@@ -158,7 +169,8 @@ def main():
         params, mstate, opt_state, loss = step(params, mstate, opt_state,
                                                dbatch, key, i)
     jax.block_until_ready(loss)
-    log(f"warmup (incl. compile) {time.time()-t0:.1f}s; loss={float(loss):.4f}")
+    warmup_s = time.time() - t0
+    log(f"warmup (incl. compile) {warmup_s:.1f}s; loss={float(loss):.4f}")
 
     t0 = time.time()
     for i in range(MEASURE_STEPS):
@@ -176,6 +188,10 @@ def main():
         "value": round(per_chip, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(per_chip / REFERENCE_CPU_EXAMPLES_PER_S, 2),
+        # cold-compile tracking (VERDICT round 1 item 8): warmup includes the
+        # train-step compile unless the persistent cache is warm
+        "warmup_incl_compile_s": round(warmup_s, 1),
+        "step_ms": round(dt / MEASURE_STEPS * 1e3, 2),
     }))
 
 

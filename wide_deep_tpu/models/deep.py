@@ -240,7 +240,8 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                      consts: PlanConstants, batch: Dict[str, jnp.ndarray],
                      dtype=jnp.float32,
                      embedding_dtype=jnp.float32,
-                     fold_params: Optional[Dict[str, jnp.ndarray]] = None):
+                     fold_params: Optional[Dict[str, jnp.ndarray]] = None,
+                     lookup_mesh=None):
     """Packed batch -> ([B, deep_input_dim] dense input, fold_wide | None).
 
     One fused-table gather per dim group, then per-feature mean combining as
@@ -262,6 +263,22 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                 else (lambda rng, shape:
                       embedding_init(rng, shape).astype(embedding_dtype)))
     fold_wide = None
+
+    def table_gather(tbl, ids):
+        # explicit sharded exchange (parallel/exchange.py) when enabled and
+        # the table is big enough to be row-sharded; GSPMD otherwise
+        if lookup_mesh is not None:
+            mesh, threshold = lookup_mesh
+            from wide_deep_tpu.parallel.exchange import explicit_sharded_gather
+            from wide_deep_tpu.parallel.mesh import _SHARD_THRESHOLD
+            threshold = _SHARD_THRESHOLD if threshold is None else threshold
+            n_dev = mesh.devices.size
+            if (tbl.size >= threshold * n_dev
+                    and tbl.shape[0] % n_dev == 0
+                    and ids.shape[0] % mesh.shape["data"] == 0):
+                return explicit_sharded_gather(tbl, ids, mesh)
+        return jnp.take(tbl, ids, axis=0)
+
     for g in plan.groups:
         table = store.get(("embed", f"d{g.dim}"), (g.rows, g.dim), emb_init)
         ids = batch[f"emb_ids_d{g.dim}"]            # [B, P] packed pool
@@ -270,7 +287,7 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         if fold_params is not None and g.folded:
             fcol = fold_params[f"d{g.dim}"].astype(table.dtype)
             fused = jnp.concatenate([table, fcol], axis=1)
-            full = jnp.take(fused, ids, axis=0)      # [B, P, dim+n_logits]
+            full = table_gather(fused, ids)          # [B, P, dim+n_logits]
             gathered = full[..., :g.dim]
             # wide sum: weight 1 per present entry (padding has wts == 0)
             presence = (wts > 0).astype(jnp.float32)
@@ -279,7 +296,7 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                             preferred_element_type=jnp.float32)
             fold_wide = fw if fold_wide is None else fold_wide + fw
         else:
-            gathered = jnp.take(table, ids, axis=0)  # [B, P, dim]
+            gathered = table_gather(table, ids)      # [B, P, dim]
         weighted = (gathered * wts[..., None]).astype(jnp.float32)
         # Per-feature mean combine over the packed pool: a per-row one-hot
         # segment matmul (MXU).  Gather/scatter cost is linear in P (measured
@@ -411,7 +428,8 @@ def deep_logits(store: ParamStore, plan: FeaturePlan, consts: PlanConstants,
                 spec: DeepSpec, batch: Dict[str, jnp.ndarray], n_logits: int,
                 training: bool, rng: Optional[jax.Array],
                 bn_state: Optional[Dict],
-                fold_params: Optional[Dict[str, jnp.ndarray]] = None
+                fold_params: Optional[Dict[str, jnp.ndarray]] = None,
+                lookup_mesh=None
                 ) -> Tuple[jnp.ndarray, Dict, Optional[jnp.ndarray]]:
     """Full deep arm: input layer + summed tower logits.
 
@@ -420,7 +438,8 @@ def deep_logits(store: ParamStore, plan: FeaturePlan, consts: PlanConstants,
     (see deep_input_layer).
     """
     x, fold_wide = deep_input_layer(store, plan, consts, batch, spec.dtype,
-                                    spec.embedding_dtype, fold_params)
+                                    spec.embedding_dtype, fold_params,
+                                    lookup_mesh)
     new_bn_state: Dict = {}
     logits = None
     mask = batch.get("mask")

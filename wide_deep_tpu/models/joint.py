@@ -125,9 +125,13 @@ class WideDeep:
             # gather serves both arms); their logits join the linear sum
             fold_params = (params.get("linear", {}).get("fold")
                            if self.has_wide else None)
+            mesh = getattr(self, "_lookup_mesh", None)
+            lookup = ((mesh, getattr(self, "_lookup_threshold", None))
+                      if mesh is not None else None)
             dl, new_bn, fold_wide = deep_logits(
                 store, self.plan, self.consts, self.deep_spec, batch,
-                self.n_logits, training, rng, state.get("bn"), fold_params)
+                self.n_logits, training, rng, state.get("bn"), fold_params,
+                lookup_mesh=lookup)
             new_state["bn"] = new_bn
             add(dl)
             if fold_wide is not None:

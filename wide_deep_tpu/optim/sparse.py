@@ -25,11 +25,21 @@ form shrinks only touched rows — which is exactly the reference's
 SparseApplyProximalAdagrad behavior, so the divergence is a deliberate
 reference-parity fix, asserted in tests/test_sparse_optim.py.
 
-Eligibility (plan_sparse_tables): embed dim-group tables with
-rows >= SPARSE_MIN_ROWS and ids-per-step * SPARSE_ID_FACTOR <= rows — the
-sweep saved must exceed the added random-access traffic (~15 ns per id-row
-measured on v5e, ARCHITECTURE.md).  On the production config this selects
-exactly the unfolded 10M-row dim-32 table.
+**Measured negative result (v5e, batch 25600, production config; kept
+opt-in):** routing the 10M-row dim-32 table through this path made the step
+3.7 ms SLOWER (102.5 -> 106.2 ms).  XLA already fuses the backward scatter
++ optimizer elementwise + buffer donation into in-place touched-row updates
+(the round-1 minimal harness finding, ARCHITECTURE.md), so the dense
+transform never actually sweeps HBM for rows with zero gradient — while
+this path pays real gathers/scatters for the id rows.  The mechanism stays
+for (a) optimizers XLA cannot fuse this way, (b) exact reference
+SparseApplyProximalAdagrad semantics (dense proximal shrinks untouched
+rows; sparse does not), enabled by train.yaml ``sparse_optimizer: true``.
+
+Eligibility (plan_sparse_tables, when enabled): embed dim-group tables with
+rows >= SPARSE_MIN_ROWS and ids-per-step * SPARSE_ID_FACTOR <= rows.  On
+the production config this selects exactly the unfolded 10M-row dim-32
+table.
 """
 
 from __future__ import annotations
@@ -74,11 +84,12 @@ def tree_set(tree, path, value):
     return out
 
 
-def plan_sparse_tables(plan, model_conf, decay_steps: float, batch_size: int
+def plan_sparse_tables(plan, model_conf, decay_steps: float, batch_size: int,
+                       enabled: bool = True
                        ) -> Tuple[Dict[str, SparseTable], frozenset]:
     """Pick tables worth sparse updates -> ({name: SparseTable}, paths)."""
     spec = model_conf["dnn_optimizer"]
-    if spec["name"] not in SPARSE_CAPABLE:
+    if not enabled or spec["name"] not in SPARSE_CAPABLE:
         return {}, frozenset()
     lr0 = spec.get("learning_rate",
                    model_conf["dnn_initial_learning_rate"])

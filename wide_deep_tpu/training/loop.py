@@ -86,14 +86,22 @@ class Trainer:
             n_classes=n_classes, dtype=dtype)
         self.mesh = mesh if mesh is not None else mesh_lib.mesh_from_config(
             self.config)
+        if self.config.distribution.get("sharded_lookup") == "explicit":
+            # deliberate all-gather/psum_scatter exchange for row-sharded
+            # tables instead of GSPMD's derived collectives
+            from wide_deep_tpu.parallel.exchange import enable_explicit_lookup
+            enable_explicit_lookup(self.model, self.mesh)
         decay_steps = max(
             float(self.train_conf["num_examples"]) / self.batch_size, 1.0)
         # touched-rows sparse updates for big tables (reference
-        # SparseApplyAdagrad/Ftrl semantics; optim/sparse.py)
+        # SparseApplyAdagrad/Ftrl semantics; optim/sparse.py).  Opt-in:
+        # measured slower than XLA's fused scatter+optimizer on v5e — see
+        # the optim/sparse.py module docstring for the numbers.
         from wide_deep_tpu.optim.sparse import plan_sparse_tables
         self.sparse_tables, sparse_paths = (
-            plan_sparse_tables(self.plan, self.config.model, decay_steps,
-                               self.batch_size)
+            plan_sparse_tables(
+                self.plan, self.config.model, decay_steps, self.batch_size,
+                enabled=bool(self.train_conf.get("sparse_optimizer")))
             if self.model.has_deep else ({}, frozenset()))
         self.tx = build_joint_optimizer(
             self.config.model, decay_steps,
