@@ -3,6 +3,8 @@
 # analog). Local mode by default; spark mode submits to YARN with the
 # reference's executor sizing.
 set -euo pipefail
+# Hadoop client env: `source conf/hdfs.env` first on unconfigured hosts.
+[ -z "${HADOOP_HOME:-}" ] && [ -f "$(dirname "$0")/../conf/hdfs.env" ] && . "$(dirname "$0")/../conf/hdfs.env" || true
 cd "$(dirname "$0")/.."
 
 ENGINE=${1:-local}

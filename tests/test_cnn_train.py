@@ -9,7 +9,10 @@ import numpy as np
 import pytest
 
 FIXTURE = "/root/reference/data/test/test2"
-TFRECORDS = "/root/reference/data/image/train.tfrecords"
+# bundled image fixtures (tools/generate_sample_images.py; the reference
+# ships data/image/*.jpeg + train.tfrecords — SURVEY §2.15)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TFRECORDS = os.path.join(REPO, "data", "image", "train.tfrecords")
 
 
 @pytest.mark.slow
@@ -45,3 +48,53 @@ def test_joint_cnn_training(small_conf_dir, tmp_path):
     assert not np.allclose(cnn_before, cnn_after)
     res = tr.evaluate(FIXTURE)
     assert np.isfinite(res["loss"])
+
+
+@pytest.mark.slow
+def test_cnn_cli_train_eval_on_bundled_images(small_conf_dir, tmp_path):
+    """CLI-driven CNN-joint run over the bundled PNG->TFRecord fixtures —
+    the full data path (tools/train.py + eval.py with --image_*_data)."""
+    import subprocess
+    import sys
+
+    conf2 = tmp_path / "conf"
+    shutil.copytree(small_conf_dir, conf2)
+    text = (conf2 / "model.yaml").read_text()
+    text = text.replace("cnn_use_flag: 0", "cnn_use_flag: 1")
+    text = text.replace("cnn_model: vgg16", "cnn_model: resnet_cifar")
+    text = text.replace("cnn_resnet_size: 50", "cnn_resnet_size: 8")
+    (conf2 / "model.yaml").write_text(text)
+    env = dict(os.environ, WIDE_DEEP_CONF_DIR=str(conf2),
+               WDT_TEST_REEXEC="1")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = ["--model_type", "wide_deep", "--model_dir", str(tmp_path / "m"),
+              "--image_train_data", TFRECORDS,
+              "--image_eval_data", TFRECORDS,
+              "--image_test_data", TFRECORDS,
+              "--batch_size", "8"]
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "train.py"),
+         "--train_data", FIXTURE, "--eval_data", FIXTURE,
+         "--test_data", FIXTURE, "--train_epochs", "1",
+         "--keep_train", "0"] + common,
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert out.returncode == 0, out.stderr[-3000:]
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "eval.py"),
+         "--test_data", FIXTURE] + common,
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "auc" in out.stdout and "accuracy" in out.stdout, out.stdout
+
+
+def test_bundled_tfrecord_decodes(small_conf_dir):
+    """The bundled train.tfrecords round-trips through the no-TF codec."""
+    from wide_deep_tpu.features import tfrecord
+    from wide_deep_tpu.features.image import decode_raw_image
+    n = 0
+    for payload in tfrecord.read_records(TFRECORDS):
+        img = decode_raw_image(payload, 224, 224, 3)
+        assert img.shape == (224, 224, 3)
+        assert float(img.max()) <= 255.0 and float(img.min()) >= 0.0
+        n += 1
+    assert n == 24

@@ -84,7 +84,8 @@ def main():
     if p95s:
         suggestion = max(p95s)
         print(f"  -> suggested train.yaml pack_budget: {suggestion} "
-              f"(current {plan.pack_budget})")
+              f"(current {plan.pack_budget}; set `pack_budget: auto` to "
+              f"apply this automatically — features/analyze.py)")
 
     print("\nvocab OOV rates (dropped values):")
     for name in sorted(vocab_maps):

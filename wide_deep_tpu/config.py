@@ -421,7 +421,15 @@ class Config:
             out[key] = _as_number(section.get(key), key, where, allow_none=True)
         npc = section.get("num_parallel_calls")
         out["num_parallel_calls"] = int(npc) if npc else None
-        out["pack_budget"] = int(section.get("pack_budget") or 3)
+        pb = section.get("pack_budget")
+        # int = fixed pool capacity; "auto" = p95-occupancy sizing resolved
+        # by callers that can see the data (features/analyze.py)
+        if pb in (None, ""):
+            out["pack_budget"] = 3
+        elif str(pb).lower() == "auto":
+            out["pack_budget"] = "auto"
+        else:
+            out["pack_budget"] = int(pb)
         for key in ("image_train_data", "image_eval_data", "image_test_data",
                     "checkpoint_path"):
             out[key] = section.get(key) or None

@@ -193,8 +193,16 @@ class FeaturePlan:
         self.config = config
         train = config.train
         self.multivalue = train["multivalue"] if multivalue is None else multivalue
-        self.pack_budget = (pack_budget if pack_budget is not None
-                            else int(train.get("pack_budget") or PACK_BUDGET))
+        if pack_budget is not None:
+            self.pack_budget = int(pack_budget)
+        else:
+            raw_budget = train.get("pack_budget")
+            # "auto" is resolved by callers that can see the data
+            # (features/analyze.resolve_pack_budget); a bare FeaturePlan
+            # falls back to the default
+            self.pack_budget = (int(raw_budget)
+                                if isinstance(raw_budget, int) and raw_budget
+                                else PACK_BUDGET)
         if fold is None:
             fold = fold_default(config)
         self.fold = bool(fold)

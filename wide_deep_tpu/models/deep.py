@@ -212,6 +212,45 @@ def embedding_init(rng, shape):
             / np.sqrt(shape[1]))
 
 
+# ----------------------------------------------------- fused fold gather
+@jax.custom_vjp
+def fused_gather_split(table: jnp.ndarray, fcol: jnp.ndarray,
+                       ids: jnp.ndarray):
+    """One gather serves both arms, two scatters serve both optimizers.
+
+    Forward: gather rows of ``concat([table, fcol], 1)`` -> (embedding part
+    [B,P,D], wide part [B,P,n]).  Backward: two *independent* scatter-adds,
+    one per param — NOT the slice of a fused [rows, D+n] grad buffer that
+    plain autodiff produces.  Measured on v5e (batch 25600): the fused-grad
+    slice blocks XLA's scatter+optimizer+donation fusion and forces
+    [rows, 1] f32 layout copies, costing ~50 ms/step on the dim-8 group;
+    with split scatters each chain fuses like the unfolded path.
+    """
+    fused = jnp.concatenate([table, fcol.astype(table.dtype)], axis=1)
+    full = jnp.take(fused, ids, axis=0)
+    D = table.shape[1]
+    return full[..., :D], full[..., D:].astype(fcol.dtype)
+
+
+def _fused_gather_split_fwd(table, fcol, ids):
+    # residuals hold the param refs for shape/dtype only — the backward
+    # reads neither value (zeros_like), so no extra memory is held
+    return fused_gather_split(table, fcol, ids), (ids, table, fcol)
+
+
+def _fused_gather_split_bwd(res, cts):
+    ct_emb, ct_wide = cts
+    ids, table, fcol = res
+    d_table = jnp.zeros_like(table).at[ids].add(
+        ct_emb.astype(table.dtype), mode="drop")
+    d_fcol = jnp.zeros_like(fcol).at[ids].add(
+        ct_wide.astype(fcol.dtype), mode="drop")
+    return d_table, d_fcol, None
+
+
+fused_gather_split.defvjp(_fused_gather_split_fwd, _fused_gather_split_bwd)
+
+
 # ------------------------------------------------------------- input layer
 class PlanConstants:
     """Static metadata derived from the plan for the input layer."""
@@ -285,14 +324,24 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         wts = batch[f"emb_wts_d{g.dim}"]            # [B, P]
         seg = batch[f"emb_seg_d{g.dim}"]            # [B, P] slot index
         if fold_params is not None and g.folded:
-            fcol = fold_params[f"d{g.dim}"].astype(table.dtype)
-            fused = jnp.concatenate([table, fcol], axis=1)
-            full = table_gather(fused, ids)          # [B, P, dim+n_logits]
-            gathered = full[..., :g.dim]
+            fcol = fold_params[f"d{g.dim}"]
+            if lookup_mesh is not None:
+                # explicit-exchange path: plain concat (autodiff handles the
+                # shard_map transposes)
+                fused = jnp.concatenate([table, fcol.astype(table.dtype)],
+                                        axis=1)
+                full = table_gather(fused, ids)      # [B, P, dim+n_logits]
+                gathered = full[..., :g.dim]
+                wide_rows = full[..., g.dim:].astype(jnp.float32)
+            else:
+                # single-chip/GSPMD path: split-scatter backward so each
+                # param's scatter fuses with its optimizer (see
+                # fused_gather_split)
+                gathered, wide_rows = fused_gather_split(table, fcol, ids)
+                wide_rows = wide_rows.astype(jnp.float32)
             # wide sum: weight 1 per present entry (padding has wts == 0)
             presence = (wts > 0).astype(jnp.float32)
-            fw = jnp.einsum("bpn,bp->bn",
-                            full[..., g.dim:].astype(jnp.float32), presence,
+            fw = jnp.einsum("bpn,bp->bn", wide_rows, presence,
                             preferred_element_type=jnp.float32)
             fold_wide = fw if fold_wide is None else fold_wide + fw
         else:

@@ -44,8 +44,10 @@ def export_savedmodel(config: Config, export_dir: str,
     Returns the versioned bundle path."""
     serving = config.serving
     model_type = model_type or serving["model_type"]
+    from wide_deep_tpu.features.analyze import resolve_pack_budget
     from wide_deep_tpu.features.plan import fold_enabled
-    plan = FeaturePlan(config, fold=fold_enabled(config, model_type))
+    plan = FeaturePlan(config, fold=fold_enabled(config, model_type),
+                       pack_budget=resolve_pack_budget(config))
     model = build_model(config, plan=plan, model_type=model_type,
                         n_classes=n_classes)
 

@@ -46,7 +46,10 @@ def write_small_conf(dst_dir: str,
         "embedding_dtype: bfloat16", "embedding_dtype: float32"))
     rewrite("train.yaml", lambda t: t.replace(
         "batch_size: 64", f"batch_size: {batch_size}").replace(
-        "num_examples: 10000", f"num_examples: {num_examples}"))
+        "num_examples: 10000", f"num_examples: {num_examples}").replace(
+        # pinned budget: tests need stable pool layouts regardless of which
+        # fixture a Trainer points at (auto sizes from the data)
+        "pack_budget: auto", "pack_budget: 3"))
     return dst_dir
 
 

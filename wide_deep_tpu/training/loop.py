@@ -77,10 +77,17 @@ class Trainer:
         self.n_classes = n_classes
         self.seed = int(self.runconfig.get("tf_random_seed") or 123)
 
+        from wide_deep_tpu.features.analyze import resolve_pack_budget
         from wide_deep_tpu.features.plan import fold_enabled
+        budget = self.train_conf.get("pack_budget")
+        if str(budget).lower() == "auto":
+            # measured-occupancy pool sizing (features/analyze.py)
+            budget = resolve_pack_budget(self.config,
+                                         self.train_conf.get("train_data"))
         self.plan = FeaturePlan(
             self.config, multivalue=self.train_conf["multivalue"],
-            fold=fold_enabled(self.config, self.model_type))
+            fold=fold_enabled(self.config, self.model_type),
+            pack_budget=budget if budget not in (None, "") else None)
         self.model: WideDeep = build_model(
             self.config, plan=self.plan, model_type=self.model_type,
             n_classes=n_classes, dtype=dtype)
