@@ -172,9 +172,15 @@ class ServingModel:
                 batch = self.transformer.transform(
                     cells, bucket, mode="pred")
             preds = self._predict(self.params, self.mstate, batch)
-            probs_out.append(np.asarray(preds["probabilities"])[:n])
-            ids_out.append(np.asarray(preds["class_ids"])[:n])
-        return np.concatenate(probs_out), np.concatenate(ids_out)
+            # keep results as device arrays: jax dispatch is async, so the
+            # batcher thread can launch the NEXT micro-batch while this one
+            # computes/transfers; the requester thread blocks on np.asarray
+            probs_out.append(preds["probabilities"][:n])
+            ids_out.append(preds["class_ids"][:n])
+        if len(probs_out) == 1:
+            return probs_out[0], ids_out[0]
+        import jax.numpy as jnp
+        return jnp.concatenate(probs_out), jnp.concatenate(ids_out)
 
     def score_rows(self, rows: List[str]) -> Dict:
         """TSV rows -> {"scores": [[...]], "class_ids": [...], "valid": [...]}.
@@ -196,6 +202,7 @@ class ServingModel:
                 if r.count("\t") + 1 in (ncols, ncols - 1)]
         if keep:
             probs, ids = self.batcher.submit([r for _, r in keep]).result()
+            probs, ids = np.asarray(probs), np.asarray(ids)
             for j, (orig, _) in enumerate(keep):
                 scores[orig] = list(map(float, probs[j]))
                 class_ids[orig] = int(ids[j])
