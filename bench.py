@@ -86,6 +86,12 @@ def synthetic_batch(plan, batch_size, rng):
             cur += occ
         batch[f"emb_ids_d{g.dim}"], batch[f"emb_wts_d{g.dim}"] = ids, wts
         batch[f"emb_seg_d{g.dim}"] = seg
+        if plan.scatter_group(g, batch_size):
+            from wide_deep_tpu.ops.scatter import make_scatter_plan
+            sp = make_scatter_plan(ids.reshape(-1), g.rows)
+            batch[f"scat_ids_d{g.dim}"] = sp["ids"]
+            batch[f"scat_perm_d{g.dim}"] = sp["perm"]
+            batch[f"scat_tiles_d{g.dim}"] = sp["tiles"]
 
     if plan.indicator_total_len:
         ids = np.zeros((batch_size, plan.indicator_total_len), np.int32)
@@ -122,7 +128,11 @@ def main():
     mesh = mesh_lib.make_mesh(n_chips, 1)
 
     config = Config()
-    plan = FeaturePlan(config)
+    # BENCH_SCATTER=xla disables the Pallas range-scatter backward
+    plan = FeaturePlan(
+        config,
+        pallas_scatter=(n_chips == 1
+                        and os.environ.get("BENCH_SCATTER") != "xla"))
     # BENCH_DENSE_DTYPE=bfloat16 measures the MLP-in-bf16 knob (model.yaml
     # dense_dtype) without editing the conf
     dtype_env = os.environ.get("BENCH_DENSE_DTYPE")

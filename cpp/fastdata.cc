@@ -134,10 +134,85 @@ struct Cross {
 struct Plan {
   int64_t n_columns = 0, multivalue = 0, pack_budget = 3;
   int64_t wide_packed = 0, ind_len = 0, n_cont = 0;
-  std::vector<int64_t> group_dims, group_packed;
+  std::vector<int64_t> group_dims, group_packed, group_rows;
   std::vector<Feature> features;
   std::vector<Cross> crosses;
 };
+
+// ---- Pallas range-scatter plan constants; MUST match ops/scatter.py
+// (T_IDS / MAXR / ALIGN_IDS / ALIGN_ROWS) — the Python/C++ parity test
+// fails loudly on drift.
+constexpr int64_t kTIds = 512;
+constexpr int64_t kMaxr = 4096;
+constexpr int64_t kAlignIds = 128;
+constexpr int64_t kAlignRows = 256;
+
+inline int64_t rows_pad(int64_t rows) {
+  int64_t aligned = (rows + kAlignRows - 1) / kAlignRows * kAlignRows;
+  return std::max(aligned, kMaxr);
+}
+
+inline int64_t n_tiles_for(int64_t n_ids, int64_t rows) {
+  return (n_ids + kTIds - 1) / kTIds
+         + (rows + (kMaxr - kAlignRows) - 1) / (kMaxr - kAlignRows) + 1;
+}
+
+// stable LSB radix sort of (id, index) pairs by id; fills perm/sorted.
+void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
+                          int32_t* sorted) {
+  std::vector<int32_t> tmp_idx(n), tmp_ids(n);
+  for (int64_t i = 0; i < n; ++i) perm[i] = static_cast<int32_t>(i);
+  std::memcpy(sorted, ids, n * sizeof(int32_t));
+  int32_t* src_i = perm;
+  int32_t* src_v = sorted;
+  int32_t* dst_i = tmp_idx.data();
+  int32_t* dst_v = tmp_ids.data();
+  for (int shift = 0; shift < 32; shift += 8) {
+    int64_t count[257] = {0};
+    for (int64_t i = 0; i < n; ++i)
+      ++count[((static_cast<uint32_t>(src_v[i]) >> shift) & 0xFF) + 1];
+    if (count[1] == n) continue;  // all keys zero at this byte: identity pass
+    for (int b = 0; b < 256; ++b) count[b + 1] += count[b];
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t pos = count[(static_cast<uint32_t>(src_v[i]) >> shift) & 0xFF]++;
+      dst_i[pos] = src_i[i];
+      dst_v[pos] = src_v[i];
+    }
+    std::swap(src_i, dst_i);
+    std::swap(src_v, dst_v);
+  }
+  if (src_i != perm) {
+    std::memcpy(perm, src_i, n * sizeof(int32_t));
+    std::memcpy(sorted, src_v, n * sizeof(int32_t));
+  }
+}
+
+// tiling of a sorted id stream (ops/scatter.py build_scatter_tiles parity)
+void build_tiles(const int32_t* ids_sorted, int64_t n, int64_t rows,
+                 int32_t* tiles, int64_t n_tiles) {
+  // tiles laid out [4, n_tiles]: starts, offs, counts, row_los
+  int32_t* starts = tiles;
+  int32_t* offs = tiles + n_tiles;
+  int32_t* counts = tiles + 2 * n_tiles;
+  int32_t* row_los = tiles + 3 * n_tiles;
+  const int64_t rp = rows_pad(rows);
+  const int64_t max_lo = rp - kMaxr;
+  int64_t t = 0, i = 0;
+  while (i < n && t < n_tiles) {
+    int64_t lo = std::min<int64_t>(
+        static_cast<int64_t>(ids_sorted[i]) / kAlignRows * kAlignRows,
+        max_lo);
+    int64_t j_cap = std::min(i + kTIds, n);
+    int64_t j = i;
+    while (j < j_cap && ids_sorted[j] < lo + kMaxr) ++j;
+    starts[t] = static_cast<int32_t>(i / kAlignIds * kAlignIds);
+    offs[t] = static_cast<int32_t>(i - starts[t]);
+    counts[t] = static_cast<int32_t>(j - i);
+    row_los[t] = static_cast<int32_t>(lo);
+    ++t;
+    i = j;
+  }
+}
 
 struct Reader {
   const uint8_t* p;
@@ -170,7 +245,7 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  if (r.i64() != 4) return nullptr;  // version (packed pools + wide fold)
+  if (r.i64() != 5) return nullptr;  // version (wide fold + scatter plans)
   auto plan = new Plan();
   plan->n_columns = r.i64();
   plan->multivalue = r.i64();
@@ -182,6 +257,7 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   for (int64_t g = 0; g < n_groups; ++g) {
     plan->group_dims.push_back(r.i64());
     plan->group_packed.push_back(r.i64());
+    plan->group_rows.push_back(r.i64());
   }
   int64_t n_features = r.i64();
   for (int64_t i = 0; i < n_features && r.ok; ++i) {
@@ -455,11 +531,15 @@ void* wdt_plan_create(const char* buf, int64_t len) {
 void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 
 // outs layout: label, weight, mask, wide_ids, wide_wts,
-//              [per group: ids, wts, seg]..., ind_ids, ind_wts, cont
+//              [per group: ids, wts, seg]..., ind_ids, ind_wts, cont,
+//              then per scat_mask group (ascending): ids_sorted [B*P],
+//              perm [B*P], tiles [4, n_tiles_for(B*P, rows)].
+// scat_mask: bit g set = emit a Pallas scatter plan for group g
+// (ops/scatter.py contract; caller sizes the buffers).
 int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                       int64_t capacity, int has_label, int multiclass,
                       double pos_w, double neg_w, int weighted, int n_threads,
-                      void** outs) {
+                      int64_t scat_mask, void** outs) {
   const Plan& plan = *static_cast<Plan*>(plan_ptr);
   Outs o;
   int idx = 0;
@@ -476,6 +556,17 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
   o.ind_ids = static_cast<int32_t*>(outs[idx++]);
   o.ind_wts = static_cast<float*>(outs[idx++]);
   o.cont = static_cast<float*>(outs[idx++]);
+  struct ScatOut { int64_t group; int32_t *ids, *perm, *tiles; };
+  std::vector<ScatOut> scats;
+  for (size_t g = 0; g < plan.group_dims.size(); ++g) {
+    if (!(scat_mask >> g & 1)) continue;
+    ScatOut s;
+    s.group = static_cast<int64_t>(g);
+    s.ids = static_cast<int32_t*>(outs[idx++]);
+    s.perm = static_cast<int32_t*>(outs[idx++]);
+    s.tiles = static_cast<int32_t*>(outs[idx++]);
+    scats.push_back(s);
+  }
 
   // pass 1: line spans + validity (cell count match)
   struct Line { const char* p; size_t n; bool shifted; };
@@ -545,6 +636,26 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       threads.emplace_back(worker, lo, hi);
     }
     for (auto& th : threads) th.join();
+  }
+
+  // scatter-plan post-pass: stable argsort of each requested group's full
+  // (padding included — padded rows hold id 0) id matrix + range tiling
+  // (ops/scatter.py parity).  Groups sort in parallel when threads allow.
+  if (!scats.empty()) {
+    auto do_scat = [&](const ScatOut& s) {
+      int64_t g = s.group;
+      int64_t n = capacity * plan.group_packed[g];
+      int64_t rows = plan.group_rows[g];
+      stable_radix_argsort(o.g_ids[g], n, s.perm, s.ids);
+      build_tiles(s.ids, n, rows, s.tiles, n_tiles_for(n, rows));
+    };
+    if (scats.size() == 1 || nt == 1) {
+      for (const auto& s : scats) do_scat(s);
+    } else {
+      std::vector<std::thread> threads;
+      for (const auto& s : scats) threads.emplace_back(do_scat, s);
+      for (auto& th : threads) th.join();
+    }
   }
   return n_rows;
 }

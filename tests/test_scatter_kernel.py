@@ -1,0 +1,179 @@
+"""Pallas range-scatter kernel (ops/scatter.py): exactness vs XLA scatter.
+
+Interpret-mode on the CPU mesh; the TPU win is measured separately
+(ARCHITECTURE.md round-2 log).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _run(ids, g, rows, dtype=np.float32):
+    from wide_deep_tpu.ops.scatter import (build_scatter_tiles,
+                                           range_scatter_add)
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order].astype(np.int32)
+    g_sorted = g[order].astype(dtype)
+    starts, offs, counts, row_los = build_scatter_tiles(ids_sorted, rows)
+    out = range_scatter_add(
+        jnp.asarray(ids_sorted), jnp.asarray(g_sorted),
+        jnp.asarray(starts), jnp.asarray(offs), jnp.asarray(counts),
+        jnp.asarray(row_los), rows, interpret=True)
+    ref = np.zeros((rows, g.shape[1]), np.float64)
+    np.add.at(ref, ids, g.astype(np.float64))
+    return np.asarray(out, np.float64), ref
+
+
+class TestTiles:
+    def test_tiling_contract(self):
+        from wide_deep_tpu.ops.scatter import (ALIGN_IDS, ALIGN_ROWS, MAXR,
+                                               T_IDS, build_scatter_tiles)
+        rng = np.random.default_rng(0)
+        rows = 50176  # multiple of 256 (plan ROW_ALIGN)
+        ids = np.sort(rng.integers(0, rows, 20000)).astype(np.int32)
+        starts, offs, counts, row_los = build_scatter_tiles(ids, rows)
+        covered = 0
+        prev_end = 0
+        for s, o, c, lo in zip(starts, offs, counts, row_los):
+            if c == 0:
+                continue
+            assert s % ALIGN_IDS == 0 and 0 <= o < ALIGN_IDS
+            assert s + o == prev_end
+            chunk = ids[s + o:s + o + c]
+            assert c <= T_IDS
+            assert lo % ALIGN_ROWS == 0
+            assert lo <= chunk.min()
+            assert chunk.max() - lo < MAXR
+            assert lo + MAXR <= max(rows, MAXR)
+            covered += c
+            prev_end = s + o + c
+        assert covered == len(ids)
+
+    def test_skewed_ids_split_across_tiles(self):
+        """1000 duplicates of one id + a sparse tail must still tile."""
+        from wide_deep_tpu.ops.scatter import T_IDS, build_scatter_tiles
+        rows = 100000
+        ids = np.sort(np.concatenate([
+            np.full(3 * T_IDS, 7, np.int32),
+            np.array([50, 99999, 99999], np.int32)])).astype(np.int32)
+        starts, offs, counts, row_los = build_scatter_tiles(ids, rows)
+        assert counts.sum() == len(ids)
+
+
+class TestKernel:
+    @pytest.mark.parametrize("rows,n,d", [(8192, 2000, 8), (50000, 6000, 4),
+                                          (4096, 700, 16)])
+    def test_matches_xla_scatter(self, rows, n, d):
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, rows, n).astype(np.int32)
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        out, ref = _run(ids, g, rows)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_duplicates_and_hot_rows(self):
+        rng = np.random.default_rng(2)
+        rows, d = 8192, 8
+        # heavy duplication: 4000 ids over 50 distinct rows
+        ids = rng.integers(0, 50, 4000).astype(np.int32)
+        g = rng.normal(size=(4000, d)).astype(np.float32)
+        out, ref = _run(ids, g, rows)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_bf16_stream(self):
+        rng = np.random.default_rng(3)
+        rows, n, d = 8192, 3000, 8
+        ids = rng.integers(0, rows, n).astype(np.int32)
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        from wide_deep_tpu.ops.scatter import (build_scatter_tiles,
+                                               range_scatter_add)
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order].astype(np.int32)
+        g_sorted = jnp.asarray(g[order]).astype(jnp.bfloat16)
+        starts, offs, counts, row_los = build_scatter_tiles(ids_sorted, rows)
+        out = range_scatter_add(
+            jnp.asarray(ids_sorted), g_sorted, jnp.asarray(starts),
+            jnp.asarray(offs), jnp.asarray(counts),
+            jnp.asarray(row_los), rows, interpret=True)
+        ref = np.zeros((rows, d), np.float32)
+        np.add.at(ref, ids, np.asarray(g_sorted[np.argsort(order)],
+                                       np.float32))
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                                   rtol=3e-2, atol=3e-2)
+
+    def test_rows_smaller_than_slab(self):
+        rng = np.random.default_rng(4)
+        rows, n, d = 1000, 500, 8  # rows < MAXR
+        ids = rng.integers(0, rows, n).astype(np.int32)
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        out, ref = _run(ids, g, rows)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestScatterPlanPlumbing:
+    def test_python_cpp_plan_parity(self, small_config, fixture_rows,
+                                    monkeypatch):
+        """The C++ loader's radix-argsort + tiling must be bit-identical to
+        the numpy reference for every batch array."""
+        from wide_deep_tpu.features.native import NativeTransformer
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        import wide_deep_tpu.ops.scatter as sc
+        if not NativeTransformer.available():
+            pytest.skip("native lib not built")
+        monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_ROWS", 1)
+        plan = FeaturePlan(small_config, pallas_scatter=True)
+        # density gate: force every group eligible for the parity check
+        monkeypatch.setattr(
+            type(plan), "scatter_group", lambda self, g, b: True)
+        py = FeatureTransformer(plan).transform(fixture_rows, 16,
+                                                mode="train")
+        cc = NativeTransformer(plan).transform(fixture_rows, 16,
+                                               mode="train")
+        scat_keys = [k for k in py if k.startswith("scat_")]
+        assert scat_keys, "no scatter plans emitted"
+        assert set(py) == set(cc)
+        for k in sorted(py):
+            np.testing.assert_array_equal(py[k], cc[k], err_msg=k)
+
+    def test_training_matches_xla_path(self, small_config, tmp_path,
+                                       monkeypatch):
+        """End-to-end: pallas scatter backward == XLA scatter backward
+        (losses + eval) on a single-device mesh."""
+        import shutil
+
+        import wide_deep_tpu.ops.scatter as sc
+        from wide_deep_tpu.config import Config
+        from wide_deep_tpu.features.plan import FeaturePlan
+        from wide_deep_tpu.parallel import mesh as mesh_lib
+        from wide_deep_tpu.training.loop import Trainer
+
+        monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_ROWS", 1)
+        monkeypatch.setattr(FeaturePlan, "scatter_group",
+                            lambda self, g, b: self.pallas_scatter)
+        FIXTURE = "/root/reference/data/test/test2"
+        mesh1 = mesh_lib.make_mesh(1, 1, jax.devices()[:1])
+        losses = {}
+        for tag in ("pallas", "xla"):
+            conf2 = tmp_path / f"conf_{tag}"
+            shutil.copytree(small_config.conf_dir, conf2)
+            with open(conf2 / "train.yaml") as f:
+                text = f.read()
+            text = text.replace("scatter_mode: pallas",
+                                f"scatter_mode: {tag}")
+            with open(conf2 / "train.yaml", "w") as f:
+                f.write(text)
+            tr = Trainer(Config(str(conf2)), model_type="wide_deep",
+                         model_dir=str(tmp_path / tag), mesh=mesh1,
+                         overrides=dict(train_data=FIXTURE, eval_data=FIXTURE,
+                                        test_data=FIXTURE, keep_train=True,
+                                        batch_size=16))
+            assert tr.plan.pallas_scatter == (tag == "pallas")
+            tr.ensure_initialized(restore=False)
+            traj = [tr.train_file(FIXTURE) for _ in range(3)]
+            traj.append(tr.evaluate(FIXTURE)["loss"])
+            losses[tag] = traj
+        np.testing.assert_allclose(losses["pallas"], losses["xla"],
+                                   rtol=5e-4)

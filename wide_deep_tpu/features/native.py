@@ -54,14 +54,14 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(4)  # version
+    i64(5)  # version (v5: per-group rows for scatter-plan emission)
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
     i64(len(plan.columns), int(plan.multivalue), int(plan.pack_budget),
         plan.wide_packed_len,
         plan.indicator_total_len, len(plan.continuous_slots),
         len(plan.groups))
     for g in plan.groups:
-        i64(g.dim, plan.group_packed_len[g.dim])
+        i64(g.dim, plan.group_packed_len[g.dim], g.rows)
 
     feats = plan.feature_order
     feat_index = {name: i for i, name in enumerate(feats)}
@@ -139,7 +139,7 @@ class NativeTransformer:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double,
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_void_p)]
         blob = serialize_plan(plan)
         self._plan_handle = self._lib.wdt_plan_create(blob, len(blob))
@@ -183,6 +183,21 @@ class NativeTransformer:
         if plan.continuous_slots:
             out["cont"] = cont
 
+        # Pallas scatter plans (ops/scatter.py) for big groups, train mode
+        scat_mask = 0
+        if mode == "train":
+            from wide_deep_tpu.ops.scatter import scatter_batch_spec
+            for gi, g in enumerate(plan.groups):
+                if not plan.scatter_group(g, B):
+                    continue
+                scat_mask |= 1 << gi
+                spec = scatter_batch_spec(B * plan.group_packed_len[g.dim],
+                                          g.rows)
+                for key, (shape, dt) in spec.items():
+                    arr = np.zeros(shape, dt)
+                    out[f"scat_{key}_d{g.dim}"] = arr
+                    ptr_order.append(arr)
+
         ptrs = (ctypes.c_void_p * len(ptr_order))(
             *[a.ctypes.data_as(ctypes.c_void_p).value for a in ptr_order])
         has_label = 0 if mode == "pred" else 1
@@ -190,7 +205,7 @@ class NativeTransformer:
             self._plan_handle, text, len(text), B, has_label,
             1 if self.n_classes > 2 else 0,
             float(self.pos_weight or 1.0), float(self.neg_weight or 1.0),
-            1 if self.weighted else 0, self.n_threads, ptrs)
+            1 if self.weighted else 0, self.n_threads, scat_mask, ptrs)
         if n < 0:
             raise RuntimeError(f"wdt_transform failed: {n}")
         if mode == "pred":

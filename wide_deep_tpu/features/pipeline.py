@@ -275,6 +275,14 @@ class FeatureTransformer:
             out[f"emb_ids_d{g.dim}"] = g_ids[g.dim]
             out[f"emb_wts_d{g.dim}"] = g_wts[g.dim]
             out[f"emb_seg_d{g.dim}"] = g_seg[g.dim]
+            if mode == "train" and plan.scatter_group(g, B):
+                # host-built scatter plan for the Pallas backward
+                # (ops/scatter.py): sorted ids + perm + range tiles
+                from wide_deep_tpu.ops.scatter import make_scatter_plan
+                sp = make_scatter_plan(g_ids[g.dim].reshape(-1), g.rows)
+                out[f"scat_ids_d{g.dim}"] = sp["ids"]
+                out[f"scat_perm_d{g.dim}"] = sp["perm"]
+                out[f"scat_tiles_d{g.dim}"] = sp["tiles"]
         if plan.indicator_total_len:
             out["ind_ids"], out["ind_wts"] = ind_ids, ind_wts
         if plan.continuous_slots:

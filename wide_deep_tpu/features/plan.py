@@ -189,7 +189,8 @@ class FeaturePlan:
     def __init__(self, config: Config, multivalue: Optional[bool] = None,
                  pack_budget: Optional[int] = None,
                  fold: Optional[bool] = None,
-                 fold_max_rows: Optional[int] = None):
+                 fold_max_rows: Optional[int] = None,
+                 pallas_scatter: bool = False):
         self.config = config
         train = config.train
         self.multivalue = train["multivalue"] if multivalue is None else multivalue
@@ -209,6 +210,12 @@ class FeaturePlan:
         self.fold_max_rows = int(
             fold_max_rows if fold_max_rows is not None
             else (config.model.get("wide_fold_max_rows") or FOLD_MAX_ROWS))
+        # pallas_scatter: batches additionally carry a host-built scatter
+        # plan (sorted ids + permutation + range tiles) per big dim group so
+        # the backward runs ops/scatter.range_scatter_add instead of XLA's
+        # serial scatter (measured 5.6x on v5e).  Callers enable it for
+        # single-device meshes (Trainer / bench).
+        self.pallas_scatter = bool(pallas_scatter)
         schema = config.schema_columns()
         self.columns = schema
         self.label = schema[0]
@@ -371,6 +378,17 @@ class FeaturePlan:
                 ws.offset + np.arange(isl.size, dtype=np.int32))
         self.indicator_wide_rows = ind_rows
 
+    def scatter_group(self, g: "DimGroup", batch_size: int) -> bool:
+        """Whether this dim group's train batches carry a Pallas scatter
+        plan (ops/scatter.py).  Big tables only (small ones scatter faster
+        in XLA — rows cache-resident), and only when the id stream is dense
+        enough that range slabs aren't mostly empty."""
+        from wide_deep_tpu.ops.scatter import PALLAS_SCATTER_MIN_ROWS
+        n_ids = batch_size * self.group_packed_len[g.dim]
+        return (self.pallas_scatter
+                and g.rows >= PALLAS_SCATTER_MIN_ROWS
+                and n_ids * 16 >= g.rows)
+
     # ------------------------------------------------------------- descriptors
     def batch_spec(self, batch_size: int, n_classes: int = 2,
                    with_image: bool = False,
@@ -391,6 +409,10 @@ class FeaturePlan:
             spec[f"emb_ids_d{g.dim}"] = ((B, P), np.int32)
             spec[f"emb_wts_d{g.dim}"] = ((B, P), np.float32)
             spec[f"emb_seg_d{g.dim}"] = ((B, P), np.int32)
+            if mode == "train" and self.scatter_group(g, B):
+                from wide_deep_tpu.ops.scatter import scatter_batch_spec
+                for key, sd in scatter_batch_spec(B * P, g.rows).items():
+                    spec[f"scat_{key}_d{g.dim}"] = sd
         if self.indicator_total_len:
             spec["ind_ids"] = ((B, self.indicator_total_len), np.int32)
             spec["ind_wts"] = ((B, self.indicator_total_len), np.float32)

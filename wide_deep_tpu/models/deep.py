@@ -215,7 +215,7 @@ def embedding_init(rng, shape):
 # ----------------------------------------------------- fused fold gather
 @jax.custom_vjp
 def fused_gather_split(table: jnp.ndarray, fcol: jnp.ndarray,
-                       ids: jnp.ndarray):
+                       ids: jnp.ndarray, scat=None):
     """One gather serves both arms, two scatters serve both optimizers.
 
     Forward: gather rows of ``concat([table, fcol], 1)`` -> (embedding part
@@ -225,6 +225,14 @@ def fused_gather_split(table: jnp.ndarray, fcol: jnp.ndarray,
     slice blocks XLA's scatter+optimizer+donation fusion and forces
     [rows, 1] f32 layout copies, costing ~50 ms/step on the dim-8 group;
     with split scatters each chain fuses like the unfolded path.
+
+    ``scat`` (optional): a host-built scatter plan
+    ({"ids", "perm", "tiles"} — features/pipeline.py) that routes the
+    backward through the Pallas range-scatter kernel (ops/scatter.py)
+    instead of XLA's serial scatter — measured 5.6x faster at the
+    production dim-8 shapes.  One kernel call produces the [rows, D+n]
+    grad, then sliced (slicing a *materialized* buffer is a cheap copy and
+    cannot block fusions the way slicing a scatter fusion did).
     """
     fused = jnp.concatenate([table, fcol.astype(table.dtype)], axis=1)
     full = jnp.take(fused, ids, axis=0)
@@ -232,23 +240,62 @@ def fused_gather_split(table: jnp.ndarray, fcol: jnp.ndarray,
     return full[..., :D], full[..., D:].astype(fcol.dtype)
 
 
-def _fused_gather_split_fwd(table, fcol, ids):
+def _fused_gather_split_fwd(table, fcol, ids, scat=None):
     # residuals hold the param refs for shape/dtype only — the backward
     # reads neither value (zeros_like), so no extra memory is held
-    return fused_gather_split(table, fcol, ids), (ids, table, fcol)
+    return fused_gather_split(table, fcol, ids, scat), (ids, table, fcol,
+                                                        scat)
 
 
 def _fused_gather_split_bwd(res, cts):
     ct_emb, ct_wide = cts
-    ids, table, fcol = res
+    ids, table, fcol, scat = res
+    if scat is not None:
+        from wide_deep_tpu.ops.scatter import apply_scatter_plan
+        D = table.shape[1]
+        n = fcol.shape[1]
+        g = jnp.concatenate(
+            [ct_emb.reshape(-1, D).astype(table.dtype),
+             ct_wide.reshape(-1, n).astype(table.dtype)], axis=1)
+        dense = apply_scatter_plan(
+            scat, g, table.shape[0],
+            interpret=jax.default_backend() == "cpu")
+        return (dense[:, :D], dense[:, D:].astype(fcol.dtype), None, None)
     d_table = jnp.zeros_like(table).at[ids].add(
         ct_emb.astype(table.dtype), mode="drop")
     d_fcol = jnp.zeros_like(fcol).at[ids].add(
         ct_wide.astype(fcol.dtype), mode="drop")
-    return d_table, d_fcol, None
+    return d_table, d_fcol, None, None
 
 
 fused_gather_split.defvjp(_fused_gather_split_fwd, _fused_gather_split_bwd)
+
+
+@jax.custom_vjp
+def gather_with_plan(table: jnp.ndarray, ids: jnp.ndarray, scat=None):
+    """Plain table gather whose backward uses the Pallas range-scatter when
+    a host plan is provided (unfolded big groups, e.g. deep-only models)."""
+    return jnp.take(table, ids, axis=0)
+
+
+def _gather_with_plan_fwd(table, ids, scat=None):
+    return gather_with_plan(table, ids, scat), (ids, table, scat)
+
+
+def _gather_with_plan_bwd(res, ct):
+    ids, table, scat = res
+    if scat is not None:
+        from wide_deep_tpu.ops.scatter import apply_scatter_plan
+        dense = apply_scatter_plan(
+            scat, ct.reshape(-1, table.shape[1]).astype(table.dtype),
+            table.shape[0], interpret=jax.default_backend() == "cpu")
+        return dense, None, None
+    d_table = jnp.zeros_like(table).at[ids].add(
+        ct.astype(table.dtype), mode="drop")
+    return d_table, None, None
+
+
+gather_with_plan.defvjp(_gather_with_plan_fwd, _gather_with_plan_bwd)
 
 
 # ------------------------------------------------------------- input layer
@@ -323,6 +370,13 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         ids = batch[f"emb_ids_d{g.dim}"]            # [B, P] packed pool
         wts = batch[f"emb_wts_d{g.dim}"]            # [B, P]
         seg = batch[f"emb_seg_d{g.dim}"]            # [B, P] slot index
+        # host-built Pallas scatter plan for the backward, when present
+        # (train batches of big groups; features/pipeline.py)
+        scat = None
+        if f"scat_ids_d{g.dim}" in batch and lookup_mesh is None:
+            scat = {"ids": batch[f"scat_ids_d{g.dim}"],
+                    "perm": batch[f"scat_perm_d{g.dim}"],
+                    "tiles": batch[f"scat_tiles_d{g.dim}"]}
         if fold_params is not None and g.folded:
             fcol = fold_params[f"d{g.dim}"]
             if lookup_mesh is not None:
@@ -336,14 +390,17 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
             else:
                 # single-chip/GSPMD path: split-scatter backward so each
                 # param's scatter fuses with its optimizer (see
-                # fused_gather_split)
-                gathered, wide_rows = fused_gather_split(table, fcol, ids)
+                # fused_gather_split); Pallas range-scatter when planned
+                gathered, wide_rows = fused_gather_split(table, fcol, ids,
+                                                         scat)
                 wide_rows = wide_rows.astype(jnp.float32)
             # wide sum: weight 1 per present entry (padding has wts == 0)
             presence = (wts > 0).astype(jnp.float32)
             fw = jnp.einsum("bpn,bp->bn", wide_rows, presence,
                             preferred_element_type=jnp.float32)
             fold_wide = fw if fold_wide is None else fold_wide + fw
+        elif scat is not None:
+            gathered = gather_with_plan(table, ids, scat)  # [B, P, dim]
         else:
             gathered = table_gather(table, ids)      # [B, P, dim]
         weighted = (gathered * wts[..., None]).astype(jnp.float32)

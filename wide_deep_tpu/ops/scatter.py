@@ -1,0 +1,240 @@
+"""Pallas range-scatter: MXU one-hot matmuls instead of XLA's serial scatter.
+
+THE problem (measured, v5e, production d8 shapes — ARCHITECTURE.md):
+``zeros[1.2M, 8].at[ids_1M].add(g)`` costs ~46 ms in XLA — ~45 ns per id
+row, independent of id order or ``indices_are_sorted`` — because TPU XLA
+lowers scatter to a serial per-update loop.  That one op is over 40% of the
+wide_deep train step.
+
+The kernel here requires ids SORTED ascending plus a tiling that caps each
+grid step's row range (built host-side: build_scatter_tiles is the
+reference implementation; cpp/fastdata.cc emits the same arrays with the
+batch).  Each grid step then:
+
+    1. DMAs a [W] window of ids and its [W, D] grad rows into VMEM
+       (window starts 128-aligned so Mosaic can tile the dynamic slice;
+       the tile's live ids sit at [off, off+count) inside the window),
+    2. builds a one-hot [MAXR, W] tile (iota == ids - row_lo, invalid
+       lanes masked) and matmuls it with the grads on the MXU -> dense
+       [MAXR, D] partial sum,
+    3. read-modify-writes the [MAXR, D] output slab at the 256-aligned
+       row_lo (sequential DMA; the grid is sequential, so overlapping
+       slabs cannot race).
+
+Duplicates sum inside the matmul (deterministic).  Total traffic is
+O(N x D) streamed + O(n_tiles x MAXR x D) sequential slab RMW — no random
+access at all.  Measured vs the 46 ms XLA scatter: ARCHITECTURE.md round 2.
+
+Reference semantics anchor: this computes exactly the embedding-gradient
+accumulation the reference's SparseApplyAdagrad consumed
+(/root/reference/python/lib/joint.py:224-262); only the schedule changes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_IDS = 512      # max live ids per grid step (one-hot matmul N dimension)
+MAXR = 4096      # row-range cap per grid step (output slab height)
+ALIGN_IDS = 128  # stream windows start at multiples of this (lane tiling)
+ALIGN_ROWS = 256 # slab offsets are multiples of this (sublane tiling; the
+                 # FeaturePlan aligns table rows to 256 already)
+WINDOW = T_IDS + ALIGN_IDS  # DMA window: aligned start + worst-case offset
+
+
+def n_tiles_for(n_ids: int, rows: int, t_ids: int = T_IDS,
+                maxr: int = MAXR) -> int:
+    """Static upper bound on tiles: a new tile starts every t_ids ids OR
+    when the (aligned) running range exceeds maxr — at most
+    N/T + rows/(maxr - ALIGN_ROWS) + 1 splits for sorted ids."""
+    return int(np.ceil(n_ids / t_ids)
+               + np.ceil(rows / max(maxr - ALIGN_ROWS, 1)) + 1)
+
+
+def build_scatter_tiles(ids_sorted: np.ndarray, rows: int,
+                        t_ids: int = T_IDS, maxr: int = MAXR
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
+    """Host-side tiling of a sorted id stream.
+
+    -> (starts, offs, counts, row_los), each [n_tiles_for(...)] int32,
+    padded with empty tiles.  Per tile: the live ids are
+    ``ids_sorted[starts+offs : starts+offs+counts]`` with
+    ``starts % ALIGN_IDS == 0``, ``offs < ALIGN_IDS``, ``counts <= t_ids``,
+    ``row_los % ALIGN_ROWS == 0``, ``row_los <= min(ids)`` and
+    ``max(ids) - row_los < maxr``; consecutive tiles partition the stream.
+    """
+    n = int(ids_sorted.shape[0])
+    n_tiles = n_tiles_for(n, rows, t_ids, maxr)
+    starts = np.zeros(n_tiles, np.int32)
+    offs = np.zeros(n_tiles, np.int32)
+    counts = np.zeros(n_tiles, np.int32)
+    row_los = np.zeros(n_tiles, np.int32)
+    rows_pad = _rows_pad(rows, maxr)
+    max_lo = rows_pad - maxr  # multiple of ALIGN_ROWS by construction
+    t = 0
+    i = 0
+    while i < n:
+        lo = (int(ids_sorted[i]) // ALIGN_ROWS) * ALIGN_ROWS
+        lo = min(lo, max_lo)
+        j_cap = min(i + t_ids, n)
+        j = int(np.searchsorted(ids_sorted[i:j_cap], lo + maxr,
+                                side="left")) + i
+        assert j > i, (i, int(ids_sorted[i]), lo, rows)  # id out of range
+        starts[t] = (i // ALIGN_IDS) * ALIGN_IDS
+        offs[t] = i - starts[t]
+        counts[t] = j - i
+        row_los[t] = lo
+        t += 1
+        i = j
+    assert t <= n_tiles, (t, n_tiles)
+    return starts, offs, counts, row_los
+
+
+def _rows_pad(rows: int, maxr: int = MAXR) -> int:
+    """Output rows padded so every ALIGN_ROWS-aligned slab fits."""
+    aligned = ((rows + ALIGN_ROWS - 1) // ALIGN_ROWS) * ALIGN_ROWS
+    return max(aligned, maxr)
+
+
+def _kernel(starts_ref, offs_ref, counts_ref, rowlos_ref, ids_ref, gt_ref,
+            zero_ref, out_ref, ids_s, g_s, slab, sems):
+    # everything runs TRANSPOSED ([D, ...]) so every dynamic DMA slice is
+    # along a 128-aligned lane dimension (Mosaic tiling requirement);
+    # the wrapper transposes in/out once per call
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], ALIGN_IDS)
+    off = offs_ref[t]
+    count = counts_ref[t]
+    row_lo = pl.multiple_of(rowlos_ref[t], ALIGN_ROWS)
+    d, maxr = slab.shape
+    window = g_s.shape[1]
+
+    @pl.when(count > 0)
+    def _():
+        in_ids = pltpu.make_async_copy(
+            ids_ref.at[0, pl.ds(start, window)], ids_s.at[0], sems.at[0])
+        in_g = pltpu.make_async_copy(
+            gt_ref.at[:, pl.ds(start, window)], g_s, sems.at[1])
+        in_slab = pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(row_lo, maxr)], slab, sems.at[2])
+        in_ids.start()
+        in_g.start()
+        in_slab.start()
+        in_ids.wait()
+        in_g.wait()
+        # live lanes are [off, off+count); others map to -1 (never matches)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+        valid = (lane >= off) & (lane < off + count)
+        local = jnp.where(valid, ids_s[0:1, :] - row_lo, -1)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (maxr, window), 0)
+                  == local).astype(g_s.dtype)
+        # [D, W] x [MAXR, W] contracting W -> [D, MAXR] on the MXU
+        part = jax.lax.dot_general(
+            g_s[:], onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        in_slab.wait()
+        slab[:] = slab[:] + part.astype(slab.dtype)
+        out_w = pltpu.make_async_copy(
+            slab, out_ref.at[:, pl.ds(row_lo, maxr)], sems.at[2])
+        out_w.start()
+        out_w.wait()
+
+
+def range_scatter_add(ids_sorted: jnp.ndarray, g_sorted: jnp.ndarray,
+                      starts: jnp.ndarray, offs: jnp.ndarray,
+                      counts: jnp.ndarray, row_los: jnp.ndarray, rows: int,
+                      out_dtype=None, interpret: bool = False) -> jnp.ndarray:
+    """Sorted-stream scatter-add -> dense [rows, D] gradient.
+
+    Equivalent to ``zeros([rows, D]).at[ids_sorted].add(g_sorted)`` given the
+    build_scatter_tiles contract; validated against the XLA scatter in
+    tests/test_scatter_kernel.py.
+    """
+    n, d = g_sorted.shape
+    out_dtype = out_dtype or g_sorted.dtype
+    n_tiles = starts.shape[0]
+    # sublane tiling: the transposed feature axis must be a multiple of 8
+    # (fused fold tables have D+n_logits columns, e.g. 9 or 17)
+    d_pad = ((d + 7) // 8) * 8
+    # pad streams so every aligned [start, start+WINDOW) window is in range;
+    # transpose so the id-stream axis is the (128-tiled) lane dimension
+    ids_p = jnp.pad(ids_sorted, (0, WINDOW)).reshape(1, -1)
+    g_t = jnp.pad(g_sorted, ((0, WINDOW), (0, d_pad - d))).T  # [Dp, N+W]
+    # the slab DMA reads MAXR rows at row_lo; pad up (alignment / tiny
+    # tables) and slice the result back
+    rows_pad = _rows_pad(rows)
+    zeros = jnp.zeros((d_pad, rows_pad), out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # ids (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # grads [D, N+W]
+            pl.BlockSpec(memory_space=pl.ANY),   # zeros (aliased to out)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((1, WINDOW), jnp.int32),
+            pltpu.VMEM((d_pad, WINDOW), g_sorted.dtype),
+            pltpu.VMEM((d_pad, MAXR), out_dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d_pad, rows_pad), out_dtype),
+        input_output_aliases={6: 0},  # 4 scalar-prefetch + ids + g -> zeros
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, offs, counts, row_los, ids_p, g_t, zeros)
+    out = out.T[:rows]
+    return out[:, :d] if d_pad != d else out
+
+
+# ------------------------------------------------------- host-side plumbing
+PALLAS_SCATTER_MIN_ROWS = 1 << 19  # smaller tables scatter faster in XLA
+                                   # (cache-resident rows; measured: the
+                                   # 11.5k-row d4 XLA scatter costs ~4.5 ms
+                                   # vs a ~5 ms kernel run at its id volume)
+
+
+def scatter_batch_spec(n_ids: int, rows: int):
+    """Shapes/dtypes of the per-batch scatter-plan arrays."""
+    nt = n_tiles_for(n_ids, _rows_pad(rows))
+    return {"ids": ((n_ids,), np.int32),
+            "perm": ((n_ids,), np.int32),
+            "tiles": ((4, nt), np.int32)}
+
+
+def make_scatter_plan(ids_flat: np.ndarray, rows: int):
+    """Host: flat (unsorted) id vector -> {ids, perm, tiles} np arrays.
+
+    ``perm`` maps sorted position -> original flat position (stable), so
+    ``g_flat[perm]`` is the grad stream aligned with ``ids``.
+    """
+    order = np.argsort(ids_flat, kind="stable").astype(np.int32)
+    ids_sorted = ids_flat[order].astype(np.int32)
+    starts, offs, counts, row_los = build_scatter_tiles(
+        ids_sorted, _rows_pad(rows))
+    tiles = np.stack([starts, offs, counts, row_los]).astype(np.int32)
+    return {"ids": ids_sorted, "perm": order, "tiles": tiles}
+
+
+def apply_scatter_plan(plan_arrays, g_flat: jnp.ndarray, rows: int,
+                       out_dtype=None, interpret: bool = False
+                       ) -> jnp.ndarray:
+    """Device: scatter-add ``g_flat`` [N, D] by the host plan -> [rows, D]."""
+    g_sorted = jnp.take(g_flat, plan_arrays["perm"], axis=0)
+    tiles = plan_arrays["tiles"]
+    return range_scatter_add(
+        plan_arrays["ids"], g_sorted, tiles[0], tiles[1], tiles[2],
+        tiles[3], rows, out_dtype=out_dtype, interpret=interpret)

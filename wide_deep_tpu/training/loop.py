@@ -77,6 +77,8 @@ class Trainer:
         self.n_classes = n_classes
         self.seed = int(self.runconfig.get("tf_random_seed") or 123)
 
+        self.mesh = mesh if mesh is not None else mesh_lib.mesh_from_config(
+            self.config)
         from wide_deep_tpu.features.analyze import resolve_pack_budget
         from wide_deep_tpu.features.plan import fold_enabled
         budget = self.train_conf.get("pack_budget")
@@ -84,15 +86,20 @@ class Trainer:
             # measured-occupancy pool sizing (features/analyze.py)
             budget = resolve_pack_budget(self.config,
                                          self.train_conf.get("train_data"))
+        # Pallas range-scatter backward for big tables (ops/scatter.py):
+        # single-device meshes only — sharded tables keep the GSPMD/XLA
+        # collectives path
+        pallas_scatter = (
+            str(self.train_conf.get("scatter_mode") or "pallas") == "pallas"
+            and self.mesh.devices.size == 1)
         self.plan = FeaturePlan(
             self.config, multivalue=self.train_conf["multivalue"],
             fold=fold_enabled(self.config, self.model_type),
-            pack_budget=budget if budget not in (None, "") else None)
+            pack_budget=budget if budget not in (None, "") else None,
+            pallas_scatter=pallas_scatter)
         self.model: WideDeep = build_model(
             self.config, plan=self.plan, model_type=self.model_type,
             n_classes=n_classes, dtype=dtype)
-        self.mesh = mesh if mesh is not None else mesh_lib.mesh_from_config(
-            self.config)
         if self.config.distribution.get("sharded_lookup") == "explicit":
             # deliberate all-gather/psum_scatter exchange for row-sharded
             # tables instead of GSPMD's derived collectives
