@@ -142,8 +142,8 @@ struct Plan {
 // ---- Pallas range-scatter plan constants; MUST match ops/scatter.py
 // (T_IDS / MAXR / ALIGN_IDS / ALIGN_ROWS) — the Python/C++ parity test
 // fails loudly on drift.
-constexpr int64_t kTIds = 512;
-constexpr int64_t kMaxr = 4096;
+constexpr int64_t kTIds = 1024;
+constexpr int64_t kMaxr = 2048;
 constexpr int64_t kAlignIds = 128;
 constexpr int64_t kAlignRows = 256;
 
@@ -157,7 +157,8 @@ inline int64_t n_tiles_for(int64_t n_ids, int64_t rows) {
          + (rows + (kMaxr - kAlignRows) - 1) / (kMaxr - kAlignRows) + 1;
 }
 
-// stable LSB radix sort of (id, index) pairs by id; fills perm/sorted.
+// stable LSB radix argsort of non-negative int32 ids (16-bit digits: two
+// passes cover the full range, one when ids < 65536); fills perm/sorted.
 void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
                           int32_t* sorted) {
   std::vector<int32_t> tmp_idx(n), tmp_ids(n);
@@ -167,14 +168,16 @@ void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
   int32_t* src_v = sorted;
   int32_t* dst_i = tmp_idx.data();
   int32_t* dst_v = tmp_ids.data();
-  for (int shift = 0; shift < 32; shift += 8) {
-    int64_t count[257] = {0};
+  std::vector<int64_t> count(65537);
+  for (int shift = 0; shift < 32; shift += 16) {
+    std::fill(count.begin(), count.end(), 0);
     for (int64_t i = 0; i < n; ++i)
-      ++count[((static_cast<uint32_t>(src_v[i]) >> shift) & 0xFF) + 1];
-    if (count[1] == n) continue;  // all keys zero at this byte: identity pass
-    for (int b = 0; b < 256; ++b) count[b + 1] += count[b];
+      ++count[((static_cast<uint32_t>(src_v[i]) >> shift) & 0xFFFF) + 1];
+    if (count[1] == n) continue;  // all keys zero here: identity pass
+    for (int b = 0; b < 65536; ++b) count[b + 1] += count[b];
     for (int64_t i = 0; i < n; ++i) {
-      int64_t pos = count[(static_cast<uint32_t>(src_v[i]) >> shift) & 0xFF]++;
+      int64_t pos =
+          count[(static_cast<uint32_t>(src_v[i]) >> shift) & 0xFFFF]++;
       dst_i[pos] = src_i[i];
       dst_v[pos] = src_v[i];
     }

@@ -23,7 +23,7 @@ def main():
 
     from wide_deep_tpu.config import Config
     from wide_deep_tpu.features.plan import FeaturePlan
-    plan = FeaturePlan(Config())
+    plan = FeaturePlan(Config(), pallas_scatter=os.environ.get("LOADER_SCATTER", "1") == "1")
     with open(args.data_file, "rb") as f:
         text = f.read()
     n_rows = text.count(b"\n")

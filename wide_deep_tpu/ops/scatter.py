@@ -40,8 +40,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_IDS = 512      # max live ids per grid step (one-hot matmul N dimension)
-MAXR = 4096      # row-range cap per grid step (output slab height)
+T_IDS = 1024     # max live ids per grid step (one-hot matmul N dimension);
+                 # MUST match cpp/fastdata.cc kTIds (parity test enforces)
+MAXR = 2048     # row-range cap per grid step (output slab height); total
+                 # matmul work scales with n_tiles x MAXR, so keep it just
+                 # above the typical 1024-id row span (~1200 rows at d8
+                 # density)
 ALIGN_IDS = 128  # stream windows start at multiples of this (lane tiling)
 ALIGN_ROWS = 256 # slab offsets are multiples of this (sublane tiling; the
                  # FeaturePlan aligns table rows to 256 already)
@@ -107,42 +111,67 @@ def _kernel(starts_ref, offs_ref, counts_ref, rowlos_ref, ids_ref, gt_ref,
             zero_ref, out_ref, ids_s, g_s, slab, sems):
     # everything runs TRANSPOSED ([D, ...]) so every dynamic DMA slice is
     # along a 128-aligned lane dimension (Mosaic tiling requirement);
-    # the wrapper transposes in/out once per call
+    # the wrapper transposes in/out once per call.  The id/grad stream DMAs
+    # are double-buffered (tile t+1 prefetched during tile t's matmul); the
+    # slab RMW stays strictly ordered because consecutive tiles' row ranges
+    # may overlap.
     t = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t], ALIGN_IDS)
+    n_tiles = pl.num_programs(0)
     off = offs_ref[t]
     count = counts_ref[t]
     row_lo = pl.multiple_of(rowlos_ref[t], ALIGN_ROWS)
     d, maxr = slab.shape
-    window = g_s.shape[1]
+    window = g_s.shape[2]
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    def stream_in(tile, buf, sem_base):
+        start = pl.multiple_of(starts_ref[tile], ALIGN_IDS)
+        in_ids = pltpu.make_async_copy(
+            ids_ref.at[0, pl.ds(start, window)], ids_s.at[buf, 0],
+            sems.at[sem_base])
+        in_g = pltpu.make_async_copy(
+            gt_ref.at[:, pl.ds(start, window)], g_s.at[buf],
+            sems.at[sem_base + 1])
+        in_ids.start()
+        in_g.start()
+        return in_ids, in_g
+
+    @pl.when(t == 0)
+    def _():
+        stream_in(0, 0, 0)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        stream_in(jnp.minimum(t + 1, n_tiles - 1), nxt, 2 * nxt)
+
+    # always drain this tile's stream (started at t-1, or just above for
+    # t=0) so no DMA is left in flight on trailing empty tiles
+    start = pl.multiple_of(starts_ref[t], ALIGN_IDS)
+    pltpu.make_async_copy(ids_ref.at[0, pl.ds(start, window)],
+                          ids_s.at[slot, 0], sems.at[2 * slot]).wait()
+    pltpu.make_async_copy(gt_ref.at[:, pl.ds(start, window)],
+                          g_s.at[slot], sems.at[2 * slot + 1]).wait()
 
     @pl.when(count > 0)
     def _():
-        in_ids = pltpu.make_async_copy(
-            ids_ref.at[0, pl.ds(start, window)], ids_s.at[0], sems.at[0])
-        in_g = pltpu.make_async_copy(
-            gt_ref.at[:, pl.ds(start, window)], g_s, sems.at[1])
         in_slab = pltpu.make_async_copy(
-            out_ref.at[:, pl.ds(row_lo, maxr)], slab, sems.at[2])
-        in_ids.start()
-        in_g.start()
+            out_ref.at[:, pl.ds(row_lo, maxr)], slab, sems.at[4])
         in_slab.start()
-        in_ids.wait()
-        in_g.wait()
         # live lanes are [off, off+count); others map to -1 (never matches)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
         valid = (lane >= off) & (lane < off + count)
-        local = jnp.where(valid, ids_s[0:1, :] - row_lo, -1)
+        local = jnp.where(valid, ids_s[slot, 0:1, :] - row_lo, -1)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (maxr, window), 0)
-                  == local).astype(g_s.dtype)
+                  == local).astype(gt_ref.dtype)
         # [D, W] x [MAXR, W] contracting W -> [D, MAXR] on the MXU
         part = jax.lax.dot_general(
-            g_s[:], onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+            g_s[slot], onehot, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         in_slab.wait()
         slab[:] = slab[:] + part.astype(slab.dtype)
         out_w = pltpu.make_async_copy(
-            slab, out_ref.at[:, pl.ds(row_lo, maxr)], sems.at[2])
+            slab, out_ref.at[:, pl.ds(row_lo, maxr)], sems.at[4])
         out_w.start()
         out_w.wait()
 
@@ -182,10 +211,10 @@ def range_scatter_add(ids_sorted: jnp.ndarray, g_sorted: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((1, WINDOW), jnp.int32),
-            pltpu.VMEM((d_pad, WINDOW), g_sorted.dtype),
+            pltpu.VMEM((2, 1, WINDOW), jnp.int32),       # double-buffered ids
+            pltpu.VMEM((2, d_pad, WINDOW), g_sorted.dtype),  # .. grads
             pltpu.VMEM((d_pad, MAXR), out_dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
     )
     out = pl.pallas_call(
