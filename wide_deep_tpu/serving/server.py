@@ -55,10 +55,12 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, rows: List[str]) -> "futures.Future":
+        """-> Future of (probs_all, ids_all, offset, n): the caller's window
+        into the micro-batch results (slice after np.asarray)."""
         fut: "futures.Future" = futures.Future()
         if not rows:
             fut.set_result((np.zeros((0, 1), np.float32),
-                            np.zeros((0,), np.int64)))
+                            np.zeros((0,), np.int64), 0, 0))
             return fut
         self._q.put((rows, fut))
         return fut
@@ -100,10 +102,14 @@ class MicroBatcher:
                 if not fut.done():
                     fut.set_exception(e)
             return
+        # every waiter gets the FULL (device) arrays plus its window: device
+        # slicing here would compile one program per distinct (offset, n)
+        # pattern, and np.asarray here would block the batcher loop — the
+        # waiter thread does the (host) slice after its own blocking convert
         off = 0
         for rws, fut in items:
             n = len(rws)
-            fut.set_result((probs[off:off + n], ids[off:off + n]))
+            fut.set_result((probs, ids, off, n))
             off += n
 
 
@@ -174,11 +180,15 @@ class ServingModel:
             preds = self._predict(self.params, self.mstate, batch)
             # keep results as device arrays: jax dispatch is async, so the
             # batcher thread can launch the NEXT micro-batch while this one
-            # computes/transfers; the requester thread blocks on np.asarray
+            # computes/transfers; the requester thread blocks on np.asarray.
+            # Single chunk (the common case) returns the full bucket-shaped
+            # arrays unsliced — device slices with per-request sizes would
+            # compile one tiny program per distinct length; callers index
+            # only the first n rows via their (offset, n) windows.
+            if len(rows) <= self.max_batch_size:
+                return preds["probabilities"], preds["class_ids"]
             probs_out.append(preds["probabilities"][:n])
             ids_out.append(preds["class_ids"][:n])
-        if len(probs_out) == 1:
-            return probs_out[0], ids_out[0]
         import jax.numpy as jnp
         return jnp.concatenate(probs_out), jnp.concatenate(ids_out)
 
@@ -201,8 +211,10 @@ class ServingModel:
         keep = [(i, r) for i, r in enumerate(rows)
                 if r.count("\t") + 1 in (ncols, ncols - 1)]
         if keep:
-            probs, ids = self.batcher.submit([r for _, r in keep]).result()
-            probs, ids = np.asarray(probs), np.asarray(ids)
+            probs, ids, off, n = self.batcher.submit(
+                [r for _, r in keep]).result()
+            probs = np.asarray(probs)[off:off + n]
+            ids = np.asarray(ids)[off:off + n]
             for j, (orig, _) in enumerate(keep):
                 scores[orig] = list(map(float, probs[j]))
                 class_ids[orig] = int(ids[j])
