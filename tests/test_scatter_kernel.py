@@ -123,7 +123,7 @@ class TestScatterPlanPlumbing:
         import wide_deep_tpu.ops.scatter as sc
         if not NativeTransformer.available():
             pytest.skip("native lib not built")
-        monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_ROWS", 1)
+        monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_IDS", 1)
         plan = FeaturePlan(small_config, pallas_scatter=True)
         # density gate: force every group eligible for the parity check
         monkeypatch.setattr(
@@ -150,7 +150,7 @@ class TestScatterPlanPlumbing:
         from wide_deep_tpu.parallel import mesh as mesh_lib
         from wide_deep_tpu.training.loop import Trainer
 
-        monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_ROWS", 1)
+        monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_IDS", 1)
         monkeypatch.setattr(FeaturePlan, "scatter_group",
                             lambda self, g, b: self.pallas_scatter)
         FIXTURE = "/root/reference/data/test/test2"

@@ -380,13 +380,14 @@ class FeaturePlan:
 
     def scatter_group(self, g: "DimGroup", batch_size: int) -> bool:
         """Whether this dim group's train batches carry a Pallas scatter
-        plan (ops/scatter.py).  Big tables only (small ones scatter faster
-        in XLA — rows cache-resident), and only when the id stream is dense
-        enough that range slabs aren't mostly empty."""
-        from wide_deep_tpu.ops.scatter import PALLAS_SCATTER_MIN_ROWS
+        plan (ops/scatter.py).  Profitable when the id stream is large (the
+        kernel's cost is ~per-tile, XLA's is ~45 ns/id) and dense enough
+        that range slabs aren't mostly empty; tiny streams into huge tables
+        (production d32: 25.6k ids / 10M rows) stay on XLA."""
+        from wide_deep_tpu.ops.scatter import PALLAS_SCATTER_MIN_IDS
         n_ids = batch_size * self.group_packed_len[g.dim]
         return (self.pallas_scatter
-                and g.rows >= PALLAS_SCATTER_MIN_ROWS
+                and n_ids >= PALLAS_SCATTER_MIN_IDS
                 and n_ids * 16 >= g.rows)
 
     # ------------------------------------------------------------- descriptors

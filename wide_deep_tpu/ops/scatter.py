@@ -230,10 +230,9 @@ def range_scatter_add(ids_sorted: jnp.ndarray, g_sorted: jnp.ndarray,
 
 
 # ------------------------------------------------------- host-side plumbing
-PALLAS_SCATTER_MIN_ROWS = 1 << 19  # smaller tables scatter faster in XLA
-                                   # (cache-resident rows; measured: the
-                                   # 11.5k-row d4 XLA scatter costs ~4.5 ms
-                                   # vs a ~5 ms kernel run at its id volume)
+PALLAS_SCATTER_MIN_IDS = 1 << 17   # below this XLA's ~45 ns/id serial
+                                   # scatter beats the kernel's per-tile
+                                   # overheads (production d32: 25.6k ids)
 
 
 def scatter_batch_spec(n_ids: int, rows: int):
