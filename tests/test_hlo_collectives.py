@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
                 "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
@@ -123,3 +124,33 @@ class TestShardedLookupCollectives:
                         for k, v in batch.items() if k.endswith("_ids"))
         ceiling = n_id_rows * 33 * 4 * 8 + (1 << 20)
         assert total <= ceiling, (total, ceiling, ops[:10])
+
+
+class TestExplicitExchangeCollectives:
+    def test_explicit_exchange_volume_is_id_scaled(self, small_config):
+        """The deliberate exchange (parallel/exchange.py) compiles to
+        id-scaled collectives only: all_gather(ids), psum/psum_scatter of
+        [B, P, D] rows — never anything table-sized."""
+        from wide_deep_tpu.parallel import mesh as mesh_lib
+        from wide_deep_tpu.parallel.exchange import explicit_sharded_gather
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        mesh = mesh_lib.make_mesh(4, 2, jax.devices()[:8])
+        rows, D, B, P = 4096, 8, 32, 5
+        table = jax.device_put(
+            jnp.zeros((rows, D), jnp.float32),
+            NamedSharding(mesh, Pspec(("data", "model"))))
+        ids = jax.device_put(jnp.zeros((B, P), jnp.int32),
+                             NamedSharding(mesh, Pspec("data")))
+
+        def f(t, i):
+            return explicit_sharded_gather(t, i, mesh).sum()
+
+        hlo = jax.jit(f).lower(table, ids).compile().as_text()
+        ops = _collective_ops(hlo)
+        assert ops, "explicit exchange must contain collectives"
+        table_bytes = rows * D * 4
+        id_payload = B * P * D * 4  # the rows actually exchanged
+        for op, b, line in ops:
+            assert b <= max(id_payload, B * P * 4) * 2, (op, b, line)
+            assert b < table_bytes, (op, b, line)
