@@ -50,24 +50,31 @@ BN_EPS = 1e-3
 # tower_forward records per-layer activation stats into it (the functional
 # analog of add_layer_summary, model_util.py:15-17).  The step factory
 # installs it and returns the collected scalars as step outputs.
-_SUMMARY_SINK: Optional[Dict[str, Any]] = None
+# Thread-local so concurrent traces in one process (e.g. a serving
+# hot-reload warmup racing a training trace) cannot cross-contaminate.
+import threading as _threading
+
+_SINK_TLS = _threading.local()
+
+
+def _current_sink() -> Optional[Dict[str, Any]]:
+    return getattr(_SINK_TLS, "sink", None)
 
 
 class summary_scope:
-    """Context manager installing a summary sink during tracing."""
+    """Context manager installing a summary sink during tracing (per
+    thread)."""
 
     def __init__(self, sink: Dict[str, Any]):
         self.sink = sink
 
     def __enter__(self):
-        global _SUMMARY_SINK
-        self._prev = _SUMMARY_SINK
-        _SUMMARY_SINK = self.sink
+        self._prev = _current_sink()
+        _SINK_TLS.sink = self.sink
         return self.sink
 
     def __exit__(self, *exc):
-        global _SUMMARY_SINK
-        _SUMMARY_SINK = self._prev
+        _SINK_TLS.sink = self._prev
         return False
 
 
@@ -523,13 +530,14 @@ def tower_forward(store: ParamStore, spec: DeepSpec, tower_idx: int,
             net = jnp.concatenate(sources + [h], axis=1) if sources else h
             collections.append(net)
 
-        if _SUMMARY_SINK is not None:
+        sink = _current_sink()
+        if sink is not None:
             scope = f"dnn_{tower_idx}/hiddenlayer_{layer_id}"
             netf = net.astype(jnp.float32)
-            _SUMMARY_SINK[f"{scope}/zero_fraction"] = jnp.mean(
+            sink[f"{scope}/zero_fraction"] = jnp.mean(
                 (netf == 0).astype(jnp.float32))
-            _SUMMARY_SINK[f"{scope}/activation_mean"] = jnp.mean(netf)
-            _SUMMARY_SINK[f"{scope}/activation_std"] = jnp.std(netf)
+            sink[f"{scope}/activation_mean"] = jnp.mean(netf)
+            sink[f"{scope}/activation_std"] = jnp.std(netf)
 
     if isinstance(mode, str) and mode == "last_dense":
         net = jnp.concatenate(collections, axis=1)
