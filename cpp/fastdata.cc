@@ -152,7 +152,11 @@ inline int64_t rows_pad(int64_t rows) {
   return std::max(aligned, kMaxr);
 }
 
+// rows is the RAW table row count; padding applied here so the tile-array
+// size agrees with ops/scatter.py n_tiles_for for ANY rows (a mismatch
+// for rows < kMaxr would silently misalign the [4, n_tiles] layout).
 inline int64_t n_tiles_for(int64_t n_ids, int64_t rows) {
+  rows = rows_pad(rows);
   return (n_ids + kTIds - 1) / kTIds
          + (rows + (kMaxr - kAlignRows) - 1) / (kMaxr - kAlignRows) + 1;
 }

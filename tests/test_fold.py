@@ -184,3 +184,43 @@ class TestDropoutBnMaskRegression:
         assert np.isfinite(np.asarray(logits)).all()
         for leaf in jax.tree.leaves(new_bn):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestFoldBf16:
+    def test_bf16_tables_metric_parity(self, small_config, tmp_path):
+        """With bfloat16 tables (the production default) the folded wide
+        weights are read at bf16 precision — training must stay metric-
+        equivalent to the unfolded f32-wide-arm layout on the sample data."""
+        import os
+
+        from wide_deep_tpu.config import Config
+        from wide_deep_tpu.training.loop import Trainer
+
+        REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        TRAIN = os.path.join(REPO, "data", "train")
+        EVAL = os.path.join(REPO, "data", "eval", "eval1")
+        results = {}
+        for tag in ("fold", "nofold"):
+            conf2 = tmp_path / f"conf_{tag}"
+            shutil.copytree(small_config.conf_dir, conf2)
+            text = (conf2 / "model.yaml").read_text()
+            text = text.replace("embedding_dtype: float32",
+                                "embedding_dtype: bfloat16")
+            if tag == "nofold":
+                text += "\nwide_fold: false\n"
+            (conf2 / "model.yaml").write_text(text)
+            tr = Trainer(Config(str(conf2)), model_type="wide_deep",
+                         model_dir=str(tmp_path / tag),
+                         overrides=dict(train_data=TRAIN, eval_data=EVAL,
+                                        test_data=EVAL, keep_train=True,
+                                        batch_size=64, num_examples=4000))
+            assert tr.plan.fold == (tag == "fold")
+            tr.ensure_initialized(restore=False)
+            for epoch in range(3):
+                for f in sorted(os.listdir(TRAIN)):
+                    tr.train_file(os.path.join(TRAIN, f), epoch_seed=epoch)
+            results[tag] = tr.evaluate(EVAL)
+        assert abs(results["fold"]["auc"] - results["nofold"]["auc"]) < 0.02, \
+            results
+        assert abs(results["fold"]["average_loss"]
+                   - results["nofold"]["average_loss"]) < 0.02, results

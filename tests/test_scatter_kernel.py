@@ -177,3 +177,32 @@ class TestScatterPlanPlumbing:
             losses[tag] = traj
         np.testing.assert_allclose(losses["pallas"], losses["xla"],
                                    rtol=5e-4)
+
+    def test_python_cpp_parity_small_rows(self, tmp_path, fixture_rows,
+                                          monkeypatch):
+        """Regression: tables with rows < MAXR (slab padding) must still
+        produce identically-sized and identically-laid-out tile arrays in
+        C++ and Python (a raw-vs-padded rows mismatch in n_tiles_for once
+        silently misaligned the [4, n_tiles] buffer)."""
+        from wide_deep_tpu.config import Config
+        from wide_deep_tpu.features.native import NativeTransformer
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        from wide_deep_tpu.testing import write_small_conf
+        import wide_deep_tpu.ops.scatter as sc
+        if not NativeTransformer.available():
+            pytest.skip("native lib not built")
+        conf = write_small_conf(str(tmp_path / "conf"), hash_cap=50,
+                                cross_cap_k=1)
+        monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_IDS", 1)
+        plan = FeaturePlan(Config(conf), pallas_scatter=True)
+        monkeypatch.setattr(
+            type(plan), "scatter_group", lambda self, g, b: True)
+        assert any(g.rows < sc.MAXR for g in plan.groups), \
+            "fixture must include a small-rows group"
+        py = FeatureTransformer(plan).transform(fixture_rows, 16,
+                                                mode="train")
+        cc = NativeTransformer(plan).transform(fixture_rows, 16,
+                                               mode="train")
+        for k in sorted(py):
+            np.testing.assert_array_equal(py[k], cc[k], err_msg=k)

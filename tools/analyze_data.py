@@ -82,7 +82,11 @@ def main():
         print(f"  {name}: mean={arr.mean():.2f} p95={p95} max={arr.max()} "
               f"(static max_len={feature_conf[name]['max_len']})")
     if p95s:
-        suggestion = max(p95s)
+        # single source of truth for the suggestion (what `pack_budget:
+        # auto` resolves — features/analyze.py)
+        from wide_deep_tpu.features.analyze import suggest_pack_budget
+        suggestion = suggest_pack_budget(plan, args.data,
+                                         max_rows=args.max_rows)
         print(f"  -> suggested train.yaml pack_budget: {suggestion} "
               f"(current {plan.pack_budget}; set `pack_budget: auto` to "
               f"apply this automatically — features/analyze.py)")

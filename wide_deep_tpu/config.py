@@ -351,7 +351,10 @@ class Config:
         out["linear_fm_factors"] = int(raw.get("linear_fm_factors") or 0)
         # wide fold: store hash/deep-cross wide weights as trailing columns
         # of their fused embedding tables (features/plan.py "wide fold");
-        # default on — it is exactly equivalent and ~halves device id traffic
+        # default on — same math on the same gradients (~halves device id
+        # traffic); with bfloat16 tables the folded wide weights are READ at
+        # bf16 precision (f32 master copies, like the embeddings) — measured
+        # AUC parity on the bundled data (tests/test_fold.py bf16 case)
         wf = raw.get("wide_fold")
         out["wide_fold"] = True if wf is None else _as_bool(
             wf, "wide_fold", where)

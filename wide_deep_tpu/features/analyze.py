@@ -78,6 +78,10 @@ def resolve_pack_budget(config, train_data: Optional[str] = None
     from wide_deep_tpu.features.plan import FeaturePlan
     probe = FeaturePlan(config, fold=False, pack_budget=DEFAULT_BUDGET)
     path = train_data or config.train.get("train_data")
+    if not path:
+        log.warning("pack_budget: auto requested but no train_data is "
+                    "configured; using default %d", DEFAULT_BUDGET)
+        return DEFAULT_BUDGET
     try:
         budget = suggest_pack_budget(probe, path)
     except (OSError, FileNotFoundError) as e:
@@ -86,3 +90,31 @@ def resolve_pack_budget(config, train_data: Optional[str] = None
         return DEFAULT_BUDGET
     log.info("pack_budget: auto -> %d (p95 occupancy of %s)", budget, path)
     return budget
+
+
+# ------------------------------------------------- train-time persistence
+PLAN_META_FILE = "plan_meta.json"
+
+
+def save_plan_meta(model_dir: str, plan) -> None:
+    """Record the plan decisions resolved at training time (pack_budget,
+    fold) next to the checkpoints, so export re-uses the exact values the
+    model trained with instead of re-deriving them from whatever data is
+    visible at export time (train/serve feature-skew guard)."""
+    import json
+    import os
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, PLAN_META_FILE), "w") as f:
+        json.dump({"pack_budget": plan.pack_budget, "fold": plan.fold,
+                   "multivalue": plan.multivalue}, f)
+
+
+def load_plan_meta(model_dir: str):
+    """-> dict or None (older model dirs have no meta file)."""
+    import json
+    import os
+    path = os.path.join(model_dir, PLAN_META_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

@@ -56,7 +56,12 @@ def n_tiles_for(n_ids: int, rows: int, t_ids: int = T_IDS,
                 maxr: int = MAXR) -> int:
     """Static upper bound on tiles: a new tile starts every t_ids ids OR
     when the (aligned) running range exceeds maxr — at most
-    N/T + rows/(maxr - ALIGN_ROWS) + 1 splits for sorted ids."""
+    N/T + rows/(maxr - ALIGN_ROWS) + 1 splits for sorted ids.
+
+    ``rows`` is the RAW table row count — padding to the slab grid is
+    applied here so every producer/consumer (Python spec, Python tiler, C++
+    emitter, kernel wrapper) agrees on the array size for any rows."""
+    rows = _rows_pad(rows, maxr)
     return int(np.ceil(n_ids / t_ids)
                + np.ceil(rows / max(maxr - ALIGN_ROWS, 1)) + 1)
 
@@ -237,7 +242,7 @@ PALLAS_SCATTER_MIN_IDS = 1 << 17   # below this XLA's ~45 ns/id serial
 
 def scatter_batch_spec(n_ids: int, rows: int):
     """Shapes/dtypes of the per-batch scatter-plan arrays."""
-    nt = n_tiles_for(n_ids, _rows_pad(rows))
+    nt = n_tiles_for(n_ids, rows)
     return {"ids": ((n_ids,), np.int32),
             "perm": ((n_ids,), np.int32),
             "tiles": ((4, nt), np.int32)}
@@ -251,8 +256,7 @@ def make_scatter_plan(ids_flat: np.ndarray, rows: int):
     """
     order = np.argsort(ids_flat, kind="stable").astype(np.int32)
     ids_sorted = ids_flat[order].astype(np.int32)
-    starts, offs, counts, row_los = build_scatter_tiles(
-        ids_sorted, _rows_pad(rows))
+    starts, offs, counts, row_los = build_scatter_tiles(ids_sorted, rows)
     tiles = np.stack([starts, offs, counts, row_los]).astype(np.int32)
     return {"ids": ids_sorted, "perm": order, "tiles": tiles}
 

@@ -44,10 +44,19 @@ def export_savedmodel(config: Config, export_dir: str,
     Returns the versioned bundle path."""
     serving = config.serving
     model_type = model_type or serving["model_type"]
-    from wide_deep_tpu.features.analyze import resolve_pack_budget
+    from wide_deep_tpu.features.analyze import (load_plan_meta,
+                                                resolve_pack_budget)
     from wide_deep_tpu.features.plan import fold_enabled
-    plan = FeaturePlan(config, fold=fold_enabled(config, model_type),
-                       pack_budget=resolve_pack_budget(config))
+    # prefer the plan decisions recorded at training time (plan_meta.json in
+    # the checkpoint dir) over re-deriving them — `pack_budget: auto` could
+    # otherwise resolve differently against rotated data (train/serve skew)
+    meta = load_plan_meta(os.path.join(
+        model_dir or config.train["model_dir"], model_type))
+    plan = FeaturePlan(
+        config,
+        fold=(meta["fold"] if meta else fold_enabled(config, model_type)),
+        pack_budget=(meta["pack_budget"] if meta
+                     else resolve_pack_budget(config)))
     model = build_model(config, plan=plan, model_type=model_type,
                         n_classes=n_classes)
 

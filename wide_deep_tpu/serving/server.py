@@ -62,6 +62,12 @@ class MicroBatcher:
             fut.set_result((np.zeros((0, 1), np.float32),
                             np.zeros((0,), np.int64), 0, 0))
             return fut
+        if self._stop.is_set():
+            # a request that grabbed this model just before a hot-reload
+            # close() must still complete — score synchronously in the
+            # caller thread instead of enqueueing into a drained loop
+            self._run([(rows, fut)])
+            return fut
         self._q.put((rows, fut))
         return fut
 
@@ -70,6 +76,12 @@ class MicroBatcher:
         resolves before close returns (hot-reload swaps rely on this)."""
         self._stop.set()
         self._thread.join(timeout=10.0)
+        # resolve anything that raced the stop flag into the queue
+        while True:
+            try:
+                self._run([self._q.get_nowait()])
+            except queue.Empty:
+                break
 
     def _loop(self):
         while True:

@@ -171,6 +171,11 @@ class Trainer:
                             out_shardings=opt_shardings)(params)
         self.params, self.mstate, self.opt_state = params, mstate, opt_state
         self._ckpt = CheckpointManager(self.model_dir, self.runconfig)
+        if jax.process_index() == 0:
+            # record resolved plan decisions (auto pack_budget, fold) so
+            # export uses the training-time values (features/analyze.py)
+            from wide_deep_tpu.features.analyze import save_plan_meta
+            save_plan_meta(self.model_dir, self.plan)
         if restore:
             restored = self._ckpt.restore(self._ckpt_tree())
             if restored is not None:
