@@ -1,0 +1,157 @@
+"""Streaming ingestion: train/score on a live TSV stream.
+
+The reference trained from HDFS file drops only; production CTR systems
+typically also consume a message stream.  This module provides the
+Kafka-style path without external dependencies: a newline-delimited TSV
+stream over TCP feeds the same FeatureTransformer as the file pipeline, so
+a model can train continuously on live events (Trainer.train_stream) or an
+operator can replay a file through tools/stream_server.py to smoke-test the
+path end to end.
+
+Semantics:
+* rows are consumed in arrival order (no shuffle — streams are already
+  time-ordered; match the reference's dynamic_train rolling-window spirit);
+* batches are emitted every ``batch_size`` rows, or after
+  ``flush_timeout_s`` of idleness with whatever has arrived (padded +
+  masked, same as uneven file tails);
+* a closed connection ends the stream (StopIteration); callers decide
+  whether to reconnect;
+* multi-host: each process consumes its own stream (the producer shards) —
+  round-robin sharding across a shared stream cannot be consistent without
+  a broker, so it is explicitly not faked here.
+"""
+
+from __future__ import annotations
+
+import socket
+from typing import Iterator, Optional
+
+from wide_deep_tpu.features.pipeline import Batch, default_transformer
+from wide_deep_tpu.features.plan import FeaturePlan
+
+
+class StreamDataset:
+    """TCP newline-TSV stream -> packed Batch iterator (one-shot)."""
+
+    def __init__(self, plan: FeaturePlan, host: str, port: int,
+                 mode: str = "train", batch_size: int = 1024,
+                 n_classes: int = 2,
+                 pos_weight: Optional[float] = None,
+                 neg_weight: Optional[float] = None,
+                 flush_timeout_s: float = 1.0,
+                 max_batches: Optional[int] = None,
+                 transformer=None,
+                 connect_timeout_s: float = 10.0):
+        if mode not in ("train", "eval", "pred"):
+            raise ValueError(f"bad mode {mode}")
+        self.plan = plan
+        self.mode = mode
+        self.batch_size = batch_size
+        self.flush_timeout_s = flush_timeout_s
+        self.max_batches = max_batches
+        self.host, self.port = host, port
+        self.connect_timeout_s = connect_timeout_s
+        self.transformer = transformer or default_transformer(
+            plan, n_classes, pos_weight, neg_weight)
+        self._native = hasattr(self.transformer, "transform_text")
+        self.rows_seen = 0
+
+    def _lines(self) -> Iterator[str]:
+        sock = socket.create_connection((self.host, self.port),
+                                        timeout=self.connect_timeout_s)
+        sock.settimeout(self.flush_timeout_s)
+        buf = b""
+        try:
+            while True:
+                try:
+                    chunk = sock.recv(1 << 16)
+                except socket.timeout:
+                    yield None  # idle tick -> flush signal
+                    continue
+                if not chunk:
+                    break
+                buf += chunk
+                while True:
+                    nl = buf.find(b"\n")
+                    if nl < 0:
+                        break
+                    line = buf[:nl].decode("utf-8", errors="replace")
+                    buf = buf[nl + 1:]
+                    if line.strip():
+                        yield line
+            tail = buf.decode("utf-8", errors="replace")
+            if tail.strip():
+                yield tail
+        finally:
+            sock.close()
+
+    def _emit(self, chunk) -> Batch:
+        if self._native:
+            text = "\n".join(chunk).encode("utf-8", errors="replace")
+            return self.transformer.transform_text(
+                text, len(chunk), self.batch_size, self.mode)
+        return self.transformer.transform(
+            [line.split("\t") for line in chunk], self.batch_size, self.mode)
+
+    def __iter__(self) -> Iterator[Batch]:
+        chunk = []
+        emitted = 0
+        for line in self._lines():
+            if line is None:  # idle flush
+                if chunk:
+                    yield self._emit(chunk)
+                    emitted += 1
+                    chunk = []
+                    if self.max_batches and emitted >= self.max_batches:
+                        return
+                continue
+            chunk.append(line)
+            self.rows_seen += 1
+            if len(chunk) == self.batch_size:
+                yield self._emit(chunk)
+                emitted += 1
+                chunk = []
+                if self.max_batches and emitted >= self.max_batches:
+                    return
+        if chunk:
+            yield self._emit(chunk)
+
+
+def serve_file(path: str, host: str = "127.0.0.1", port: int = 0,
+               rows_per_s: Optional[float] = None, loop: bool = False):
+    """Replay a TSV file as a line stream (test/demo producer).
+
+    Returns (server_socket, thread); the bound port is
+    ``server_socket.getsockname()[1]``.  One client per call.
+    """
+    import threading
+    import time
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(1)
+
+    def run():
+        try:
+            conn, _ = srv.accept()
+        except OSError:
+            return
+        try:
+            with conn:
+                while True:
+                    with open(path, "rb") as f:
+                        for line in f:
+                            conn.sendall(line)
+                            if rows_per_s:
+                                time.sleep(1.0 / rows_per_s)
+                    if not loop:
+                        break
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            pass
+        finally:
+            srv.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return srv, t

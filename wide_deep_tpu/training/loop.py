@@ -310,6 +310,35 @@ class Trainer:
                  time.time() - t0, self.global_step)
         return float(loss)
 
+    def train_stream(self, host: str, port: int,
+                     max_batches: Optional[int] = None,
+                     flush_timeout_s: float = 1.0) -> float:
+        """Train continuously on a live TSV stream (features/stream.py):
+        arrival-ordered batches, idle-flush for partial batches, checkpoint
+        cadence as configured.  Returns the last batch loss; the stream
+        ending (producer closed) returns normally."""
+        from wide_deep_tpu.features.stream import StreamDataset
+        self.ensure_initialized()
+        ds = StreamDataset(
+            self.plan, host, port, mode="train",
+            batch_size=self.per_host_batch, n_classes=self.n_classes,
+            pos_weight=self.pos_weight, neg_weight=self.neg_weight,
+            flush_timeout_s=flush_timeout_s, max_batches=max_batches,
+            transformer=self.transformer)
+        loss = float("nan")
+        for batch in ds:
+            batch = self._to_device(batch)
+            (self.params, self.mstate, self.opt_state, loss,
+             _) = self._train_step(
+                self.params, self.mstate, self.opt_state, batch, self._rng,
+                self.global_step)
+            self.global_step += 1
+            if self._ckpt.should_save(self.global_step):
+                self._ckpt.save(self.global_step, self._ckpt_tree())
+        log.info("stream ended after %d rows (step %d)", ds.rows_seen,
+                 self.global_step)
+        return float(loss)
+
     def save(self, force: bool = True):
         self.ensure_initialized()
         self._ckpt.save(self.global_step, self._ckpt_tree(), force=force)
