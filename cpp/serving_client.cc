@@ -121,6 +121,7 @@ struct Flags {
   int port = 8501;
   std::string data_file;
   std::string model_name = "wide_deep";
+  std::string auth_token;  // shared-secret request auth (empty = none)
   int num_rows = 10;
 };
 
@@ -136,6 +137,7 @@ bool parse_flags(int argc, char** argv, Flags* f) {
     else if (const char* v = val("--server_port")) f->port = std::atoi(v);
     else if (const char* v = val("--data_file")) f->data_file = v;
     else if (const char* v = val("--model_name")) f->model_name = v;
+    else if (const char* v = val("--auth_token")) f->auth_token = v;
     else if (const char* v = val("--num_rows")) f->num_rows = std::atoi(v);
     else {
       std::cerr << "unknown flag: " << a << "\n";
@@ -169,8 +171,10 @@ int main(int argc, char** argv) {
   }
 
   // request JSON
-  std::string body = "{\"model_name\":\"" + flags.model_name +
-                     "\",\"signature\":\"serving_default\",\"rows\":[";
+  std::string body = "{\"model_name\":\"" + flags.model_name + "\"";
+  if (!flags.auth_token.empty())
+    body += ",\"auth_token\":\"" + json_escape(flags.auth_token) + "\"";
+  body += ",\"signature\":\"serving_default\",\"rows\":[";
   for (size_t i = 0; i < rows.size(); ++i) {
     if (i) body += ',';
     body += '"' + json_escape(rows[i]) + '"';

@@ -293,3 +293,50 @@ class TestMicroBatching:
         model.close()
         t.join(timeout=15)
         assert results and all(results[0]["valid"])
+
+
+class TestAuth:
+    def test_token_auth_both_transports(self, bundle_dir):
+        """With server.auth_token set, requests without/with a wrong token
+        are rejected on both transports; the right token scores."""
+        import subprocess
+
+        from wide_deep_tpu.serving.client import (PredictorClient,
+                                                  TcpPredictorClient)
+        from wide_deep_tpu.serving.server import PredictorServer, ServingModel
+
+        model = ServingModel(bundle_dir, max_batch_size=16)
+        srv = PredictorServer(model, port=_free_port(),
+                              tcp_port=_free_port(), auth_token="s3cret")
+        srv.start()
+        try:
+            rows = _rows(FIXTURE, 2)
+            # gRPC: no token -> unauthorized; right token -> scores
+            c = PredictorClient(port=srv.port)
+            with pytest.raises(RuntimeError, match="unauthorized"):
+                c.predict(rows)
+            c.close()
+            c = PredictorClient(port=srv.port, auth_token="s3cret")
+            res = c.predict(rows)
+            assert all(res["valid"])
+            c.close()
+            # TCP: wrong token -> unauthorized; right token -> scores
+            t = TcpPredictorClient(port=srv.tcp_port, auth_token="nope")
+            with pytest.raises(RuntimeError, match="unauthorized"):
+                t.predict(rows)
+            t.close()
+            t = TcpPredictorClient(port=srv.tcp_port, auth_token="s3cret")
+            assert all(t.predict(rows)["valid"])
+            t.close()
+            # native C++ client with the token
+            if os.path.exists(CPP_CLIENT):
+                out = subprocess.run(
+                    [CPP_CLIENT, f"--data_file={FIXTURE}", "--num_rows=2",
+                     f"--server_port={srv.tcp_port}",
+                     "--auth_token=s3cret"],
+                    capture_output=True, text=True, timeout=60)
+                assert out.returncode == 0, out.stderr
+                assert "probability" in out.stdout
+        finally:
+            srv.stop()
+            model.close()

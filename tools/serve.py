@@ -27,6 +27,8 @@ def main():
                    default=server_conf["batch_timeout_micros"],
                    help="micro-batch window for coalescing concurrent "
                         "requests into one device call (0 = drain-only)")
+    p.add_argument("--auth_token", default=server_conf.get("auth_token"),
+                   help="shared-secret request auth (empty = open)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -42,7 +44,8 @@ def main():
     model.warmup()
     # watch for new versions unless one was pinned explicitly
     watch = None if args.model_version is not None else args.model_base_path
-    server = PredictorServer(model, port=args.port, model_base_path=watch)
+    server = PredictorServer(model, port=args.port, model_base_path=watch,
+                             auth_token=args.auth_token or None)
     server.start()
     print(f"serving {args.model_name} from {version_dir} "
           f"(grpc :{args.port}, tcp :{args.port + 1})", flush=True)

@@ -497,6 +497,9 @@ class Config:
             "model_name": str(server.get("model_name") or "wide_deep"),
             "max_batch_size": int(server.get("max_batch_size") or 1024),
             "batch_timeout_micros": int(server.get("batch_timeout_micros") or 0),
+            # shared-secret request auth (empty = open, like the reference's
+            # tensorflow_model_server)
+            "auth_token": str(server.get("auth_token") or ""),
         }
         return out
 

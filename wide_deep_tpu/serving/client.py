@@ -21,10 +21,12 @@ class PredictorClient:
     """gRPC transport (uses the generic method, no generated stubs)."""
 
     def __init__(self, host: str = "localhost", port: int = 8500,
-                 model_name: str = "wide_deep", timeout: float = 30.0):
+                 model_name: str = "wide_deep", timeout: float = 30.0,
+                 auth_token: str = None):
         import grpc
         self.model_name = model_name
         self.timeout = timeout
+        self.auth_token = auth_token
         self._channel = grpc.insecure_channel(f"{host}:{port}")
         self._call = self._channel.unary_unary(
             protocol.GRPC_METHOD,
@@ -32,7 +34,8 @@ class PredictorClient:
             response_deserializer=lambda b: b)
 
     def predict(self, rows: List[str]) -> Dict:
-        payload = protocol.encode_request(rows, self.model_name)
+        payload = protocol.encode_request(rows, self.model_name,
+                                          auth_token=self.auth_token)
         resp = protocol.decode_response(
             self._call(payload, timeout=self.timeout))
         if "error" in resp:
@@ -47,13 +50,16 @@ class TcpPredictorClient:
     """Raw-TCP transport (same frames as the C++ client)."""
 
     def __init__(self, host: str = "localhost", port: int = 8501,
-                 model_name: str = "wide_deep", timeout: float = 30.0):
+                 model_name: str = "wide_deep", timeout: float = 30.0,
+                 auth_token: str = None):
         self.model_name = model_name
+        self.auth_token = auth_token
         self._sock = socket.create_connection((host, port), timeout=timeout)
 
     def predict(self, rows: List[str]) -> Dict:
-        protocol.send_frame(self._sock,
-                            protocol.encode_request(rows, self.model_name))
+        protocol.send_frame(
+            self._sock, protocol.encode_request(
+                rows, self.model_name, auth_token=self.auth_token))
         resp = protocol.decode_response(protocol.recv_frame(self._sock))
         if "error" in resp:
             raise RuntimeError(f"server error: {resp['error']}")

@@ -29,9 +29,12 @@ MAX_FRAME = 64 << 20
 
 
 def encode_request(rows: List[str], model_name: str = "wide_deep",
-                   signature: str = "serving_default") -> bytes:
-    return json.dumps({"model_name": model_name, "rows": rows,
-                       "signature": signature}).encode("utf-8")
+                   signature: str = "serving_default",
+                   auth_token: str = None) -> bytes:
+    req = {"model_name": model_name, "rows": rows, "signature": signature}
+    if auth_token:
+        req["auth_token"] = auth_token
+    return json.dumps(req).encode("utf-8")
 
 
 def decode_request(payload: bytes) -> Dict[str, Any]:

@@ -235,9 +235,16 @@ class ServingModel:
                 "class_ids": class_ids, "valid": valid,
                 "model_version": getattr(self, "version", None)}
 
-    def handle_request(self, payload: bytes) -> bytes:
+    def handle_request(self, payload: bytes,
+                       auth_token: Optional[str] = None) -> bytes:
         try:
             req = protocol.decode_request(payload)
+            if auth_token:
+                import hmac
+                given = str(req.get("auth_token") or "")
+                if not hmac.compare_digest(given, auth_token):
+                    return protocol.encode_response(
+                        {"error": "unauthorized"})
             if req.get("model_name") not in (None, "", self.model_name):
                 return protocol.encode_response(
                     {"error": f"unknown model {req.get('model_name')!r}"})
@@ -258,7 +265,12 @@ class PredictorServer:
     def __init__(self, model: ServingModel, port: int = 8500,
                  tcp_port: Optional[int] = None, workers: int = 8,
                  model_base_path: Optional[str] = None,
-                 reload_interval_s: float = 10.0):
+                 reload_interval_s: float = 10.0,
+                 auth_token: Optional[str] = None):
+        # auth_token: shared-secret request auth on BOTH transports (the
+        # reference's tensorflow_model_server shipped unauthenticated;
+        # serving.yaml server.auth_token enables this)
+        self.auth_token = auth_token or None
         self.model = model
         self.port = port
         self.tcp_port = tcp_port if tcp_port is not None else port + 1
@@ -306,7 +318,8 @@ class PredictorServer:
                 if handler_call_details.method != protocol.GRPC_METHOD:
                     return None
                 return grpc.unary_unary_rpc_method_handler(
-                    lambda req, ctx: outer.model.handle_request(req),
+                    lambda req, ctx: outer.model.handle_request(
+                        req, outer.auth_token),
                     request_deserializer=lambda b: b,
                     response_serializer=lambda b: b)
 
@@ -342,8 +355,9 @@ class PredictorServer:
                         payload = protocol.recv_frame(conn)
                     except IOError:
                         return
-                    protocol.send_frame(conn,
-                                        self.model.handle_request(payload))
+                    protocol.send_frame(
+                        conn,
+                        self.model.handle_request(payload, self.auth_token))
         except Exception:  # noqa: BLE001
             log.exception("tcp connection error")
 
