@@ -10,6 +10,7 @@
 // Build: make -C cpp  (produces libwdtfastdata.so)
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -194,8 +195,11 @@ void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
   }
 }
 
-// tiling of a sorted id stream (ops/scatter.py build_scatter_tiles parity)
-void build_tiles(const int32_t* ids_sorted, int64_t n, int64_t rows,
+// tiling of a sorted id stream (ops/scatter.py build_scatter_tiles parity);
+// returns false on a contract violation (an id outside [0, rows), which
+// would otherwise silently drop the rest of the stream — the Python tiler
+// asserts loudly in the same case)
+bool build_tiles(const int32_t* ids_sorted, int64_t n, int64_t rows,
                  int32_t* tiles, int64_t n_tiles) {
   // tiles laid out [4, n_tiles]: starts, offs, counts, row_los
   int32_t* starts = tiles;
@@ -206,6 +210,7 @@ void build_tiles(const int32_t* ids_sorted, int64_t n, int64_t rows,
   const int64_t max_lo = rp - kMaxr;
   int64_t t = 0, i = 0;
   while (i < n && t < n_tiles) {
+    if (ids_sorted[i] < 0 || ids_sorted[i] >= rows) return false;
     int64_t lo = std::min<int64_t>(
         static_cast<int64_t>(ids_sorted[i]) / kAlignRows * kAlignRows,
         max_lo);
@@ -219,6 +224,7 @@ void build_tiles(const int32_t* ids_sorted, int64_t n, int64_t rows,
     ++t;
     i = j;
   }
+  return i >= n;  // every id consumed (t hit n_tiles early otherwise)
 }
 
 struct Reader {
@@ -649,12 +655,14 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
   // (padding included — padded rows hold id 0) id matrix + range tiling
   // (ops/scatter.py parity).  Groups sort in parallel when threads allow.
   if (!scats.empty()) {
+    std::atomic<bool> scat_ok{true};
     auto do_scat = [&](const ScatOut& s) {
       int64_t g = s.group;
       int64_t n = capacity * plan.group_packed[g];
       int64_t rows = plan.group_rows[g];
       stable_radix_argsort(o.g_ids[g], n, s.perm, s.ids);
-      build_tiles(s.ids, n, rows, s.tiles, n_tiles_for(n, rows));
+      if (!build_tiles(s.ids, n, rows, s.tiles, n_tiles_for(n, rows)))
+        scat_ok.store(false, std::memory_order_relaxed);
     };
     if (scats.size() == 1 || nt == 1) {
       for (const auto& s : scats) do_scat(s);
@@ -663,6 +671,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       for (const auto& s : scats) threads.emplace_back(do_scat, s);
       for (auto& th : threads) th.join();
     }
+    if (!scat_ok.load()) return -2;  // id out of table range: wrong plan
   }
   return n_rows;
 }

@@ -31,10 +31,12 @@ _TRAN = {None: 0, "min_max": 1, "standard": 2, "log": 3}
 
 
 def serialize_plan(plan: FeaturePlan) -> bytes:
-    """FeaturePlan -> binary blob for wdt_plan_create (format v4, packed
+    """FeaturePlan -> binary blob for wdt_plan_create (format v5, packed
     pools: per-group/wide shared id pools with slot indices for the segment
-    column; per-slot entry caps = pack_budget; v4 adds per-slot wide-fold
-    flags — folded slots emit no wide-pool entries).
+    column; per-slot entry caps = pack_budget).  Version history: v4 added
+    per-slot wide-fold flags (folded slots emit no wide-pool entries); v5
+    added per-group table row counts so the loader can emit Pallas
+    scatter plans (ops/scatter.py) with each batch.
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
     lockstep with cpp/fastdata.cc::parse_plan.

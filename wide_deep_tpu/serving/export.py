@@ -168,7 +168,11 @@ def load_bundle(version_dir: str, config: Optional[Config] = None
         config = Config(conf_dir)
     plan = FeaturePlan(config, multivalue=bundle["train_conf"]["multivalue"],
                        fold=bundle["plan"].get("fold", False),
-                       pack_budget=bundle["plan"].get("pack_budget"))
+                       pack_budget=bundle["plan"].get("pack_budget"),
+                       # pin the trained fold layout even if the embedded
+                       # conf copy is later hand-edited: folded-ness decides
+                       # which table carries each wide weight
+                       fold_max_rows=bundle["plan"].get("fold_max_rows"))
     model = build_model(config, plan=plan, model_type=bundle["model_type"],
                         n_classes=bundle["n_classes"])
     spec = plan.batch_spec(1, bundle["n_classes"], with_image=model.has_cnn)

@@ -50,6 +50,11 @@ class MicroBatcher:
         self.timeout_s = max(int(timeout_micros), 0) / 1e6
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # serializes the stop-check-and-enqueue in submit against close()'s
+        # stop/drain: without it a request thread could pass the stop check,
+        # lose the CPU while close() sets stop + joins + drains, then enqueue
+        # into a dead queue — its future would never resolve
+        self._stop_lock = threading.Lock()
         self.device_calls = 0           # instrumentation (tests/bench)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -62,20 +67,28 @@ class MicroBatcher:
             fut.set_result((np.zeros((0, 1), np.float32),
                             np.zeros((0,), np.int64), 0, 0))
             return fut
-        if self._stop.is_set():
-            # a request that grabbed this model just before a hot-reload
-            # close() must still complete — score synchronously in the
-            # caller thread instead of enqueueing into a drained loop
-            self._run([(rows, fut)])
-            return fut
-        self._q.put((rows, fut))
+        with self._stop_lock:
+            if not self._stop.is_set():
+                self._q.put((rows, fut))
+                return fut
+        # a request that grabbed this model just before a hot-reload close()
+        # must still complete — score synchronously in the caller thread
+        # instead of enqueueing into a drained loop
+        self._run([(rows, fut)])
         return fut
 
     def close(self):
         """Stop accepting work and drain: every already-submitted future
         resolves before close returns (hot-reload swaps rely on this)."""
-        self._stop.set()
+        with self._stop_lock:
+            self._stop.set()
         self._thread.join(timeout=10.0)
+        if self._thread.is_alive():
+            # a device call (e.g. an uncached compile) outlived the timed
+            # join; draining now would break the single-owner-device
+            # invariant by scoring from two threads — wait it out instead
+            log.warning("batcher thread still scoring after 10s; waiting")
+            self._thread.join()
         # resolve anything that raced the stop flag into the queue
         while True:
             try:
