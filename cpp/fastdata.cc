@@ -135,6 +135,7 @@ struct Cross {
 struct Plan {
   int64_t n_columns = 0, multivalue = 0, pack_budget = 3;
   int64_t wide_packed = 0, ind_len = 0, n_cont = 0;
+  int64_t scatter_shards = 1;  // >1: per-table-shard plan emission
   std::vector<int64_t> group_dims, group_packed, group_rows;
   std::vector<Feature> features;
   std::vector<Cross> crosses;
@@ -160,6 +161,16 @@ inline int64_t n_tiles_for(int64_t n_ids, int64_t rows) {
   rows = rows_pad(rows);
   return (n_ids + kTIds - 1) / kTIds
          + (rows + (kMaxr - kAlignRows) - 1) / (kMaxr - kAlignRows) + 1;
+}
+
+// per-shard stream cap (ops/scatter.py shard_cap parity): SHARD_SLACK x the
+// even split, kAlignIds-aligned, never above n_ids
+constexpr int64_t kShardSlack = 2;
+
+inline int64_t shard_cap(int64_t n_ids, int64_t n_shards) {
+  int64_t cap = (n_ids * kShardSlack + n_shards - 1) / n_shards;
+  cap = (cap + kAlignIds - 1) / kAlignIds * kAlignIds;
+  return std::min(cap, n_ids);
 }
 
 // stable LSB radix argsort of non-negative int32 ids (16-bit digits: two
@@ -258,8 +269,9 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  if (r.i64() != 5) return nullptr;  // version (wide fold + scatter plans)
+  if (r.i64() != 6) return nullptr;  // version (sharded scatter plans)
   auto plan = new Plan();
+  plan->scatter_shards = std::max<int64_t>(r.i64(), 1);
   plan->n_columns = r.i64();
   plan->multivalue = r.i64();
   plan->pack_budget = r.i64();
@@ -545,8 +557,13 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 
 // outs layout: label, weight, mask, wide_ids, wide_wts,
 //              [per group: ids, wts, seg]..., ind_ids, ind_wts, cont,
-//              then per scat_mask group (ascending): ids_sorted [B*P],
-//              perm [B*P], tiles [4, n_tiles_for(B*P, rows)].
+//              then per scat_mask group (ascending):
+//                scatter_shards == 1: ids_sorted [B*P], perm [B*P],
+//                  tiles [4, n_tiles_for(B*P, rows)]
+//                scatter_shards == S > 1: ids [S, cap], perm [S, cap],
+//                  tiles [S, 4, n_tiles_for(cap, rows/S)], ok [S]
+//                  (ops/scatter.make_sharded_scatter_plan layout: localized
+//                  sorted streams per table shard; ok=0 on cap overflow)
 // scat_mask: bit g set = emit a Pallas scatter plan for group g
 // (ops/scatter.py contract; caller sizes the buffers).
 int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
@@ -569,7 +586,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
   o.ind_ids = static_cast<int32_t*>(outs[idx++]);
   o.ind_wts = static_cast<float*>(outs[idx++]);
   o.cont = static_cast<float*>(outs[idx++]);
-  struct ScatOut { int64_t group; int32_t *ids, *perm, *tiles; };
+  struct ScatOut { int64_t group; int32_t *ids, *perm, *tiles, *ok; };
   std::vector<ScatOut> scats;
   for (size_t g = 0; g < plan.group_dims.size(); ++g) {
     if (!(scat_mask >> g & 1)) continue;
@@ -578,6 +595,8 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     s.ids = static_cast<int32_t*>(outs[idx++]);
     s.perm = static_cast<int32_t*>(outs[idx++]);
     s.tiles = static_cast<int32_t*>(outs[idx++]);
+    s.ok = plan.scatter_shards > 1 ? static_cast<int32_t*>(outs[idx++])
+                                   : nullptr;
     scats.push_back(s);
   }
 
@@ -660,8 +679,53 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       int64_t g = s.group;
       int64_t n = capacity * plan.group_packed[g];
       int64_t rows = plan.group_rows[g];
-      stable_radix_argsort(o.g_ids[g], n, s.perm, s.ids);
-      if (!build_tiles(s.ids, n, rows, s.tiles, n_tiles_for(n, rows)))
+      int64_t n_shards = plan.scatter_shards;
+      if (n_shards <= 1) {
+        stable_radix_argsort(o.g_ids[g], n, s.perm, s.ids);
+        if (!build_tiles(s.ids, n, rows, s.tiles, n_tiles_for(n, rows)))
+          scat_ok.store(false, std::memory_order_relaxed);
+        return;
+      }
+      // per-table-shard emission: sort the global stream once, split at the
+      // static shard row boundaries, localize + tile each shard's slice
+      // (ops/scatter.make_sharded_scatter_plan parity)
+      if (rows % n_shards) {
+        scat_ok.store(false, std::memory_order_relaxed);
+        return;
+      }
+      const int64_t shard_rows = rows / n_shards;
+      const int64_t cap = shard_cap(n, n_shards);
+      const int64_t nt = n_tiles_for(cap, shard_rows);
+      std::vector<int32_t> gperm(n), gsort(n);
+      stable_radix_argsort(o.g_ids[g], n, gperm.data(), gsort.data());
+      int64_t lo = 0;
+      for (int64_t sh = 0; sh < n_shards; ++sh) {
+        const int64_t bound = (sh + 1) * shard_rows;
+        int64_t hi = std::lower_bound(gsort.begin() + lo, gsort.end(),
+                                      static_cast<int32_t>(bound))
+                     - gsort.begin();
+        const int64_t cnt = hi - lo;
+        int32_t* sid = s.ids + sh * cap;
+        int32_t* spm = s.perm + sh * cap;
+        int32_t* stl = s.tiles + sh * 4 * nt;
+        if (cnt > cap) {  // hot-key skew: consumer falls back to XLA
+          s.ok[sh] = 0;
+          lo = hi;
+          continue;
+        }
+        const int32_t base = static_cast<int32_t>(sh * shard_rows);
+        for (int64_t i = 0; i < cnt; ++i) {
+          sid[i] = gsort[lo + i] - base;
+          spm[i] = gperm[lo + i];
+        }
+        if (!build_tiles(sid, cnt, shard_rows, stl, nt)) {
+          scat_ok.store(false, std::memory_order_relaxed);
+          return;
+        }
+        s.ok[sh] = 1;
+        lo = hi;
+      }
+      if (lo != n)  // ids >= rows (or < 0): contract violation, fail loudly
         scat_ok.store(false, std::memory_order_relaxed);
     };
     if (scats.size() == 1 || nt == 1) {

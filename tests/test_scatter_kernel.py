@@ -178,6 +178,70 @@ class TestScatterPlanPlumbing:
         np.testing.assert_allclose(losses["pallas"], losses["xla"],
                                    rtol=5e-4)
 
+    def test_sharded_plan_invariants(self):
+        """make_sharded_scatter_plan: per-shard streams are localized,
+        sorted, perm-consistent with the global flat stream, and every id
+        is either covered by an ok shard or owned by an overflowed one."""
+        from wide_deep_tpu.ops.scatter import (make_sharded_scatter_plan,
+                                               shard_cap)
+        rng = np.random.default_rng(7)
+        rows, n_shards, n = 2048, 8, 4096
+        shard_rows = rows // n_shards
+        # skew shard 3 hot so it overflows the 2x-even-split cap
+        ids = np.concatenate([
+            rng.integers(0, rows, n - 2000).astype(np.int32),
+            rng.integers(3 * shard_rows, 4 * shard_rows, 2000)
+               .astype(np.int32)])
+        sp = make_sharded_scatter_plan(ids, rows, n_shards)
+        cap = shard_cap(n, n_shards)
+        assert sp["ids"].shape == (n_shards, cap)
+        counts = np.bincount(ids // shard_rows, minlength=n_shards)
+        covered = 0
+        for s in range(n_shards):
+            cnt = int(counts[s])
+            if cnt > cap:
+                assert sp["ok"][s] == 0
+                assert (sp["tiles"][s, 2] == 0).all()  # all-empty tiles
+                continue
+            assert sp["ok"][s] == 1
+            live = sp["ids"][s, :cnt]
+            assert (np.diff(live) >= 0).all()          # sorted
+            assert live.min(initial=0) >= 0
+            assert live.max(initial=0) < shard_rows    # localized
+            # perm maps sorted position -> global flat position
+            np.testing.assert_array_equal(
+                ids[sp["perm"][s, :cnt]] - s * shard_rows, live)
+            assert int(sp["tiles"][s, 2].sum()) == cnt  # tiles cover all
+            covered += cnt
+        assert covered == n - int(counts[3])
+
+    def test_python_cpp_sharded_plan_parity(self, small_config, monkeypatch):
+        """The C++ per-shard emission (sort once, split at shard bounds,
+        localize + tile) must be bit-identical to
+        make_sharded_scatter_plan for every array including ok flags."""
+        from wide_deep_tpu.features.native import NativeTransformer
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        import wide_deep_tpu.ops.scatter as sc
+        if not NativeTransformer.available():
+            pytest.skip("native lib not built")
+        monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_IDS", 1)
+        plan = FeaturePlan(small_config, pallas_scatter=True,
+                           scatter_shards=8, shard_threshold=1)
+        with open("/root/reference/data/train/train1") as f:
+            rows = [l.rstrip("\n").split("\t") for l in f][:300]
+        py = FeatureTransformer(plan).transform(rows, 512, mode="train")
+        cc = NativeTransformer(plan).transform(rows, 512, mode="train")
+        ok_keys = [k for k in py if k.startswith("scat_ok_")]
+        assert ok_keys, "no sharded scatter plans emitted"
+        assert set(py) == set(cc)
+        for k in sorted(py):
+            np.testing.assert_array_equal(py[k], cc[k], err_msg=k)
+        for k in ok_keys:  # real data, 8 shards: every shard within cap
+            dim = k.rsplit("_d", 1)[1]
+            assert py[k].shape == (8,)
+            assert py[f"scat_ids_d{dim}"].ndim == 2
+
     def test_python_cpp_parity_small_rows(self, tmp_path, fixture_rows,
                                           monkeypatch):
         """Regression: tables with rows < MAXR (slab padding) must still

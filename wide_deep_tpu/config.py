@@ -454,6 +454,12 @@ class Config:
             if not isinstance(size, int):
                 raise ConfigError(f"{where}: mesh axis `{axis}` must be int")
         out["mesh"] = mesh
+        lookup = section.get("sharded_lookup") or "auto"
+        if lookup not in ("auto", "gspmd", "explicit"):
+            raise ConfigError(
+                f"{where}: sharded_lookup must be auto|gspmd|explicit, "
+                f"got {lookup!r}")
+        out["sharded_lookup"] = lookup
         return out
 
     @property

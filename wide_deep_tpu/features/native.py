@@ -31,12 +31,14 @@ _TRAN = {None: 0, "min_max": 1, "standard": 2, "log": 3}
 
 
 def serialize_plan(plan: FeaturePlan) -> bytes:
-    """FeaturePlan -> binary blob for wdt_plan_create (format v5, packed
+    """FeaturePlan -> binary blob for wdt_plan_create (format v6, packed
     pools: per-group/wide shared id pools with slot indices for the segment
     column; per-slot entry caps = pack_budget).  Version history: v4 added
     per-slot wide-fold flags (folded slots emit no wide-pool entries); v5
-    added per-group table row counts so the loader can emit Pallas
-    scatter plans (ops/scatter.py) with each batch.
+    added per-group table row counts so the loader can emit Pallas scatter
+    plans (ops/scatter.py) with each batch; v6 added scatter_shards so the
+    loader emits PER-TABLE-SHARD plans (localized sorted streams + tiles +
+    ok flags) for multi-device meshes.
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
     lockstep with cpp/fastdata.cc::parse_plan.
@@ -56,8 +58,9 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(5)  # version (v5: per-group rows for scatter-plan emission)
+    i64(6)  # version (v6: scatter_shards for per-table-shard plans)
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
+    i64(int(getattr(plan, "scatter_shards", 1)))
     i64(len(plan.columns), int(plan.multivalue), int(plan.pack_budget),
         plan.wide_packed_len,
         plan.indicator_total_len, len(plan.continuous_slots),
@@ -185,17 +188,27 @@ class NativeTransformer:
         if plan.continuous_slots:
             out["cont"] = cont
 
-        # Pallas scatter plans (ops/scatter.py) for big groups, train mode
+        # Pallas scatter plans (ops/scatter.py) for big groups, train mode;
+        # per table shard (ids/perm/tiles/ok with leading n_shards axis)
+        # when the plan was compiled for a multi-device mesh
         scat_mask = 0
         if mode == "train":
-            from wide_deep_tpu.ops.scatter import scatter_batch_spec
+            from wide_deep_tpu.ops.scatter import (
+                scatter_batch_spec, sharded_scatter_batch_spec)
             for gi, g in enumerate(plan.groups):
                 if not plan.scatter_group(g, B):
                     continue
                 scat_mask |= 1 << gi
-                spec = scatter_batch_spec(B * plan.group_packed_len[g.dim],
-                                          g.rows)
-                for key, (shape, dt) in spec.items():
+                n_ids = B * plan.group_packed_len[g.dim]
+                if plan.scatter_shards > 1:
+                    spec = sharded_scatter_batch_spec(
+                        n_ids, g.rows, plan.scatter_shards)
+                else:
+                    spec = scatter_batch_spec(n_ids, g.rows)
+                for key in ("ids", "perm", "tiles", "ok"):
+                    if key not in spec:
+                        continue
+                    shape, dt = spec[key]
                     arr = np.zeros(shape, dt)
                     out[f"scat_{key}_d{g.dim}"] = arr
                     ptr_order.append(arr)

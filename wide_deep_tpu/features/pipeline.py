@@ -277,9 +277,16 @@ class FeatureTransformer:
             out[f"emb_seg_d{g.dim}"] = g_seg[g.dim]
             if mode == "train" and plan.scatter_group(g, B):
                 # host-built scatter plan for the Pallas backward
-                # (ops/scatter.py): sorted ids + perm + range tiles
-                from wide_deep_tpu.ops.scatter import make_scatter_plan
-                sp = make_scatter_plan(g_ids[g.dim].reshape(-1), g.rows)
+                # (ops/scatter.py): sorted ids + perm + range tiles;
+                # per table shard when the mesh row-shards this group
+                from wide_deep_tpu.ops.scatter import (
+                    make_scatter_plan, make_sharded_scatter_plan)
+                if plan.scatter_shards > 1:
+                    sp = make_sharded_scatter_plan(
+                        g_ids[g.dim].reshape(-1), g.rows, plan.scatter_shards)
+                    out[f"scat_ok_d{g.dim}"] = sp["ok"]
+                else:
+                    sp = make_scatter_plan(g_ids[g.dim].reshape(-1), g.rows)
                 out[f"scat_ids_d{g.dim}"] = sp["ids"]
                 out[f"scat_perm_d{g.dim}"] = sp["perm"]
                 out[f"scat_tiles_d{g.dim}"] = sp["tiles"]

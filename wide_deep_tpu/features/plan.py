@@ -190,7 +190,9 @@ class FeaturePlan:
                  pack_budget: Optional[int] = None,
                  fold: Optional[bool] = None,
                  fold_max_rows: Optional[int] = None,
-                 pallas_scatter: bool = False):
+                 pallas_scatter: bool = False,
+                 scatter_shards: int = 1,
+                 shard_threshold: Optional[int] = None):
         self.config = config
         train = config.train
         self.multivalue = train["multivalue"] if multivalue is None else multivalue
@@ -213,9 +215,19 @@ class FeaturePlan:
         # pallas_scatter: batches additionally carry a host-built scatter
         # plan (sorted ids + permutation + range tiles) per big dim group so
         # the backward runs ops/scatter.range_scatter_add instead of XLA's
-        # serial scatter (measured 5.6x on v5e).  Callers enable it for
-        # single-device meshes (Trainer / bench).
+        # serial scatter (measured 5.6x on v5e).
+        # scatter_shards > 1: the plan is emitted PER TABLE SHARD (n_devices
+        # localized streams, ops/scatter.make_sharded_scatter_plan) for the
+        # explicit-exchange kernel backward on multi-device meshes
+        # (parallel/exchange.planned_sharded_gather); only groups whose
+        # tables actually row-shard (size >= shard_threshold x shards,
+        # parallel/mesh.param_shardings rule) carry sharded plans.
         self.pallas_scatter = bool(pallas_scatter)
+        self.scatter_shards = int(scatter_shards)
+        if shard_threshold is None:
+            from wide_deep_tpu.parallel.mesh import _SHARD_THRESHOLD
+            shard_threshold = _SHARD_THRESHOLD
+        self.shard_threshold = int(shard_threshold)
         schema = config.schema_columns()
         self.columns = schema
         self.label = schema[0]
@@ -383,12 +395,22 @@ class FeaturePlan:
         plan (ops/scatter.py).  Profitable when the id stream is large (the
         kernel's cost is ~per-tile, XLA's is ~45 ns/id) and dense enough
         that range slabs aren't mostly empty; tiny streams into huge tables
-        (production d32: 25.6k ids / 10M rows) stay on XLA."""
+        (production d32: 25.6k ids / 10M rows) stay on XLA.
+
+        With scatter_shards > 1 the plan is per-shard and only tables that
+        will actually row-shard on the mesh qualify (replicated tables keep
+        the GSPMD scatter — a pallas_call can't be auto-partitioned)."""
         from wide_deep_tpu.ops.scatter import PALLAS_SCATTER_MIN_IDS
         n_ids = batch_size * self.group_packed_len[g.dim]
-        return (self.pallas_scatter
+        if not (self.pallas_scatter
                 and n_ids >= PALLAS_SCATTER_MIN_IDS
-                and n_ids * 16 >= g.rows)
+                and n_ids * 16 >= g.rows):
+            return False
+        if self.scatter_shards > 1:
+            return (g.rows % self.scatter_shards == 0
+                    and g.rows * g.dim
+                    >= self.shard_threshold * self.scatter_shards)
+        return True
 
     # ------------------------------------------------------------- descriptors
     def batch_spec(self, batch_size: int, n_classes: int = 2,
@@ -411,8 +433,13 @@ class FeaturePlan:
             spec[f"emb_wts_d{g.dim}"] = ((B, P), np.float32)
             spec[f"emb_seg_d{g.dim}"] = ((B, P), np.int32)
             if mode == "train" and self.scatter_group(g, B):
-                from wide_deep_tpu.ops.scatter import scatter_batch_spec
-                for key, sd in scatter_batch_spec(B * P, g.rows).items():
+                from wide_deep_tpu.ops.scatter import (
+                    scatter_batch_spec, sharded_scatter_batch_spec)
+                sd_spec = (sharded_scatter_batch_spec(
+                               B * P, g.rows, self.scatter_shards)
+                           if self.scatter_shards > 1
+                           else scatter_batch_spec(B * P, g.rows))
+                for key, sd in sd_spec.items():
                     spec[f"scat_{key}_d{g.dim}"] = sd
         if self.indicator_total_len:
             spec["ind_ids"] = ((B, self.indicator_total_len), np.int32)

@@ -364,18 +364,27 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                       embedding_init(rng, shape).astype(embedding_dtype)))
     fold_wide = None
 
-    def table_gather(tbl, ids):
+    def table_gather(tbl, ids, sscat=None):
         # explicit sharded exchange (parallel/exchange.py) when enabled and
-        # the table is big enough to be row-sharded; GSPMD otherwise
+        # the table is big enough to be row-sharded; GSPMD otherwise.
+        # ``sscat``: host-built per-shard scatter plans — routes the
+        # exchange backward through the Pallas range-scatter kernel
+        # (planned_sharded_gather), XLA scatter otherwise.
         if lookup_mesh is not None:
             mesh, threshold = lookup_mesh
-            from wide_deep_tpu.parallel.exchange import explicit_sharded_gather
+            from wide_deep_tpu.parallel.exchange import (
+                explicit_sharded_gather, planned_sharded_gather)
             from wide_deep_tpu.parallel.mesh import _SHARD_THRESHOLD
             threshold = _SHARD_THRESHOLD if threshold is None else threshold
             n_dev = mesh.devices.size
             if (tbl.size >= threshold * n_dev
                     and tbl.shape[0] % n_dev == 0
                     and ids.shape[0] % mesh.shape["data"] == 0):
+                if sscat is not None and sscat["ok"].shape[0] == n_dev:
+                    return planned_sharded_gather(
+                        tbl, ids, sscat["ids"], sscat["perm"],
+                        sscat["tiles"], sscat["ok"], mesh=mesh,
+                        interpret=jax.default_backend() == "cpu")
                 return explicit_sharded_gather(tbl, ids, mesh)
         return jnp.take(tbl, ids, axis=0)
 
@@ -385,12 +394,20 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         wts = batch[f"emb_wts_d{g.dim}"]            # [B, P]
         seg = batch[f"emb_seg_d{g.dim}"]            # [B, P] slot index
         # host-built Pallas scatter plan for the backward, when present
-        # (train batches of big groups; features/pipeline.py)
-        scat = None
-        if f"scat_ids_d{g.dim}" in batch and lookup_mesh is None:
-            scat = {"ids": batch[f"scat_ids_d{g.dim}"],
-                    "perm": batch[f"scat_perm_d{g.dim}"],
-                    "tiles": batch[f"scat_tiles_d{g.dim}"]}
+        # (train batches of big groups; features/pipeline.py): single-stream
+        # form for single-device meshes, per-table-shard form (leading
+        # n_devices axis + ok flags) for the explicit exchange
+        scat = sscat = None
+        if f"scat_ids_d{g.dim}" in batch:
+            if lookup_mesh is None and f"scat_ok_d{g.dim}" not in batch:
+                scat = {"ids": batch[f"scat_ids_d{g.dim}"],
+                        "perm": batch[f"scat_perm_d{g.dim}"],
+                        "tiles": batch[f"scat_tiles_d{g.dim}"]}
+            elif lookup_mesh is not None and f"scat_ok_d{g.dim}" in batch:
+                sscat = {"ids": batch[f"scat_ids_d{g.dim}"],
+                         "perm": batch[f"scat_perm_d{g.dim}"],
+                         "tiles": batch[f"scat_tiles_d{g.dim}"],
+                         "ok": batch[f"scat_ok_d{g.dim}"]}
         if fold_params is not None and g.folded:
             fcol = fold_params[f"d{g.dim}"]
             if lookup_mesh is not None:
@@ -398,7 +415,7 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                 # shard_map transposes)
                 fused = jnp.concatenate([table, fcol.astype(table.dtype)],
                                         axis=1)
-                full = table_gather(fused, ids)      # [B, P, dim+n_logits]
+                full = table_gather(fused, ids, sscat)  # [B,P,dim+n_logits]
                 gathered = full[..., :g.dim]
                 wide_rows = full[..., g.dim:].astype(jnp.float32)
             else:
@@ -416,7 +433,7 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         elif scat is not None:
             gathered = gather_with_plan(table, ids, scat)  # [B, P, dim]
         else:
-            gathered = table_gather(table, ids)      # [B, P, dim]
+            gathered = table_gather(table, ids, sscat)  # [B, P, dim]
         weighted = (gathered * wts[..., None]).astype(jnp.float32)
         # Per-feature mean combine over the packed pool: a per-row one-hot
         # segment matmul (MXU).  Gather/scatter cost is linear in P (measured

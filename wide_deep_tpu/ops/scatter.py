@@ -270,3 +270,86 @@ def apply_scatter_plan(plan_arrays, g_flat: jnp.ndarray, rows: int,
     return range_scatter_add(
         plan_arrays["ids"], g_sorted, tiles[0], tiles[1], tiles[2],
         tiles[3], rows, out_dtype=out_dtype, interpret=interpret)
+
+
+# ---------------------------------------------------------- sharded plans
+# Per-table-shard plans for multi-device meshes: the host sorts the global id
+# stream once, splits it at the (static) shard row boundaries, and emits one
+# localized stream + tiling per shard.  Each device then runs the kernel on
+# ITS shard's stream inside shard_map (parallel/exchange.py
+# planned_sharded_gather) — the multi-chip analog of the reference's
+# per-PS-task sharded gradient scatter (/root/reference/python/lib/
+# joint.py:140-143, 224-262).
+#
+# Per-shard streams are padded to a static cap of SHARD_SLACK x the even
+# split (hashed ids spread ~uniformly; the slack absorbs skew).  A shard
+# whose id count exceeds the cap gets ok=0 and empty tiles — the device
+# falls back to the XLA scatter for that shard only, so hot-key skew
+# degrades performance, never correctness.
+SHARD_SLACK = 2  # integer so the C++ emitter computes the identical cap
+
+
+def shard_cap(n_ids: int, n_shards: int) -> int:
+    """Static per-shard stream length: SHARD_SLACK x the even split,
+    ALIGN_IDS-aligned, never above n_ids.  MUST match cpp/fastdata.cc
+    shard_cap (parity test enforces)."""
+    cap = (n_ids * SHARD_SLACK + n_shards - 1) // n_shards
+    cap = ((cap + ALIGN_IDS - 1) // ALIGN_IDS) * ALIGN_IDS
+    return min(cap, n_ids)
+
+
+def sharded_scatter_batch_spec(n_ids: int, rows: int, n_shards: int):
+    """Shapes/dtypes of the per-batch sharded scatter-plan arrays."""
+    cap = shard_cap(n_ids, n_shards)
+    nt = n_tiles_for(cap, rows // n_shards)
+    return {"ids": ((n_shards, cap), np.int32),
+            "perm": ((n_shards, cap), np.int32),
+            "tiles": ((n_shards, 4, nt), np.int32),
+            "ok": ((n_shards,), np.int32)}
+
+
+def make_sharded_scatter_plan(ids_flat: np.ndarray, rows: int,
+                              n_shards: int):
+    """Host: flat id vector -> per-shard {ids, perm, tiles, ok} np arrays.
+
+    ``ids[s]`` holds shard s's ids LOCALIZED to its row range (id -
+    s*shard_rows), sorted ascending, zero-padded past its live count;
+    ``perm[s]`` maps sorted position -> position in the GLOBAL flat stream
+    (so each device gathers its grad rows from the all-gathered cotangent);
+    ``tiles[s]`` is the build_scatter_tiles output padded with empty tiles;
+    ``ok[s]`` is 0 when the shard's id count overflowed the static cap
+    (consumer must fall back to an XLA scatter for that shard).
+    """
+    n = int(ids_flat.shape[0])
+    if rows % n_shards:
+        raise ValueError(f"rows {rows} % n_shards {n_shards} != 0")
+    shard_rows = rows // n_shards
+    spec = sharded_scatter_batch_spec(n, rows, n_shards)
+    cap = spec["ids"][0][1]
+    nt = spec["tiles"][0][2]
+    out = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
+    order = np.argsort(ids_flat, kind="stable").astype(np.int32)
+    ids_sorted = ids_flat[order].astype(np.int32)
+    bounds = np.searchsorted(
+        ids_sorted, np.arange(n_shards + 1, dtype=np.int64) * shard_rows,
+        side="left")
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        cnt = hi - lo
+        if cnt > cap:
+            continue  # ok stays 0: consumer falls back to XLA for shard s
+        out["ok"][s] = 1
+        if cnt == 0:
+            continue  # valid empty plan (all tiles empty)
+        local = ids_sorted[lo:hi] - s * shard_rows
+        out["ids"][s, :cnt] = local
+        out["perm"][s, :cnt] = order[lo:hi]
+        starts, offs, counts, row_los = build_scatter_tiles(
+            local, shard_rows)
+        k = starts.shape[0]
+        assert k <= nt, (k, nt)
+        out["tiles"][s, 0, :k] = starts
+        out["tiles"][s, 1, :k] = offs
+        out["tiles"][s, 2, :k] = counts
+        out["tiles"][s, 3, :k] = row_los
+    return out

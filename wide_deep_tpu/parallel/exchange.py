@@ -82,6 +82,110 @@ def explicit_sharded_gather(table: jnp.ndarray, ids: jnp.ndarray,
     return lookup(table, ids)
 
 
+# -------------------------------------------------- planned sharded gather
+# The explicit exchange above leaves the backward to autodiff: each device
+# scatter-adds the all-gathered cotangent into its table shard with XLA's
+# serial scatter (~45 ns/id over the FULL global id stream, per device).
+# planned_sharded_gather replaces that backward with the Pallas range-scatter
+# kernel (ops/scatter.py) driven by host-built PER-SHARD plans
+# (ops/scatter.make_sharded_scatter_plan): the loader sorts the global id
+# stream once, splits it at the static shard row boundaries, and each device
+# runs the kernel on just its shard's localized stream.  A shard whose id
+# count overflowed the static plan cap (ok=0, hot-key skew) falls back to
+# the XLA scatter for that batch — per shard, per batch, never wrong.
+#
+# Requires a single-process mesh: the plans cover the GLOBAL batch id
+# stream, which one host only knows when it loads the whole batch.  The
+# multi-host analog is the dedup all-to-all exchange (ROADMAP).
+
+
+def planned_sharded_gather(table: jnp.ndarray, ids: jnp.ndarray,
+                           plan_ids: jnp.ndarray, plan_perm: jnp.ndarray,
+                           plan_tiles: jnp.ndarray, plan_ok: jnp.ndarray,
+                           mesh: Mesh, interpret: bool = False) -> jnp.ndarray:
+    """explicit_sharded_gather with a Pallas range-scatter backward.
+
+    Forward collective schedule and semantics are identical to
+    explicit_sharded_gather (values AND grads asserted equal in
+    tests/test_exchange.py); only the backward's table-gradient scatter
+    changes schedule.  Plan arrays have leading dim n_devices, laid out in
+    row-shard order (data-major, then model — matching P(('data','model'))).
+    """
+    return _planned_gather((mesh, interpret), table, ids, plan_ids,
+                           plan_perm, plan_tiles, plan_ok)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _planned_gather(ctx, table, ids, plan_ids, plan_perm, plan_tiles,
+                    plan_ok):
+    mesh, _ = ctx
+    return explicit_sharded_gather(table, ids, mesh)
+
+
+def _planned_gather_fwd(ctx, table, ids, plan_ids, plan_perm, plan_tiles,
+                        plan_ok):
+    out = _planned_gather(ctx, table, ids, plan_ids, plan_perm, plan_tiles,
+                          plan_ok)
+    # `table` rides the residuals for shape/dtype only — the backward never
+    # reads its values, so XLA keeps no extra copy live (same pattern as
+    # models/deep.py fused_gather_split)
+    res = (ids, plan_ids, plan_perm, plan_tiles, plan_ok, table)
+    return out, res
+
+
+def _planned_gather_bwd(ctx, res, ct):
+    mesh, interpret = ctx
+    ids, plan_ids, plan_perm, plan_tiles, plan_ok, table = res
+    rows, d = table.shape
+    tdtype = table.dtype
+    n_total = mesh.devices.size
+    model_size = mesh.shape["model"]
+    shard_rows = rows // n_total
+    sall = ("data", "model")
+
+    # check_vma off: pallas_call's out ShapeDtypeStruct carries no varying
+    # mesh-axes annotation, which the checker (jax>=0.7) rejects otherwise
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("data", None, None), P("data", None),
+                       P(sall, None), P(sall, None), P(sall, None, None),
+                       P(sall)),
+             out_specs=P(sall, None))
+    def bwd(ct_local, ids_local, sids, sperm, stiles, sok):
+        shard = (jax.lax.axis_index("data") * model_size
+                 + jax.lax.axis_index("model"))
+        # dense-exchange contract: the full cotangent is gathered once
+        # (O(B x P x D), the same volume the forward's psum_scatter moved)
+        ct_all = jax.lax.all_gather(ct_local, "data", axis=0, tiled=True)
+        g = ct_all.reshape(-1, ct_all.shape[-1])
+        # hoisted out of the cond: collectives inside per-device branches
+        # would deadlock when shards disagree on ok
+        ids_all = jax.lax.all_gather(ids_local, "data", axis=0, tiled=True)
+        local_all = ids_all.reshape(-1) - shard * shard_rows
+
+        def kernel_path(_):
+            from wide_deep_tpu.ops.scatter import range_scatter_add
+            gs = jnp.take(g, sperm[0], axis=0).astype(tdtype)
+            t = stiles[0]
+            return range_scatter_add(sids[0], gs, t[0], t[1], t[2], t[3],
+                                     shard_rows, out_dtype=tdtype,
+                                     interpret=interpret)
+
+        def xla_path(_):
+            mask = (local_all >= 0) & (local_all < shard_rows)
+            gm = jnp.where(mask[:, None], g, jnp.zeros((), g.dtype))
+            return (jnp.zeros((shard_rows, g.shape[-1]), tdtype)
+                    .at[jnp.clip(local_all, 0, shard_rows - 1)]
+                    .add(gm.astype(tdtype), mode="drop"))
+
+        return jax.lax.cond(sok[0] > 0, kernel_path, xla_path, 0)
+
+    d_table = bwd(ct, ids, plan_ids, plan_perm, plan_tiles, plan_ok)
+    return d_table, None, None, None, None, None
+
+
+_planned_gather.defvjp(_planned_gather_fwd, _planned_gather_bwd)
+
+
 def lookup_mesh_for(model) -> Optional[Mesh]:
     """The mesh a model's explicit-lookup path should use (None = GSPMD)."""
     return getattr(model, "_lookup_mesh", None)

@@ -56,6 +56,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def batch_key_sharding(mesh: Mesh, key: str, value) -> NamedSharding:
+    """Sharding for one batch entry.
+
+    Regular feature tensors split their leading (batch) dim over 'data'.
+    Per-table-shard scatter-plan arrays (``scat_*`` with a leading
+    n_devices axis, ops/scatter.make_sharded_scatter_plan) instead place
+    one plan row on each device — the same data-major device order as
+    row-sharded tables, so each device holds the plan for ITS table shard.
+    """
+    n = mesh.devices.size
+    if (n > 1 and key.startswith("scat_")
+            and getattr(value, "shape", ()) and value.shape[0] == n):
+        return NamedSharding(mesh, P(("data", "model")))
+    return batch_sharding(mesh)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -49,7 +49,11 @@ def write_small_conf(dst_dir: str,
         "num_examples: 10000", f"num_examples: {num_examples}").replace(
         # pinned budget: tests need stable pool layouts regardless of which
         # fixture a Trainer points at (auto sizes from the data)
-        "pack_budget: auto", "pack_budget: 3"))
+        "pack_budget: auto", "pack_budget: 3").replace(
+        # pinned lookup: the default `auto` resolves to the explicit
+        # exchange on the virtual 8-device test mesh, which would silently
+        # reroute every default-Trainer test; exchange tests opt in
+        "sharded_lookup: auto", "sharded_lookup: gspmd"))
     return dst_dir
 
 

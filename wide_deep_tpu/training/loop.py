@@ -86,25 +86,45 @@ class Trainer:
             # measured-occupancy pool sizing (features/analyze.py)
             budget = resolve_pack_budget(self.config,
                                          self.train_conf.get("train_data"))
-        # Pallas range-scatter backward for big tables (ops/scatter.py):
-        # single-device meshes only — sharded tables keep the GSPMD/XLA
-        # collectives path
-        pallas_scatter = (
-            str(self.train_conf.get("scatter_mode") or "pallas") == "pallas"
-            and self.mesh.devices.size == 1)
+        # Pallas range-scatter backward for big tables (ops/scatter.py).
+        # Single-device meshes: one plan per big group.  Multi-device meshes
+        # with the explicit exchange: one plan PER TABLE SHARD
+        # (parallel/exchange.planned_sharded_gather) — requires a
+        # single-process mesh because the plans cover the global batch's id
+        # stream.  GSPMD-lookup multi-device meshes keep XLA's collectives
+        # path (a pallas_call cannot be auto-partitioned by GSPMD).
+        n_dev = self.mesh.devices.size
+        # auto = explicit on multi-device meshes; on a single device there
+        # is nothing to exchange — keep the plain gather (and its
+        # fused_gather_split Pallas backward) instead
+        lookup = self.config.distribution.get("sharded_lookup") or "auto"
+        explicit_lookup = n_dev > 1 and lookup in ("explicit", "auto")
+        want_pallas = (
+            str(self.train_conf.get("scatter_mode") or "pallas") == "pallas")
+        pallas_scatter = want_pallas and (
+            n_dev == 1
+            or (explicit_lookup and jax.process_count() == 1))
+        scatter_shards = n_dev if (pallas_scatter and n_dev > 1) else 1
         self.plan = FeaturePlan(
             self.config, multivalue=self.train_conf["multivalue"],
             fold=fold_enabled(self.config, self.model_type),
             pack_budget=budget if budget not in (None, "") else None,
-            pallas_scatter=pallas_scatter)
+            pallas_scatter=pallas_scatter,
+            scatter_shards=scatter_shards,
+            shard_threshold=self.train_conf.get("shard_threshold"))
         self.model: WideDeep = build_model(
             self.config, plan=self.plan, model_type=self.model_type,
             n_classes=n_classes, dtype=dtype)
-        if self.config.distribution.get("sharded_lookup") == "explicit":
+        if explicit_lookup:
             # deliberate all-gather/psum_scatter exchange for row-sharded
-            # tables instead of GSPMD's derived collectives
+            # tables instead of GSPMD's derived collectives; the threshold
+            # is shared with the plan's sharded-scatter gating so a group
+            # carries per-shard kernel plans iff its gathers go through the
+            # exchange
             from wide_deep_tpu.parallel.exchange import enable_explicit_lookup
-            enable_explicit_lookup(self.model, self.mesh)
+            enable_explicit_lookup(
+                self.model, self.mesh,
+                size_threshold=self.train_conf.get("shard_threshold"))
         decay_steps = max(
             float(self.train_conf["num_examples"]) / self.batch_size, 1.0)
         # touched-rows sparse updates for big tables (reference
@@ -233,11 +253,13 @@ class Trainer:
         Multi-process: each host holds its shard of the global batch
         (CsvDataset already row-shards by process); assemble the global
         array from per-process local data."""
-        bsh = mesh_lib.batch_sharding(self.mesh)
         if jax.process_count() > 1:
+            bsh = mesh_lib.batch_sharding(self.mesh)
             return {k: jax.make_array_from_process_local_data(bsh, v)
                     for k, v in batch.items()}
-        return {k: jax.device_put(v, bsh) for k, v in batch.items()}
+        return {k: jax.device_put(
+                    v, mesh_lib.batch_key_sharding(self.mesh, k, v))
+                for k, v in batch.items()}
 
     @property
     def per_host_batch(self) -> int:
