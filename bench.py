@@ -92,6 +92,11 @@ def synthetic_batch(plan, batch_size, rng):
             batch[f"scat_ids_d{g.dim}"] = sp["ids"]
             batch[f"scat_perm_d{g.dim}"] = sp["perm"]
             batch[f"scat_tiles_d{g.dim}"] = sp["tiles"]
+        if plan.sparse_opt_group(g, batch_size):
+            from wide_deep_tpu.ops.scatter import make_compact_plan
+            cp = make_compact_plan(ids.reshape(-1), g.rows)
+            for key, arr in cp.items():
+                batch[f"sopt_{key}_d{g.dim}"] = arr
 
     if plan.indicator_total_len:
         ids = np.zeros((batch_size, plan.indicator_total_len), np.int32)
@@ -128,11 +133,14 @@ def main():
     mesh = mesh_lib.make_mesh(n_chips, 1)
 
     config = Config()
-    # BENCH_SCATTER=xla disables the Pallas range-scatter backward
+    # BENCH_SCATTER=xla disables the Pallas range-scatter backward;
+    # BENCH_SPARSE=1 enables the fused touched-rows optimizer (compact
+    # dedup plans + apply_compact_update) for huge tables
     plan = FeaturePlan(
         config,
         pallas_scatter=(n_chips == 1
-                        and os.environ.get("BENCH_SCATTER") != "xla"))
+                        and os.environ.get("BENCH_SCATTER") != "xla"),
+        sparse_opt=os.environ.get("BENCH_SPARSE") == "1")
     # BENCH_DENSE_DTYPE=bfloat16 measures the MLP-in-bf16 knob (model.yaml
     # dense_dtype) without editing the conf
     dtype_env = os.environ.get("BENCH_DENSE_DTYPE")
@@ -181,6 +189,17 @@ def main():
     jax.block_until_ready(loss)
     warmup_s = time.time() - t0
     log(f"warmup (incl. compile) {warmup_s:.1f}s; loss={float(loss):.4f}")
+
+    # BENCH_PROFILE=<dir>: capture a 3-step profiler trace for
+    # tools/parse_xplane.py op-time analysis
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            for i in range(3):
+                params, mstate, opt_state, loss = step(
+                    params, mstate, opt_state, dbatch, key, 100 + i)
+            jax.block_until_ready(loss)
+        log(f"profile written to {profile_dir}")
 
     t0 = time.time()
     for i in range(MEASURE_STEPS):

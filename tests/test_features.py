@@ -195,3 +195,60 @@ class TestPipeline:
         assert list_files(str(tmp_path / "a")) == [str(tmp_path / "a")]
         with pytest.raises(FileNotFoundError):
             list_files(str(tmp_path / "nope"))
+
+
+class TestRemoteFilesystems:
+    """hdfs://-style transparency (features/fs.py): a registered scheme
+    serves list_files and the full CsvDataset read path, matching the
+    reference's tf.gfile behavior (dataset.py:30-37)."""
+
+    @pytest.fixture()
+    def fakefs(self):
+        import io
+
+        from wide_deep_tpu.features import fs
+
+        class MemFs:
+            def __init__(self, files):
+                self.files = files  # full path -> text
+
+            def isdir(self, path):
+                return (not self.isfile(path)
+                        and any(p.startswith(path.rstrip("/") + "/")
+                                for p in self.files))
+
+            def isfile(self, path):
+                return path in self.files
+
+            def listdir(self, path):
+                base = path.rstrip("/") + "/"
+                return sorted(p for p in self.files if p.startswith(base))
+
+            def open_text(self, path, errors="replace"):
+                return io.StringIO(self.files[path])
+
+        with open("/root/reference/data/test/test2") as f:
+            text = f.read()
+        memfs = MemFs({"memfs://cluster/data/part-0": text,
+                       "memfs://cluster/data/part-1": text})
+        fs.register_filesystem("memfs", memfs)
+        yield memfs
+        fs._HANDLERS.pop("memfs", None)
+
+    def test_list_files_remote(self, fakefs):
+        got = list_files("memfs://cluster/data")
+        assert got == ["memfs://cluster/data/part-0",
+                       "memfs://cluster/data/part-1"]
+        assert (list_files("memfs://cluster/data/part-0")
+                == ["memfs://cluster/data/part-0"])
+        with pytest.raises(FileNotFoundError):
+            list_files("memfs://cluster/nope")
+
+    def test_dataset_reads_remote(self, fakefs, plan):
+        ds = CsvDataset(plan, "memfs://cluster/data", "eval", 8)
+        total = sum(int(b["mask"].sum()) for b in ds)
+        assert total == 20  # both part files, 10 rows each
+
+    def test_unregistered_scheme_fails_loudly(self):
+        with pytest.raises(ValueError, match="no filesystem registered"):
+            list_files("unknownfs://x/y")

@@ -125,6 +125,113 @@ class TestSelection:
         assert tables == {}
 
 
+class TestCompactPath:
+    """Fused touched-rows path (apply_compact_update): per-entry compact
+    cotangents + dedup plan must reproduce the dense-grad sparse path (and
+    therefore the dense optax transform) exactly."""
+
+    def test_compact_plan_invariants(self):
+        from wide_deep_tpu.ops.scatter import make_compact_plan
+        rng = np.random.default_rng(11)
+        rows, n = 64, 40
+        ids = rng.integers(0, rows, n).astype(np.int32)
+        cp = make_compact_plan(ids, rows)
+        uniq = np.unique(ids)
+        u = uniq.shape[0]
+        np.testing.assert_array_equal(cp["uids"][:u], uniq)
+        assert (cp["uids"][u:] >= rows).all()
+        assert (np.diff(cp["uids"].astype(np.int64)) > 0).all()  # unique+sorted
+        # compact stream maps each sorted entry to its unique rank
+        np.testing.assert_array_equal(
+            cp["uids"][cp["ids"]], np.sort(ids))
+        np.testing.assert_array_equal(ids[cp["perm"]], np.sort(ids))
+        assert int(cp["tiles"][2].sum()) == n
+
+    @pytest.mark.parametrize("name", ["Adagrad", "Ftrl", "ProximalAdagrad",
+                                      "SGD"])
+    def test_compact_update_matches_sparse(self, name):
+        from wide_deep_tpu.ops.scatter import make_compact_plan
+        from wide_deep_tpu.optim.sparse import (apply_compact_update,
+                                                apply_sparse_update,
+                                                init_table_state)
+        spec = {"name": name, "learning_rate": 0.1,
+                "initial_accumulator_value": 0.1,
+                "l1_regularization_strength": 0.1,
+                "l2_regularization_strength": 0.2}
+        table, param, _, ids = _mk(spec)
+        rng = np.random.default_rng(3)
+        g_rows = rng.normal(size=(N, D)).astype(np.float32)  # per-entry
+        dense_grad = np.zeros((R, D), np.float32)
+        np.add.at(dense_grad, np.asarray(ids), g_rows)
+        state = init_table_state(table, param)
+        p_sparse, s_sparse = apply_sparse_update(
+            table, param, jnp.asarray(dense_grad), ids, state)
+        cp = {k: jnp.asarray(v)
+              for k, v in make_compact_plan(np.asarray(ids), R).items()}
+        p_compact, s_compact = apply_compact_update(
+            table, param, jnp.asarray(g_rows), cp, state, interpret=True)
+        np.testing.assert_allclose(np.asarray(p_compact),
+                                   np.asarray(p_sparse), rtol=1e-5,
+                                   atol=1e-6)
+        for k in s_sparse:
+            np.testing.assert_allclose(
+                np.asarray(s_compact[k]), np.asarray(s_sparse[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k)
+
+    def test_step_compact_matches_dense(self, small_config,
+                                        small_plan_nofold, fixture_rows,
+                                        monkeypatch):
+        """End-to-end: training with compact plans + sinks must match the
+        all-dense step's losses and tables."""
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        from wide_deep_tpu.models.joint import build_model
+        from wide_deep_tpu.optim import build_joint_optimizer
+        import wide_deep_tpu.optim.sparse as sparse_lib
+        from wide_deep_tpu.training.step import (init_opt_state,
+                                                 make_train_step)
+
+        monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
+        monkeypatch.setattr(sparse_lib, "SPARSE_ID_FACTOR", 0)
+        plan = FeaturePlan(small_config, fold=False, sparse_opt=True)
+        model = build_model(small_config, plan=plan, model_type="wide_deep")
+        tr = FeatureTransformer(plan)
+        batch = {k: jnp.asarray(v)
+                 for k, v in tr.transform(fixture_rows, 16).items()}
+        sopt_keys = [k for k in batch if k.startswith("sopt_uids_")]
+        assert sopt_keys, "no compact plans emitted"
+        params0, mstate0 = model.init(jax.random.PRNGKey(0), dict(batch))
+        sparse_tables, paths = sparse_lib.plan_sparse_tables(
+            plan, small_config.model, 100.0, 16)
+        assert sparse_tables, "no tables selected"
+
+        arms = {"linear": True, "dnn": True}
+        results = {}
+        for tag, (sp, sp_paths) in {
+                "dense": ({}, frozenset()),
+                "compact": (sparse_tables, paths)}.items():
+            tx = build_joint_optimizer(small_config.model, 100.0, arms,
+                                       sparse_paths=sp_paths)
+            step = make_train_step(model, tx, donate=False, sparse_tables=sp)
+            params = jax.tree.map(jnp.copy, params0)
+            mstate = jax.tree.map(jnp.copy, mstate0)
+            opt_state = init_opt_state(tx, params, sp)
+            losses = []
+            for i in range(3):
+                params, mstate, opt_state, loss = step(
+                    params, mstate, opt_state, batch,
+                    jax.random.PRNGKey(7), i)
+                losses.append(float(loss))
+            results[tag] = (params, losses)
+        np.testing.assert_allclose(results["dense"][1],
+                                   results["compact"][1], rtol=1e-5)
+        for g in plan.groups:
+            d_tab = results["dense"][0]["dnn"]["embed"][f"d{g.dim}"]
+            c_tab = results["compact"][0]["dnn"]["embed"][f"d{g.dim}"]
+            np.testing.assert_allclose(np.asarray(c_tab), np.asarray(d_tab),
+                                       rtol=2e-3, atol=1e-5)
+
+
 class TestEndToEnd:
     def test_step_with_sparse_table_matches_dense(self, small_config,
                                                   small_plan, fixture_rows):

@@ -39,12 +39,18 @@ Batch = Dict[str, np.ndarray]
 
 
 def list_files(path: str) -> List[str]:
-    """File path -> [path]; directory -> sorted shard files (util.py:36-45)."""
-    if os.path.isdir(path):
+    """File path -> [path]; directory -> sorted shard files (util.py:36-45).
+
+    Remote schemes (hdfs:// etc.) resolve through features/fs.py — the
+    reference's tf.gfile transparency (dataset.py:30-37)."""
+    from wide_deep_tpu.features import fs
+    if fs.scheme_of(path) is None and not os.path.exists(path):
+        raise FileNotFoundError(f"no data at {path}")
+    if fs.isdir(path):
         return sorted(
-            os.path.join(path, f) for f in os.listdir(path)
-            if not f.startswith(".") and os.path.isfile(os.path.join(path, f)))
-    if os.path.isfile(path):
+            p for p in fs.listdir(path)
+            if not os.path.basename(p).startswith(".") and fs.isfile(p))
+    if fs.isfile(path):
         return [path]
     raise FileNotFoundError(f"no data at {path}")
 
@@ -290,6 +296,13 @@ class FeatureTransformer:
                 out[f"scat_ids_d{g.dim}"] = sp["ids"]
                 out[f"scat_perm_d{g.dim}"] = sp["perm"]
                 out[f"scat_tiles_d{g.dim}"] = sp["tiles"]
+            if mode == "train" and plan.sparse_opt_group(g, B):
+                # compact (dedup) plan for the fused touched-rows optimizer
+                # (optim/sparse.apply_compact_update)
+                from wide_deep_tpu.ops.scatter import make_compact_plan
+                cp = make_compact_plan(g_ids[g.dim].reshape(-1), g.rows)
+                for key, arr in cp.items():
+                    out[f"sopt_{key}_d{g.dim}"] = arr
         if plan.indicator_total_len:
             out["ind_ids"], out["ind_wts"] = ind_ids, ind_wts
         if plan.continuous_slots:
@@ -330,9 +343,10 @@ class CsvDataset:
         self._epoch = 0
 
     def _raw_lines(self) -> Iterator[str]:
+        from wide_deep_tpu.features import fs
         idx = 0
         for path in self.files:
-            with open(path, "r", errors="replace") as f:
+            with fs.open_text(path, errors="replace") as f:
                 for line in f:
                     line = line.rstrip("\n").rstrip("\r")
                     if not line:

@@ -192,7 +192,8 @@ class FeaturePlan:
                  fold_max_rows: Optional[int] = None,
                  pallas_scatter: bool = False,
                  scatter_shards: int = 1,
-                 shard_threshold: Optional[int] = None):
+                 shard_threshold: Optional[int] = None,
+                 sparse_opt: bool = False):
         self.config = config
         train = config.train
         self.multivalue = train["multivalue"] if multivalue is None else multivalue
@@ -228,6 +229,13 @@ class FeaturePlan:
             from wide_deep_tpu.parallel.mesh import _SHARD_THRESHOLD
             shard_threshold = _SHARD_THRESHOLD
         self.shard_threshold = int(shard_threshold)
+        # sparse_opt: batches additionally carry a compact (dedup) scatter
+        # plan per huge dim group (ops/scatter.make_compact_plan) so the
+        # train step applies the fused touched-rows optimizer
+        # (optim/sparse.apply_compact_update) without ever materializing a
+        # dense [rows, D] gradient.  Set by the Trainer from train.yaml
+        # ``sparse_optimizer``.
+        self.sparse_opt = bool(sparse_opt)
         schema = config.schema_columns()
         self.columns = schema
         self.label = schema[0]
@@ -412,6 +420,23 @@ class FeaturePlan:
                     >= self.shard_threshold * self.scatter_shards)
         return True
 
+    def sparse_opt_group(self, g: "DimGroup", batch_size: int) -> bool:
+        """Whether this dim group's train batches carry a compact (dedup)
+        scatter plan for the fused touched-rows optimizer
+        (optim/sparse.apply_compact_update).  Mirrors
+        optim.sparse.plan_sparse_tables eligibility: huge tables with id
+        streams far smaller than their row count, unfolded (a folded table's
+        wide column belongs to the linear optimizer), single-shard plans
+        only (the multi-device compact path is future work)."""
+        if not self.sparse_opt or self.scatter_shards > 1 or (
+                self.fold and g.folded):
+            return False
+        from wide_deep_tpu.optim.sparse import (SPARSE_ID_FACTOR,
+                                                SPARSE_MIN_ROWS)
+        n_ids = batch_size * self.group_packed_len[g.dim]
+        return (g.rows >= SPARSE_MIN_ROWS
+                and n_ids * SPARSE_ID_FACTOR <= g.rows)
+
     # ------------------------------------------------------------- descriptors
     def batch_spec(self, batch_size: int, n_classes: int = 2,
                    with_image: bool = False,
@@ -441,6 +466,10 @@ class FeaturePlan:
                            else scatter_batch_spec(B * P, g.rows))
                 for key, sd in sd_spec.items():
                     spec[f"scat_{key}_d{g.dim}"] = sd
+            if mode == "train" and self.sparse_opt_group(g, B):
+                from wide_deep_tpu.ops.scatter import compact_plan_spec
+                for key, sd in compact_plan_spec(B * P).items():
+                    spec[f"sopt_{key}_d{g.dim}"] = sd
         if self.indicator_total_len:
             spec["ind_ids"] = ((B, self.indicator_total_len), np.int32)
             spec["ind_wts"] = ((B, self.indicator_total_len), np.float32)

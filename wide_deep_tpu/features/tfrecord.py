@@ -55,7 +55,8 @@ def masked_crc(data: bytes) -> int:
 
 # ------------------------------------------------------------ TFRecord frame
 def read_records(path: str, verify: bool = False) -> Iterator[bytes]:
-    with open(path, "rb") as f:
+    from wide_deep_tpu.features import fs
+    with fs.open_bytes(path) as f:
         while True:
             header = f.read(12)
             if len(header) < 12:

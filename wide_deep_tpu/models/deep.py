@@ -408,7 +408,20 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                          "perm": batch[f"scat_perm_d{g.dim}"],
                          "tiles": batch[f"scat_tiles_d{g.dim}"],
                          "ok": batch[f"scat_ok_d{g.dim}"]}
-        if fold_params is not None and g.folded:
+        # fused sparse-optimizer sink (training/step.py injects
+        # params['dnn']['_sparse_rows'][f'd{dim}'] = zeros [B, P, dim]):
+        # gradients flow to the COMPACT per-entry rows instead of a dense
+        # [rows, dim] table cotangent — the step consumes them through the
+        # batch's sopt_* dedup plan (optim/sparse.apply_compact_update)
+        sinks = (store.tree.get("_sparse_rows")
+                 if isinstance(store.tree, dict) else None)
+        sink = sinks.get(f"d{g.dim}") if sinks else None
+        if sink is not None:
+            assert not (fold_params is not None and g.folded), (
+                "sparse-opt groups must be unfolded (plan.sparse_opt_group)")
+            gathered = (jnp.take(jax.lax.stop_gradient(table), ids, axis=0)
+                        + sink)
+        elif fold_params is not None and g.folded:
             fcol = fold_params[f"d{g.dim}"]
             if lookup_mesh is not None:
                 # explicit-exchange path: plain concat (autodiff handles the

@@ -272,6 +272,58 @@ def apply_scatter_plan(plan_arrays, g_flat: jnp.ndarray, rows: int,
         tiles[3], rows, out_dtype=out_dtype, interpret=interpret)
 
 
+# ----------------------------------------------------------- compact plans
+# Dedup plans for the fused sparse optimizer (optim/sparse.py
+# apply_compact_update): the per-entry cotangent stream is scatter-added
+# into a COMPACT row space (one row per unique table id) by the range
+# kernel, so huge tables (production d32: 25.6k ids over 10M rows) never
+# materialize a dense [rows, D] gradient or sweep their optimizer slots.
+# Reference semantics anchor: SparseApplyAdagrad over IndexedSlices
+# (/root/reference/python/lib/joint.py:224-262) — tf also deduplicated ids
+# and summed slice gradients before the row update.
+
+
+def compact_plan_spec(n_ids: int):
+    """Shapes/dtypes of a compact (dedup) scatter plan for an [n_ids] batch
+    stream.  The compact row space is at most n_ids rows."""
+    nt = n_tiles_for(n_ids, n_ids)
+    return {"uids": ((n_ids,), np.int32),   # unique table rows, sentinel-pad
+            "ids": ((n_ids,), np.int32),    # compact rank per sorted entry
+            "perm": ((n_ids,), np.int32),
+            "tiles": ((4, nt), np.int32)}
+
+
+def make_compact_plan(ids_flat: np.ndarray, rows: int):
+    """Host: flat id vector -> {uids, ids, perm, tiles} np arrays.
+
+    ``ids`` is the sorted stream's compact rank (0,0,1,2,2,...) — scatter
+    target rows in the compact space; ``perm`` maps sorted position ->
+    original flat position; ``uids[r]`` is the table row of compact rank r,
+    padded with distinct ascending sentinels >= rows (out of range:
+    consumers gather with clipping and scatter with mode='drop')."""
+    n = int(ids_flat.shape[0])
+    spec = compact_plan_spec(n)
+    order = np.argsort(ids_flat, kind="stable").astype(np.int32)
+    ids_sorted = ids_flat[order].astype(np.int32)
+    first = np.empty(n, bool)
+    first[0] = True
+    np.not_equal(ids_sorted[1:], ids_sorted[:-1], out=first[1:])
+    compact = (np.cumsum(first) - 1).astype(np.int32)
+    u = int(compact[-1]) + 1
+    # sentinel padding: distinct ascending values >= rows, so the consumer's
+    # sorted-unique scatter (mode='drop') stays honest about uniqueness
+    uids = (rows + np.arange(n, dtype=np.int64)).astype(np.int32)
+    uids[:u] = ids_sorted[first]
+    starts, offs, counts, row_los = build_scatter_tiles(compact, n)
+    nt = spec["tiles"][0][1]
+    tiles = np.zeros((4, nt), np.int32)
+    k = starts.shape[0]
+    assert k <= nt, (k, nt)
+    tiles[0, :k], tiles[1, :k] = starts, offs
+    tiles[2, :k], tiles[3, :k] = counts, row_los
+    return {"uids": uids, "ids": compact, "perm": order, "tiles": tiles}
+
+
 # ---------------------------------------------------------- sharded plans
 # Per-table-shard plans for multi-device meshes: the host sorts the global id
 # stream once, splits it at the (static) shard row boundaries, and emits one

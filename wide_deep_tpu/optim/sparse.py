@@ -123,6 +123,50 @@ def init_table_state(table: SparseTable, param: jnp.ndarray) -> Dict[str, Any]:
     return st
 
 
+def _row_update(spec: Dict[str, Any], lr, w: jnp.ndarray, g: jnp.ndarray,
+                slots: Dict[str, jnp.ndarray]
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One optimizer step on a row slice: (w, g, slot rows) -> (w', slot'
+    rows).  All float32; mirrors the dense transforms (optim/__init__.py)
+    exactly so sparse == dense is testable bit-for-bit."""
+    name = spec["name"]
+    new_slots: Dict[str, jnp.ndarray] = {}
+    if name == "SGD":
+        w_new = w - lr * g
+    elif name == "Adagrad":
+        # optax.adagrad: scale_by_rss(initial_accumulator_value, eps=1e-7):
+        #   sos += g^2; update = g * rsqrt(sos + eps); w -= lr * update
+        n2 = slots["accum"] + g * g
+        w_new = w - lr * g * jax.lax.rsqrt(n2 + 1e-7)
+        new_slots["accum"] = n2
+    elif name == "ProximalAdagrad":
+        l1 = spec.get("l1_regularization_strength", 0.0)
+        l2 = spec.get("l2_regularization_strength", 0.0)
+        n2 = slots["accum"] + g * g
+        adj = lr * jax.lax.rsqrt(n2)
+        prox = w - adj * g
+        w_new = (jnp.sign(prox) * jnp.maximum(jnp.abs(prox) - adj * l1, 0.0)
+                 / (1.0 + adj * l2))
+        new_slots["accum"] = n2
+    elif name == "Ftrl":
+        l1 = spec.get("l1_regularization_strength", 0.0)
+        l2 = spec.get("l2_regularization_strength", 0.0)
+        n = slots["accum"]
+        n2 = n + g * g
+        z2 = slots["linear"] + g - (jnp.sqrt(n2) - jnp.sqrt(n)) / lr * w
+        w_new = jnp.where(jnp.abs(z2) <= l1, jnp.zeros_like(w),
+                          (jnp.sign(z2) * l1 - z2) / (jnp.sqrt(n2) / lr
+                                                      + 2 * l2))
+        new_slots["accum"] = n2
+        new_slots["linear"] = z2
+    else:  # pragma: no cover — plan_sparse_tables filters
+        raise ValueError(f"no sparse formula for {name}")
+    return w_new, new_slots
+
+
+_SLOT_KEYS = ("accum", "linear")
+
+
 def apply_sparse_update(table: SparseTable, param: jnp.ndarray,
                         grad: jnp.ndarray, ids: jnp.ndarray,
                         state: Dict[str, Any]
@@ -131,51 +175,68 @@ def apply_sparse_update(table: SparseTable, param: jnp.ndarray,
     gradient from XLA's backward scatter; ``ids`` is the flat [N] id vector
     (duplicates allowed — every duplicate computes identical new values, so
     the scatter-assign is deterministic)."""
-    spec = table.spec
-    name = spec["name"]
     count = state["count"]
     lr = _lr_at(table.lr, count)
     ids = ids.reshape(-1)
     g = jnp.take(grad, ids, axis=0).astype(jnp.float32)   # [N, D]
     w = jnp.take(param, ids, axis=0).astype(jnp.float32)
-
+    slots = {k: jnp.take(state[k], ids, axis=0).astype(jnp.float32)
+             for k in _SLOT_KEYS if k in state}
+    w_new, new_rows = _row_update(table.spec, lr, w, g, slots)
     new_state = dict(state, count=count + 1)
-    if name == "SGD":
-        w_new = w - lr * g
-    elif name == "Adagrad":
-        # optax.adagrad: scale_by_rss(initial_accumulator_value, eps=1e-7):
-        #   sos += g^2; update = g * rsqrt(sos + eps); w -= lr * update
-        n = jnp.take(state["accum"], ids, axis=0).astype(jnp.float32)
-        n2 = n + g * g
-        w_new = w - lr * g * jax.lax.rsqrt(n2 + 1e-7)
-        new_state["accum"] = state["accum"].at[ids].set(
-            n2.astype(state["accum"].dtype))
-    elif name == "ProximalAdagrad":
-        l1 = spec.get("l1_regularization_strength", 0.0)
-        l2 = spec.get("l2_regularization_strength", 0.0)
-        n = jnp.take(state["accum"], ids, axis=0).astype(jnp.float32)
-        n2 = n + g * g
-        adj = lr * jax.lax.rsqrt(n2)
-        prox = w - adj * g
-        w_new = (jnp.sign(prox) * jnp.maximum(jnp.abs(prox) - adj * l1, 0.0)
-                 / (1.0 + adj * l2))
-        new_state["accum"] = state["accum"].at[ids].set(
-            n2.astype(state["accum"].dtype))
-    elif name == "Ftrl":
-        l1 = spec.get("l1_regularization_strength", 0.0)
-        l2 = spec.get("l2_regularization_strength", 0.0)
-        n = jnp.take(state["accum"], ids, axis=0).astype(jnp.float32)
-        z = jnp.take(state["linear"], ids, axis=0).astype(jnp.float32)
-        n2 = n + g * g
-        z2 = z + g - (jnp.sqrt(n2) - jnp.sqrt(n)) / lr * w
-        w_new = jnp.where(jnp.abs(z2) <= l1, jnp.zeros_like(w),
-                          (jnp.sign(z2) * l1 - z2) / (jnp.sqrt(n2) / lr
-                                                      + 2 * l2))
-        new_state["accum"] = state["accum"].at[ids].set(
-            n2.astype(state["accum"].dtype))
-        new_state["linear"] = state["linear"].at[ids].set(
-            z2.astype(state["linear"].dtype))
-    else:  # pragma: no cover — plan_sparse_tables filters
-        raise ValueError(f"no sparse formula for {name}")
+    for k, rows in new_rows.items():
+        new_state[k] = state[k].at[ids].set(rows.astype(state[k].dtype))
     param = param.at[ids].set(w_new.astype(param.dtype))
+    return param, new_state
+
+
+def apply_compact_update(table: SparseTable, param: jnp.ndarray,
+                         row_grads: jnp.ndarray, plan_arrays: Dict[str, Any],
+                         state: Dict[str, Any], interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Fused touched-rows update from COMPACT per-entry gradients.
+
+    ``row_grads`` [N, D] is the cotangent of the gathered rows (the
+    '_sparse_rows' sink, models/deep.py) — the dense [rows, D] gradient is
+    never materialized and the optimizer never sweeps untouched rows.
+    ``plan_arrays`` is the batch's sopt_* dedup plan
+    (ops/scatter.make_compact_plan): the Pallas range kernel sums duplicate
+    entries into one row per unique id, then one gather + formula + one
+    sorted-unique scatter-assign per slot updates exactly the touched rows.
+
+    Exactness: identical to apply_sparse_update (asserted in
+    tests/test_sparse_optim.py) — the compact grad sum runs in float32,
+    which if anything beats the dense path's bf16 scatter accumulation.
+    """
+    count = state["count"]
+    lr = _lr_at(table.lr, count)
+    n, d = row_grads.shape
+    from wide_deep_tpu.ops.scatter import range_scatter_add
+    g_sorted = jnp.take(row_grads.reshape(n, d).astype(jnp.float32),
+                        plan_arrays["perm"], axis=0)
+    t = plan_arrays["tiles"]
+    g_unique = range_scatter_add(plan_arrays["ids"], g_sorted,
+                                 t[0], t[1], t[2], t[3], n,
+                                 out_dtype=jnp.float32,
+                                 interpret=interpret)     # [N, D] compact
+    uids = plan_arrays["uids"]                            # sentinel-padded
+    rows = param.shape[0]
+    safe = jnp.clip(uids, 0, rows - 1)
+    w = jnp.take(param, safe, axis=0).astype(jnp.float32)
+    slots = {k: jnp.take(state[k], safe, axis=0).astype(jnp.float32)
+             for k in _SLOT_KEYS if k in state}
+    w_new, new_rows = _row_update(table.spec, lr, w, g_unique, slots)
+    new_state = dict(state, count=count + 1)
+    # write back as scatter-ADDs of deltas, not scatter-sets: a set whose
+    # update values are gathered from the same buffer makes XLA materialize
+    # a full-table copy (~3 ms per slot on the 10M-row d32 table, profiled),
+    # while the add — the same pattern as the dense backward — updates the
+    # donated buffer in place.  Deltas of untouched/sentinel rows are zero.
+    scatter_kw = dict(mode="drop", unique_indices=True,
+                      indices_are_sorted=True)
+    for k, vals in new_rows.items():
+        delta = (vals - slots[k]).astype(state[k].dtype)
+        new_state[k] = state[k].at[uids].add(delta, **scatter_kw)
+    d_w = (w_new - w).astype(param.dtype)
+    param = param.at[uids].add(d_w, **scatter_kw)
     return param, new_state

@@ -111,7 +111,11 @@ class Trainer:
             pack_budget=budget if budget not in (None, "") else None,
             pallas_scatter=pallas_scatter,
             scatter_shards=scatter_shards,
-            shard_threshold=self.train_conf.get("shard_threshold"))
+            shard_threshold=self.train_conf.get("shard_threshold"),
+            # fused touched-rows optimizer for huge tables: batches carry
+            # compact dedup plans (ops/scatter.make_compact_plan) consumed
+            # by optim/sparse.apply_compact_update
+            sparse_opt=bool(self.train_conf.get("sparse_optimizer")))
         self.model: WideDeep = build_model(
             self.config, plan=self.plan, model_type=self.model_type,
             n_classes=n_classes, dtype=dtype)

@@ -44,24 +44,60 @@ def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
 
     def step(params, mstate, opt_state, batch, rng, step_idx):
         rng = jax.random.fold_in(rng, step_idx)
+        # compact sparse tables: tables whose batch carries a dedup plan
+        # (sopt_*, ops/scatter.make_compact_plan).  A zeros '_sparse_rows'
+        # sink rides the param tree so value_and_grad yields the COMPACT
+        # per-entry cotangent (models/deep.py adds it to the stop-gradded
+        # gather) — the dense [rows, D] table gradient never exists.
+        compact = {name: t for name, t in sparse_tables.items()
+                   if f"sopt_uids_{t.path[-1]}" in batch}
+        if compact:
+            from wide_deep_tpu.optim.sparse import tree_get
+            sinks = {}
+            for t in compact.values():
+                tbl = tree_get(params, t.path)
+                ids = batch[t.ids_key]
+                sinks[t.path[-1]] = jnp.zeros(
+                    ids.shape + (tbl.shape[1],), tbl.dtype)
+            params_g = dict(params, dnn=dict(params["dnn"],
+                                             _sparse_rows=sinks))
+        else:
+            params_g = params
         grad_fn = jax.value_and_grad(model.loss_fn, has_aux=True)
         if with_summaries:
             (loss, (new_mstate, _, _, stats)), grads = grad_fn(
-                params, mstate, batch, True, rng, True)
+                params_g, mstate, batch, True, rng, True)
         else:
             (loss, (new_mstate, _, _)), grads = grad_fn(
-                params, mstate, batch, True, rng)
+                params_g, mstate, batch, True, rng)
+        sink_grads = {}
+        if compact:
+            sink_grads = grads["dnn"]["_sparse_rows"]
+            grads = dict(grads, dnn={k: v for k, v in grads["dnn"].items()
+                                     if k != "_sparse_rows"})
         if sparse_tables:
             from wide_deep_tpu.optim import sparse as sparse_lib
             updates, dense_state = tx.update(grads, opt_state["dense"],
                                              params)
             params = optax.apply_updates(params, updates)
             sp_state = dict(opt_state["sparse"])
+            interpret = jax.default_backend() == "cpu"
             for name, table in sparse_tables.items():
                 param = sparse_lib.tree_get(params, table.path)
-                grad = sparse_lib.tree_get(grads, table.path)
-                param, sp_state[name] = sparse_lib.apply_sparse_update(
-                    table, param, grad, batch[table.ids_key], sp_state[name])
+                if name in compact:
+                    dim_key = table.path[-1]
+                    plan_arrays = {
+                        k: batch[f"sopt_{k}_{dim_key}"]
+                        for k in ("uids", "ids", "perm", "tiles")}
+                    rg = sink_grads[dim_key]
+                    param, sp_state[name] = sparse_lib.apply_compact_update(
+                        table, param, rg.reshape(-1, rg.shape[-1]),
+                        plan_arrays, sp_state[name], interpret=interpret)
+                else:
+                    grad = sparse_lib.tree_get(grads, table.path)
+                    param, sp_state[name] = sparse_lib.apply_sparse_update(
+                        table, param, grad, batch[table.ids_key],
+                        sp_state[name])
                 params = sparse_lib.tree_set(params, table.path, param)
             opt_state = {"dense": dense_state, "sparse": sp_state}
         else:
