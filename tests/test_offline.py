@@ -76,3 +76,27 @@ class TestLocalJob:
         for r in rows[:5]:
             for extra in r[61:]:
                 assert 0.0 <= float(extra) <= 1.0
+
+    def test_golden_fixture_regenerates_byte_identical(self, tmp_path):
+        """data/spark/ is the committed output of this job on the bundled
+        sample data (the reference ships data/spark/part-0000{0,1} the same
+        way, produced by spark/data_process.py:116).  Deterministic
+        row-seeded sampling makes regeneration byte-identical — any logic
+        drift fails here."""
+        import filecmp
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        golden = os.path.join(repo, "data", "spark", "20180112")
+        inroot = tmp_path / "in"
+        (inroot / "20180112").mkdir(parents=True)
+        with open(os.path.join(repo, "data", "train", "train1")) as f:
+            (inroot / "20180112" / "part-00000").write_text(f.read())
+        local_data_preprocess(
+            str(inroot), str(tmp_path / "out"), "20180112",
+            feature_index_list=[9], keep_prob=0.05)
+        out_dir = tmp_path / "out" / "20180112"
+        assert sorted(os.listdir(out_dir)) == sorted(os.listdir(golden))
+        for part in os.listdir(golden):
+            assert filecmp.cmp(os.path.join(golden, part),
+                               os.path.join(out_dir, part), shallow=False), \
+                f"{part} diverged from the committed data/spark fixture"
