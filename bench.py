@@ -92,6 +92,11 @@ def synthetic_batch(plan, batch_size, rng):
             batch[f"scat_ids_d{g.dim}"] = sp["ids"]
             batch[f"scat_perm_d{g.dim}"] = sp["perm"]
             batch[f"scat_tiles_d{g.dim}"] = sp["tiles"]
+        if plan.window_group(g, batch_size):
+            from wide_deep_tpu.ops.scatter import make_window_plan
+            wp = make_window_plan(ids.reshape(-1), g.rows, wts.reshape(-1))
+            for key, arr in wp.items():
+                batch[f"wscat_{key}_d{g.dim}"] = arr
         if plan.sparse_opt_group(g, batch_size):
             from wide_deep_tpu.ops.scatter import make_compact_plan
             cp = make_compact_plan(ids.reshape(-1), g.rows)

@@ -112,6 +112,93 @@ class TestKernel:
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+class TestWindowKernel:
+    """Window-mode kernel (write-only fixed row windows) for sparse
+    streams: exactness vs the XLA scatter, overflow fallback, empty
+    windows."""
+
+    def _run_window(self, ids, g, rows):
+        from wide_deep_tpu.ops.scatter import (apply_window_plan,
+                                               make_window_plan)
+        wp = make_window_plan(ids, rows)
+        out = jax.jit(
+            lambda p, gf: apply_window_plan(p, gf, rows, interpret=True)
+        )({k: jnp.asarray(v) for k, v in wp.items()}, jnp.asarray(g))
+        ref = np.zeros((rows, g.shape[1]), np.float64)
+        np.add.at(ref, ids, g.astype(np.float64))
+        return np.asarray(out, np.float64), ref, wp
+
+    def test_sparse_stream_matches_xla(self):
+        rng = np.random.default_rng(5)
+        rows, n, d = 1 << 15, 2100, 16  # sparse: ~131 ids / 2048-row window
+        ids = rng.integers(0, rows, n).astype(np.int32)
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        out, ref, wp = self._run_window(ids, g, rows)
+        assert wp["ok"][0] == 1
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_duplicates_and_empty_windows(self):
+        rng = np.random.default_rng(6)
+        rows, d = 4 * 2048, 8
+        # everything in windows 0 and 3; windows 1-2 empty (must be zeros)
+        ids = np.concatenate([
+            np.full(200, 17, np.int32),
+            rng.integers(3 * 2048, 4 * 2048, 300).astype(np.int32)])
+        g = rng.normal(size=(ids.shape[0], d)).astype(np.float32)
+        out, ref, wp = self._run_window(ids, g, rows)
+        assert wp["ok"][0] == 1
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        assert np.all(out[2048:3 * 2048] == 0)
+
+    def test_overflow_falls_back(self):
+        from wide_deep_tpu.ops.scatter import window_cap
+        rng = np.random.default_rng(7)
+        rows, d = 1 << 15, 4
+        n = 3000
+        cap = window_cap(n, rows)
+        # hot window 0: more ids than the cap -> ok=0 -> XLA path, exact
+        ids = np.concatenate([
+            rng.integers(0, 2048, cap + 64).astype(np.int32),
+            rng.integers(0, rows, n - cap - 64).astype(np.int32)])
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        out, ref, wp = self._run_window(ids, g, rows)
+        assert wp["ok"][0] == 0
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_pool_padding_does_not_overflow(self):
+        """Packed-pool padding (id 0, weight 0) floods window 0 in raw id
+        space; the weight mask must route it out so ok stays 1 and the
+        (zero) padding grads never land."""
+        from wide_deep_tpu.ops.scatter import (apply_window_plan,
+                                               make_window_plan)
+        rng = np.random.default_rng(9)
+        rows, d = 1 << 15, 8
+        real = rng.integers(0, rows, 2000).astype(np.int32)
+        ids = np.concatenate([real, np.zeros(30000, np.int32)])
+        wts = np.concatenate([np.ones(2000, np.float32),
+                              np.zeros(30000, np.float32)])
+        g = rng.normal(size=(ids.shape[0], d)).astype(np.float32)
+        g[2000:] = 0.0  # padding grads are exactly zero in the real model
+        wp = make_window_plan(ids, rows, wts)
+        assert wp["ok"][0] == 1
+        out = jax.jit(
+            lambda p, gf: apply_window_plan(p, gf, rows, interpret=True)
+        )({k: jnp.asarray(v) for k, v in wp.items()}, jnp.asarray(g))
+        ref = np.zeros((rows, d), np.float64)
+        np.add.at(ref, real, g[:2000].astype(np.float64))
+        np.testing.assert_allclose(np.asarray(out, np.float64), ref,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_rows_not_window_aligned(self):
+        rng = np.random.default_rng(8)
+        rows, n, d = 5000, 400, 8  # rows % MAXR != 0 (padded internally)
+        ids = rng.integers(0, rows, n).astype(np.int32)
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        out, ref, wp = self._run_window(ids, g, rows)
+        assert wp["ok"][0] == 1
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 class TestScatterPlanPlumbing:
     def test_python_cpp_plan_parity(self, small_config, fixture_rows,
                                     monkeypatch):
@@ -241,6 +328,49 @@ class TestScatterPlanPlumbing:
             dim = k.rsplit("_d", 1)[1]
             assert py[k].shape == (8,)
             assert py[f"scat_ids_d{dim}"].ndim == 2
+
+    def test_window_training_matches_xla_path(self, small_config, tmp_path,
+                                              monkeypatch):
+        """End-to-end: window-mode scatter backward == XLA scatter backward
+        (losses + eval) when every group is routed through window plans."""
+        import shutil
+
+        from wide_deep_tpu.config import Config
+        from wide_deep_tpu.features.plan import FeaturePlan
+        from wide_deep_tpu.parallel import mesh as mesh_lib
+        from wide_deep_tpu.training.loop import Trainer
+
+        monkeypatch.setattr(FeaturePlan, "scatter_group",
+                            lambda self, g, b: False)
+        monkeypatch.setattr(FeaturePlan, "window_group",
+                            lambda self, g, b: self.pallas_scatter)
+        FIXTURE = "/root/reference/data/test/test2"
+        mesh1 = mesh_lib.make_mesh(1, 1, jax.devices()[:1])
+        losses = {}
+        for tag in ("pallas", "xla"):
+            conf2 = tmp_path / f"conf_w_{tag}"
+            shutil.copytree(small_config.conf_dir, conf2)
+            with open(conf2 / "train.yaml") as f:
+                text = f.read()
+            text = text.replace("scatter_mode: pallas",
+                                f"scatter_mode: {tag}")
+            with open(conf2 / "train.yaml", "w") as f:
+                f.write(text)
+            tr = Trainer(Config(str(conf2)), model_type="wide_deep",
+                         model_dir=str(tmp_path / f"w_{tag}"), mesh=mesh1,
+                         overrides=dict(train_data=FIXTURE, eval_data=FIXTURE,
+                                        test_data=FIXTURE, keep_train=True,
+                                        batch_size=16))
+            if tag == "pallas":
+                spec = tr.plan.batch_spec(16)
+                assert any(k.startswith("wscat_ok_") for k in spec), \
+                    "window plans not emitted"
+            tr.ensure_initialized(restore=False)
+            traj = [tr.train_file(FIXTURE) for _ in range(3)]
+            traj.append(tr.evaluate(FIXTURE)["loss"])
+            losses[tag] = traj
+        np.testing.assert_allclose(losses["pallas"], losses["xla"],
+                                   rtol=5e-4)
 
     def test_python_cpp_parity_small_rows(self, tmp_path, fixture_rows,
                                           monkeypatch):

@@ -340,3 +340,19 @@ class TestAuth:
         finally:
             srv.stop()
             model.close()
+
+
+class TestOpenLoopHarness:
+    def test_open_loop_inference(self, server):
+        """Multi-process open-loop load: fixed offered rate, latencies and
+        achieved throughput come back aggregated across processes."""
+        from wide_deep_tpu.serving.client import open_loop_inference
+        rows = _rows(FIXTURE, 10)
+        stats = open_loop_inference(
+            rows, rate=40.0, duration_s=1.5, rows_per_request=2,
+            processes=2, port=server.port)
+        assert stats["errors"] == 0
+        assert stats["sent"] >= 40  # ~60 scheduled in 1.5 s at 40 rps
+        assert stats["achieved_rows_per_s"] > 0
+        assert stats["p50_ms"] > 0
+        assert stats["p99_ms"] >= stats["p50_ms"]

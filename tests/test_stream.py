@@ -76,3 +76,57 @@ class TestStreamDataset:
         assert np.isfinite(loss)
         assert tr.global_step == 3
         srv.close()
+
+
+class TestReconnect:
+    def test_survives_producer_restart(self, small_plan):
+        """A producer drop mid-run must not end the stream when
+        reconnect=True: the dataset backs off, reconnects to the restarted
+        producer, and consumes both runs' rows."""
+        import socket
+
+        from wide_deep_tpu.features.stream import StreamDataset, serve_file
+
+        srv1, _ = serve_file(FIXTURE)
+        port = srv1.getsockname()[1]
+        ds = StreamDataset(small_plan, "127.0.0.1", port, batch_size=4,
+                           flush_timeout_s=0.2, reconnect=True,
+                           max_retries=8, backoff_s=0.05, backoff_max_s=0.2)
+        rows = 0
+        restarted = False
+        for batch in ds:
+            rows += int(batch["mask"].sum())
+            if rows >= 10 and not restarted:
+                # first producer is done (file fully sent + closed);
+                # restart one on the same port while the consumer retries
+                restarted = True
+                srv2, _ = serve_file(FIXTURE, port=port)
+        assert restarted
+        assert rows == 20  # both producer runs fully consumed
+        assert ds.reconnects >= 1
+
+    def test_no_reconnect_default_ends_on_close(self, small_plan):
+        from wide_deep_tpu.features.stream import StreamDataset, serve_file
+
+        srv, _ = serve_file(FIXTURE)
+        port = srv.getsockname()[1]
+        ds = StreamDataset(small_plan, "127.0.0.1", port, batch_size=4,
+                           flush_timeout_s=0.2)
+        rows = sum(int(b["mask"].sum()) for b in ds)
+        assert rows == 10
+
+    def test_retries_exhausted_ends_stream(self, small_plan):
+        import socket
+
+        from wide_deep_tpu.features.stream import StreamDataset
+
+        # reserve a port nothing listens on
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        ds = StreamDataset(small_plan, "127.0.0.1", port, batch_size=4,
+                           reconnect=True, max_retries=2, backoff_s=0.01,
+                           connect_timeout_s=0.2)
+        assert list(ds) == []
+        assert ds.rows_seen == 0

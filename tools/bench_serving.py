@@ -45,6 +45,12 @@ def main():
     p.add_argument("--max_batch_size", type=int, default=1024)
     p.add_argument("--batch_timeout_micros", type=int, default=2000)
     p.add_argument("--concurrency", default="1,8,64")
+    p.add_argument("--open_loop_rate", default=None,
+                   help="comma list of offered requests/s; runs the "
+                        "multi-process open-loop harness instead of the "
+                        "closed-loop threads (GIL-free, fixed offered load)")
+    p.add_argument("--duration_s", type=float, default=10.0)
+    p.add_argument("--processes", type=int, default=4)
     p.add_argument("--port", type=int, default=18600)
     args = p.parse_args()
 
@@ -78,17 +84,30 @@ def main():
 
     client = PredictorClient(port=args.port)
     client.predict(rows[:1])  # connection warm
-    for conc in [int(c) for c in args.concurrency.split(",")]:
-        stats = do_inference(client, rows, args.num_requests, conc,
-                             rows_per_request=args.rows_per_request)
-        out = {"concurrency": conc,
-               "rows_per_request": args.rows_per_request,
-               "rows_per_s": round(stats["rows_per_s"], 1),
-               "p50_ms": round(stats["p50_ms"], 2),
-               "p99_ms": round(stats["p99_ms"], 2),
-               "errors": stats["errors"],
-               "device_calls": model.batcher.device_calls}
-        print(json.dumps(out), flush=True)
+    if args.open_loop_rate:
+        from wide_deep_tpu.serving.client import open_loop_inference
+        for rate in [float(r) for r in args.open_loop_rate.split(",")]:
+            stats = open_loop_inference(
+                rows, rate, args.duration_s,
+                rows_per_request=args.rows_per_request,
+                processes=args.processes, port=args.port)
+            stats = {k: (round(v, 2) if isinstance(v, float) else v)
+                     for k, v in stats.items()}
+            stats["rows_per_request"] = args.rows_per_request
+            stats["device_calls"] = model.batcher.device_calls
+            print(json.dumps(stats), flush=True)
+    else:
+        for conc in [int(c) for c in args.concurrency.split(",")]:
+            stats = do_inference(client, rows, args.num_requests, conc,
+                                 rows_per_request=args.rows_per_request)
+            out = {"concurrency": conc,
+                   "rows_per_request": args.rows_per_request,
+                   "rows_per_s": round(stats["rows_per_s"], 1),
+                   "p50_ms": round(stats["p50_ms"], 2),
+                   "p99_ms": round(stats["p99_ms"], 2),
+                   "errors": stats["errors"],
+                   "device_calls": model.batcher.device_calls}
+            print(json.dumps(out), flush=True)
     client.close()
     server.stop()
     model.close()

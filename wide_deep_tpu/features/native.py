@@ -223,19 +223,24 @@ class NativeTransformer:
             1 if self.weighted else 0, self.n_threads, scat_mask, ptrs)
         if n < 0:
             raise RuntimeError(f"wdt_transform failed: {n}")
-        if mode == "train" and plan.sparse_opt:
-            # compact (dedup) plans for the fused sparse optimizer: numpy
-            # post-pass over the C++-packed ids — streams this small
-            # (SPARSE_ID_FACTOR x fewer ids than rows) sort in ~1 ms, far
-            # below the parse cost, so no C++ port yet
-            from wide_deep_tpu.ops.scatter import make_compact_plan
+        if mode == "train":
+            # window + compact plans: numpy post-pass over the C++-packed
+            # ids (the C++ loader emits range/sharded plans natively; these
+            # two sort far smaller streams — port to C++ if profiles say so)
+            from wide_deep_tpu.ops.scatter import (make_compact_plan,
+                                                   make_window_plan)
             for g in plan.groups:
-                if not plan.sparse_opt_group(g, B):
-                    continue
-                cp = make_compact_plan(
-                    out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows)
-                for key, arr in cp.items():
-                    out[f"sopt_{key}_d{g.dim}"] = arr
+                if plan.window_group(g, B):
+                    wp = make_window_plan(
+                        out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows,
+                        out[f"emb_wts_d{g.dim}"].reshape(-1))
+                    for key, arr in wp.items():
+                        out[f"wscat_{key}_d{g.dim}"] = arr
+                if plan.sparse_opt_group(g, B):
+                    cp = make_compact_plan(
+                        out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows)
+                    for key, arr in cp.items():
+                        out[f"sopt_{key}_d{g.dim}"] = arr
         if mode == "pred":
             out.pop("label"); out.pop("weight")
         return out

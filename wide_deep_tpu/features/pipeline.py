@@ -296,6 +296,14 @@ class FeatureTransformer:
                 out[f"scat_ids_d{g.dim}"] = sp["ids"]
                 out[f"scat_perm_d{g.dim}"] = sp["perm"]
                 out[f"scat_tiles_d{g.dim}"] = sp["tiles"]
+            if mode == "train" and plan.window_group(g, B):
+                # window-mode plan for sparse streams (ops/scatter.py);
+                # weights route zero-grad pool padding out of the windows
+                from wide_deep_tpu.ops.scatter import make_window_plan
+                wp = make_window_plan(g_ids[g.dim].reshape(-1), g.rows,
+                                      g_wts[g.dim].reshape(-1))
+                for key, arr in wp.items():
+                    out[f"wscat_{key}_d{g.dim}"] = arr
             if mode == "train" and plan.sparse_opt_group(g, B):
                 # compact (dedup) plan for the fused touched-rows optimizer
                 # (optim/sparse.apply_compact_update)

@@ -420,6 +420,19 @@ class FeaturePlan:
                     >= self.shard_threshold * self.scatter_shards)
         return True
 
+    def window_group(self, g: "DimGroup", batch_size: int) -> bool:
+        """Whether this dim group's train batches carry a window-mode
+        Pallas plan (ops/scatter.py window-scatter): sparse-but-large id
+        streams (the d16 case) where the range kernel's RMW slabs lose but
+        write-only fixed windows win; mutually exclusive with range mode."""
+        from wide_deep_tpu.ops.scatter import PALLAS_WINDOW_MIN_IDS
+        if (not self.pallas_scatter or self.scatter_shards > 1
+                or self.scatter_group(g, batch_size)):
+            return False
+        n_ids = batch_size * self.group_packed_len[g.dim]
+        return (n_ids >= PALLAS_WINDOW_MIN_IDS
+                and not self.sparse_opt_group(g, batch_size))
+
     def sparse_opt_group(self, g: "DimGroup", batch_size: int) -> bool:
         """Whether this dim group's train batches carry a compact (dedup)
         scatter plan for the fused touched-rows optimizer
@@ -466,6 +479,10 @@ class FeaturePlan:
                            else scatter_batch_spec(B * P, g.rows))
                 for key, sd in sd_spec.items():
                     spec[f"scat_{key}_d{g.dim}"] = sd
+            if mode == "train" and self.window_group(g, B):
+                from wide_deep_tpu.ops.scatter import window_batch_spec
+                for key, sd in window_batch_spec(B * P, g.rows).items():
+                    spec[f"wscat_{key}_d{g.dim}"] = sd
             if mode == "train" and self.sparse_opt_group(g, B):
                 from wide_deep_tpu.ops.scatter import compact_plan_spec
                 for key, sd in compact_plan_spec(B * P).items():

@@ -14,8 +14,12 @@ Semantics:
 * batches are emitted every ``batch_size`` rows, or after
   ``flush_timeout_s`` of idleness with whatever has arrived (padded +
   masked, same as uneven file tails);
-* a closed connection ends the stream (StopIteration); callers decide
-  whether to reconnect;
+* by default a closed connection ends the stream (StopIteration);
+  with ``reconnect=True`` the dataset instead retries with exponential
+  backoff — a transient producer drop no longer ends a training run, and
+  the stream ends only after ``max_retries`` consecutive failed connects
+  (a checkpoint-cadenced Trainer.train_stream then resumes where the
+  optimizer left off on the next launch);
 * multi-host: each process consumes its own stream (the producer shards) —
   round-robin sharding across a shared stream cannot be consistent without
   a broker, so it is explicitly not faked here.
@@ -41,7 +45,11 @@ class StreamDataset:
                  flush_timeout_s: float = 1.0,
                  max_batches: Optional[int] = None,
                  transformer=None,
-                 connect_timeout_s: float = 10.0):
+                 connect_timeout_s: float = 10.0,
+                 reconnect: bool = False,
+                 max_retries: int = 30,
+                 backoff_s: float = 0.5,
+                 backoff_max_s: float = 30.0):
         if mode not in ("train", "eval", "pred"):
             raise ValueError(f"bad mode {mode}")
         self.plan = plan
@@ -51,12 +59,18 @@ class StreamDataset:
         self.max_batches = max_batches
         self.host, self.port = host, port
         self.connect_timeout_s = connect_timeout_s
+        self.reconnect = bool(reconnect)
+        self.max_retries = int(max_retries)
+        self.backoff_s = float(backoff_s)
+        self.backoff_max_s = float(backoff_max_s)
         self.transformer = transformer or default_transformer(
             plan, n_classes, pos_weight, neg_weight)
         self._native = hasattr(self.transformer, "transform_text")
         self.rows_seen = 0
+        self.reconnects = 0  # instrumentation (tests/ops)
 
-    def _lines(self) -> Iterator[str]:
+    def _read_one_connection(self) -> Iterator[str]:
+        """Lines from one connection; returns on close/reset."""
         sock = socket.create_connection((self.host, self.port),
                                         timeout=self.connect_timeout_s)
         sock.settimeout(self.flush_timeout_s)
@@ -68,6 +82,8 @@ class StreamDataset:
                 except socket.timeout:
                     yield None  # idle tick -> flush signal
                     continue
+                except OSError:
+                    break  # reset mid-stream: treated like a close
                 if not chunk:
                     break
                 buf += chunk
@@ -84,6 +100,39 @@ class StreamDataset:
                 yield tail
         finally:
             sock.close()
+
+    def _lines(self) -> Iterator[str]:
+        import logging
+        import time
+        log = logging.getLogger("wide_deep_tpu.stream")
+        failures = 0
+        while True:
+            got_data = False
+            try:
+                for line in self._read_one_connection():
+                    if line is not None:
+                        got_data = True
+                        failures = 0
+                    yield line
+            except OSError as e:
+                if not self.reconnect:
+                    raise
+                log.warning("stream connect to %s:%d failed: %s",
+                            self.host, self.port, e)
+            if not self.reconnect:
+                return
+            if not got_data:
+                failures += 1
+                if failures > self.max_retries:
+                    log.warning("stream ended: %d consecutive failed "
+                                "connects to %s:%d", failures - 1,
+                                self.host, self.port)
+                    return
+            yield None  # flush whatever is buffered before waiting
+            self.reconnects += 1
+            delay = min(self.backoff_s * (2 ** max(failures - 1, 0)),
+                        self.backoff_max_s)
+            time.sleep(delay)
 
     def _emit(self, chunk) -> Batch:
         if self._native:

@@ -258,15 +258,16 @@ def _fused_gather_split_bwd(res, cts):
     ct_emb, ct_wide = cts
     ids, table, fcol, scat = res
     if scat is not None:
-        from wide_deep_tpu.ops.scatter import apply_scatter_plan
+        from wide_deep_tpu.ops.scatter import (apply_scatter_plan,
+                                               apply_window_plan)
         D = table.shape[1]
         n = fcol.shape[1]
         g = jnp.concatenate(
             [ct_emb.reshape(-1, D).astype(table.dtype),
              ct_wide.reshape(-1, n).astype(table.dtype)], axis=1)
-        dense = apply_scatter_plan(
-            scat, g, table.shape[0],
-            interpret=jax.default_backend() == "cpu")
+        apply = apply_window_plan if "ok" in scat else apply_scatter_plan
+        dense = apply(scat, g, table.shape[0],
+                      interpret=jax.default_backend() == "cpu")
         return (dense[:, :D], dense[:, D:].astype(fcol.dtype), None, None)
     d_table = jnp.zeros_like(table).at[ids].add(
         ct_emb.astype(table.dtype), mode="drop")
@@ -292,8 +293,10 @@ def _gather_with_plan_fwd(table, ids, scat=None):
 def _gather_with_plan_bwd(res, ct):
     ids, table, scat = res
     if scat is not None:
-        from wide_deep_tpu.ops.scatter import apply_scatter_plan
-        dense = apply_scatter_plan(
+        from wide_deep_tpu.ops.scatter import (apply_scatter_plan,
+                                               apply_window_plan)
+        apply = apply_window_plan if "ok" in scat else apply_scatter_plan
+        dense = apply(
             scat, ct.reshape(-1, table.shape[1]).astype(table.dtype),
             table.shape[0], interpret=jax.default_backend() == "cpu")
         return dense, None, None
@@ -408,6 +411,14 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                          "perm": batch[f"scat_perm_d{g.dim}"],
                          "tiles": batch[f"scat_tiles_d{g.dim}"],
                          "ok": batch[f"scat_ok_d{g.dim}"]}
+        elif f"wscat_ids_d{g.dim}" in batch and lookup_mesh is None:
+            # window-mode plan for sparse streams (the 'ok' key routes the
+            # custom VJPs to apply_window_plan; ok=0 batches fall back to
+            # the XLA scatter inside it)
+            scat = {"ids": batch[f"wscat_ids_d{g.dim}"],
+                    "perm": batch[f"wscat_perm_d{g.dim}"],
+                    "tiles": batch[f"wscat_tiles_d{g.dim}"],
+                    "ok": batch[f"wscat_ok_d{g.dim}"]}
         # fused sparse-optimizer sink (training/step.py injects
         # params['dnn']['_sparse_rows'][f'd{dim}'] = zeros [B, P, dim]):
         # gradients flow to the COMPACT per-entry rows instead of a dense

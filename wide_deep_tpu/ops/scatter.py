@@ -32,7 +32,7 @@ accumulation the reference's SparseApplyAdagrad consumed
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -234,10 +234,198 @@ def range_scatter_add(ids_sorted: jnp.ndarray, g_sorted: jnp.ndarray,
     return out[:, :d] if d_pad != d else out
 
 
+# ------------------------------------------------------ window-scatter mode
+# Sparse-stream variant of the range kernel (the d16 case: 102k ids over
+# 1.5M rows).  The range kernel's tiles there are mostly-empty slabs — its
+# read-modify-write sweeps ~rows x D twice and loses to XLA's serial
+# scatter (measured round 2).  Window mode instead assigns tile t the FIXED
+# row window [t*MAXR, (t+1)*MAXR): windows partition the output exactly, so
+# every slab is WRITE-ONLY (no RMW read, no zeros init, no aliasing), and
+# the stream window per tile shrinks to a static cap sized from the mean
+# occupancy.  A batch whose hottest window overflows the cap sets ok=0 and
+# falls back to the XLA scatter for that group (never wrong, only slower).
+
+
+def window_cap(n_ids: int, rows: int) -> int:
+    """Static per-window id cap: 4x the mean ids-per-window,
+    ALIGN_IDS-aligned, clamped to [ALIGN_IDS, T_IDS]."""
+    n_tiles = max((rows + MAXR - 1) // MAXR, 1)
+    mean = n_ids / n_tiles
+    cap = int(np.ceil(4.0 * mean / ALIGN_IDS)) * ALIGN_IDS
+    return max(ALIGN_IDS, min(cap, T_IDS))
+
+
+def window_rows_pad(rows: int) -> int:
+    return max((rows + MAXR - 1) // MAXR, 1) * MAXR
+
+
+def window_batch_spec(n_ids: int, rows: int):
+    """Shapes/dtypes of the per-batch window-plan arrays."""
+    nt = window_rows_pad(rows) // MAXR
+    return {"ids": ((n_ids,), np.int32),
+            "perm": ((n_ids,), np.int32),
+            "tiles": ((3, nt), np.int32),   # starts, offs, counts
+            "ok": ((1,), np.int32)}
+
+
+def make_window_plan(ids_flat: np.ndarray, rows: int,
+                     weights_flat: Optional[np.ndarray] = None):
+    """Host: flat id vector -> {ids, perm, tiles, ok} window-plan arrays.
+
+    Sorted stream + per-fixed-window (start, off, count); ok=0 when any
+    window's id count exceeds the static window_cap (consumer falls back
+    to the XLA scatter for this batch).
+
+    ``weights_flat``: entries with weight 0 are packed-pool PADDING whose
+    gradients are exactly zero (the pool weight multiplies the gathered
+    row) — they are remapped to an out-of-window sentinel so a pool's
+    padding (all id 0) cannot overflow window 0's cap."""
+    n = int(ids_flat.shape[0])
+    spec = window_batch_spec(n, rows)
+    out = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
+    if weights_flat is not None:
+        sentinel = window_rows_pad(rows)  # beyond the last window
+        ids_flat = np.where(weights_flat != 0, ids_flat,
+                            sentinel).astype(np.int32)
+    order = np.argsort(ids_flat, kind="stable").astype(np.int32)
+    ids_sorted = ids_flat[order].astype(np.int32)
+    out["ids"], out["perm"] = ids_sorted, order
+    nt = spec["tiles"][0][1]
+    cap = window_cap(n, rows)
+    bounds = np.searchsorted(
+        ids_sorted, np.arange(nt + 1, dtype=np.int64) * MAXR, side="left")
+    counts = np.diff(bounds)
+    if counts.max(initial=0) > cap:
+        return out  # ok stays 0: hottest window overflowed the static cap
+    starts = (bounds[:-1] // ALIGN_IDS) * ALIGN_IDS
+    out["tiles"][0] = starts
+    out["tiles"][1] = bounds[:-1] - starts
+    out["tiles"][2] = counts
+    out["ok"][0] = 1
+    return out
+
+
+def _window_kernel(starts_ref, offs_ref, counts_ref, ids_ref, gt_ref,
+                   out_ref, ids_s, g_s, sems):
+    # transposed ([D, ...]) like _kernel; out_ref is a BLOCKED [D, MAXR]
+    # window written once per grid step — windows partition the rows, so
+    # there is no read-modify-write and no zeros initialization at all
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    off = offs_ref[t]
+    count = counts_ref[t]
+    row_lo = t * MAXR
+    window = g_s.shape[2]
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    def stream_in(tile, buf, sem_base):
+        start = pl.multiple_of(starts_ref[tile], ALIGN_IDS)
+        pltpu.make_async_copy(ids_ref.at[0, pl.ds(start, window)],
+                              ids_s.at[buf, 0], sems.at[sem_base]).start()
+        pltpu.make_async_copy(gt_ref.at[:, pl.ds(start, window)],
+                              g_s.at[buf], sems.at[sem_base + 1]).start()
+
+    @pl.when(t == 0)
+    def _():
+        stream_in(0, 0, 0)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        stream_in(jnp.minimum(t + 1, n_tiles - 1), nxt, 2 * nxt)
+
+    start = pl.multiple_of(starts_ref[t], ALIGN_IDS)
+    pltpu.make_async_copy(ids_ref.at[0, pl.ds(start, window)],
+                          ids_s.at[slot, 0], sems.at[2 * slot]).wait()
+    pltpu.make_async_copy(gt_ref.at[:, pl.ds(start, window)],
+                          g_s.at[slot], sems.at[2 * slot + 1]).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+    valid = (lane >= off) & (lane < off + count)
+    local = jnp.where(valid, ids_s[slot, 0:1, :] - row_lo, -1)
+    maxr = out_ref.shape[1]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (maxr, window), 0)
+              == local).astype(gt_ref.dtype)
+    part = jax.lax.dot_general(
+        g_s[slot], onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)      # [D, MAXR]
+    out_ref[...] = part.astype(out_ref.dtype)    # count==0 writes zeros
+
+
+def window_scatter_add(ids_sorted: jnp.ndarray, g_sorted: jnp.ndarray,
+                       starts: jnp.ndarray, offs: jnp.ndarray,
+                       counts: jnp.ndarray, rows: int, wcap: int,
+                       out_dtype=None, interpret: bool = False
+                       ) -> jnp.ndarray:
+    """Sorted-stream scatter-add -> dense [rows, D], write-only fixed
+    windows (see the window-mode note above).  Requires the
+    make_window_plan contract: every window's ids fit in ``wcap``."""
+    n, d = g_sorted.shape
+    out_dtype = out_dtype or g_sorted.dtype
+    d_pad = ((d + 7) // 8) * 8
+    w = wcap + ALIGN_IDS
+    ids_p = jnp.pad(ids_sorted, (0, w)).reshape(1, -1)
+    g_t = jnp.pad(g_sorted, ((0, w), (0, d_pad - d))).T  # [Dp, N+W]
+    rows_pad = window_rows_pad(rows)
+    n_tiles = rows_pad // MAXR
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # ids (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # grads [D, N+W]
+        ],
+        out_specs=pl.BlockSpec((d_pad, MAXR), lambda t, *_: (0, t)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, w), jnp.int32),
+            pltpu.VMEM((2, d_pad, w), g_sorted.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _window_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d_pad, rows_pad), out_dtype),
+        interpret=interpret,
+    )(starts, offs, counts, ids_p, g_t)
+    out = out.T[:rows]
+    return out[:, :d] if d_pad != d else out
+
+
+def apply_window_plan(plan_arrays, g_flat: jnp.ndarray, rows: int,
+                      out_dtype=None, interpret: bool = False
+                      ) -> jnp.ndarray:
+    """Device: scatter-add by a window plan, falling back to the XLA
+    scatter when the host flagged overflow (ok=0)."""
+    out_dtype = out_dtype or g_flat.dtype
+    n, d = g_flat.shape
+    wcap = window_cap(n, rows)
+    tiles = plan_arrays["tiles"]
+
+    def kernel_path(_):
+        g_sorted = jnp.take(g_flat, plan_arrays["perm"], axis=0)
+        return window_scatter_add(
+            plan_arrays["ids"], g_sorted, tiles[0], tiles[1], tiles[2],
+            rows, wcap, out_dtype=out_dtype, interpret=interpret)
+
+    def xla_path(_):
+        # plan ids are sorted but equivalent to the raw stream under add
+        return (jnp.zeros((rows, d), out_dtype)
+                .at[plan_arrays["ids"]]
+                .add(jnp.take(g_flat, plan_arrays["perm"], axis=0)
+                     .astype(out_dtype), mode="drop"))
+
+    return jax.lax.cond(plan_arrays["ok"][0] > 0, kernel_path, xla_path, 0)
+
+
 # ------------------------------------------------------- host-side plumbing
 PALLAS_SCATTER_MIN_IDS = 1 << 17   # below this XLA's ~45 ns/id serial
                                    # scatter beats the kernel's per-tile
                                    # overheads (production d32: 25.6k ids)
+PALLAS_WINDOW_MIN_IDS = 1 << 16    # window mode (sparse streams) pays
+                                   # ~rows/MAXR fixed tile costs; needs
+                                   # enough ids to beat 45 ns/id XLA
 
 
 def scatter_batch_spec(n_ids: int, rows: int):

@@ -113,6 +113,98 @@ class _ResultCounter:
         }
 
 
+def _open_loop_worker(kind: str, host: str, port: int, model_name: str,
+                      rows: List[str], rate: float, duration_s: float,
+                      rows_per_request: int, out_q) -> None:
+    """One load-generator process: fires requests on a FIXED schedule
+    (open loop — sends do not wait for completions, so server latency
+    cannot throttle the offered load the way the closed-loop harness's
+    GIL-bound request threads do).  Results go back via out_q."""
+    import concurrent.futures as futures
+
+    cls = TcpPredictorClient if kind == "tcp" else PredictorClient
+    client = cls(host=host, port=port, model_name=model_name)
+    if kind == "tcp":
+        # the framed-TCP transport is one-request-per-connection-at-a-time;
+        # give each in-flight slot its own connection
+        clients = [cls(host=host, port=port, model_name=model_name)
+                   for _ in range(32)]
+    pool = futures.ThreadPoolExecutor(max_workers=64)
+    pending = []
+    t0 = time.time()
+    i = 0
+    n_rows = max(len(rows) - rows_per_request, 1)
+    while True:
+        t_next = t0 + i / rate
+        if t_next - t0 >= duration_s:
+            break
+        delay = t_next - time.time()
+        if delay > 0:
+            time.sleep(delay)
+
+        def fire(idx=i):
+            start = idx * rows_per_request % n_rows
+            chunk = rows[start:start + rows_per_request]
+            c = clients[idx % len(clients)] if kind == "tcp" else client
+            t_send = time.time()
+            try:
+                c.predict(chunk)
+                return time.time() - t_send, False
+            except Exception:  # noqa: BLE001
+                return time.time() - t_send, True
+
+        pending.append(pool.submit(fire))
+        i += 1
+    results = [f.result() for f in pending]
+    pool.shutdown()
+    out_q.put({"sent": len(results),
+               "errors": sum(int(e) for _, e in results),
+               "latencies": [lat for lat, _ in results]})
+
+
+def open_loop_inference(rows: List[str], rate: float, duration_s: float,
+                        rows_per_request: int = 1, processes: int = 4,
+                        host: str = "localhost", port: int = 8500,
+                        model_name: str = "wide_deep",
+                        kind: str = "grpc") -> Dict[str, float]:
+    """Open-loop load: ``rate`` requests/s offered for ``duration_s``,
+    split across ``processes`` generator processes (no shared GIL), each
+    firing on its own fixed schedule.  Returns achieved throughput +
+    latency percentiles at that offered load."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    out_q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_open_loop_worker,
+                    args=(kind, host, port, model_name, rows,
+                          rate / processes, duration_s, rows_per_request,
+                          out_q), daemon=True)
+        for _ in range(processes)]
+    t0 = time.time()
+    for p in procs:
+        p.start()
+    parts = [out_q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    wall = time.time() - t0
+    lat = sorted(x for part in parts for x in part["latencies"])
+    n = len(lat)
+    sent = sum(p["sent"] for p in parts)
+    errors = sum(p["errors"] for p in parts)
+    return {
+        "offered_rps": rate,
+        "sent": sent,
+        "errors": errors,
+        "achieved_rows_per_s": (sent - errors) * rows_per_request
+                               / max(duration_s, 1e-9),
+        "wall_s": wall,
+        "p50_ms": lat[n // 2] * 1e3 if n else 0.0,
+        "p99_ms": lat[min(int(n * 0.99), n - 1)] * 1e3 if n else 0.0,
+        "mean_ms": sum(lat) / n * 1e3 if n else 0.0,
+    }
+
+
 def do_inference(client: PredictorClient, rows: List[str],
                  num_requests: int, concurrency: int,
                  rows_per_request: int = 1) -> Dict[str, float]:

@@ -338,11 +338,15 @@ class Trainer:
 
     def train_stream(self, host: str, port: int,
                      max_batches: Optional[int] = None,
-                     flush_timeout_s: float = 1.0) -> float:
+                     flush_timeout_s: float = 1.0,
+                     reconnect: bool = False,
+                     max_retries: int = 30) -> float:
         """Train continuously on a live TSV stream (features/stream.py):
         arrival-ordered batches, idle-flush for partial batches, checkpoint
         cadence as configured.  Returns the last batch loss; the stream
-        ending (producer closed) returns normally."""
+        ending (producer closed, or with ``reconnect`` every retry
+        exhausted) returns normally — combined with the checkpoint cadence
+        this makes producer restarts and training restarts both safe."""
         from wide_deep_tpu.features.stream import StreamDataset
         self.ensure_initialized()
         ds = StreamDataset(
@@ -350,7 +354,8 @@ class Trainer:
             batch_size=self.per_host_batch, n_classes=self.n_classes,
             pos_weight=self.pos_weight, neg_weight=self.neg_weight,
             flush_timeout_s=flush_timeout_s, max_batches=max_batches,
-            transformer=self.transformer)
+            transformer=self.transformer,
+            reconnect=reconnect, max_retries=max_retries)
         loss = float("nan")
         for batch in ds:
             batch = self._to_device(batch)
