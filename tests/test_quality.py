@@ -38,3 +38,68 @@ def test_learns_planted_signal(small_config, tmp_path, model_type, min_auc):
     assert res["average_loss"] < 0.60, res
     # calibration sanity: prediction mean near the ~25% base rate
     assert 0.12 < res["prediction/mean"] < 0.40, res
+
+
+@pytest.mark.slow
+def test_auto_pack_budget_keeps_tail_signal(small_config, tmp_path):
+    """pack_budget truncation quality (VERDICT r2 weak-6): plant the label
+    signal in a multivalue feature's LAST value — budget=1 (keep first
+    entry only) cannot see it, while `auto` (p95 measured occupancy) must
+    keep it and learn.  Anchor: the reference's keep-all padded_batch,
+    /root/reference/python/lib/dataset.py:186-191 — truncation is this
+    framework's deliberate divergence, so its safety needs data where the
+    tail matters."""
+    import numpy as np
+
+    from wide_deep_tpu.features.analyze import resolve_pack_budget
+    from wide_deep_tpu.training.loop import Trainer
+
+    with open(os.path.join(TRAIN, "train1")) as f:
+        template = f.readline().rstrip("\n").split("\t")
+    col = None
+    # ucomp: multivalue hash feature (max_len 8) in the bundled schema
+    from wide_deep_tpu.features.plan import FeaturePlan
+    plan = FeaturePlan(small_config)
+    col = plan.column_index["ucomp"]
+
+    rng = np.random.default_rng(0)
+    noise = [f"u{i}" for i in range(50)]
+
+    def make_rows(n):
+        rows = []
+        for _ in range(n):
+            r = list(template)
+            label = int(rng.random() < 0.5)
+            r[0] = str(label)
+            vals = list(rng.choice(noise, size=6, replace=False))
+            if label:
+                vals[-1] = "TAILSIG"  # signal ONLY in the last position
+            r[col] = ",".join(vals)
+            rows.append("\t".join(r))
+        return rows
+
+    train_p = tmp_path / "tail_train"
+    eval_p = tmp_path / "tail_eval"
+    train_p.write_text("\n".join(make_rows(800)) + "\n")
+    eval_p.write_text("\n".join(make_rows(300)) + "\n")
+
+    auto_budget = resolve_pack_budget(small_config, str(train_p), raw="auto")
+    assert auto_budget >= 6, auto_budget  # p95 occupancy = the 6-value lists
+    aucs = {}
+    for tag, budget in (("auto", "auto"), ("first_only", 1)):
+        tr = Trainer(small_config, model_type="wide_deep",
+                     model_dir=str(tmp_path / tag),
+                     overrides=dict(train_data=str(train_p),
+                                    eval_data=str(eval_p),
+                                    test_data=str(eval_p), keep_train=True,
+                                    batch_size=64, num_examples=800,
+                                    pack_budget=budget))
+        if tag == "auto":
+            # p95 occupancy of the planted data is the full 6-value lists
+            assert tr.plan.pack_budget >= 6, tr.plan.pack_budget
+        tr.ensure_initialized(restore=False)
+        for epoch in range(3):
+            tr.train_file(str(train_p), epoch_seed=epoch)
+        aucs[tag] = tr.evaluate(str(eval_p))["auc"]
+    assert aucs["auto"] > 0.9, aucs
+    assert aucs["first_only"] < 0.65, aucs

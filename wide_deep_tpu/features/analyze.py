@@ -63,14 +63,16 @@ def suggest_pack_budget(plan, data_path: str, max_rows: int = 20000,
     return int(np.clip(max(p95s), 1, max_len))
 
 
-def resolve_pack_budget(config, train_data: Optional[str] = None
-                        ) -> Optional[int]:
+def resolve_pack_budget(config, train_data: Optional[str] = None,
+                        raw=None) -> Optional[int]:
     """train.yaml ``pack_budget`` -> int | None (None = plan default).
 
     ``auto`` scans ``train_data`` (or the configured train_data) and logs
     the choice; a missing dataset falls back to the default with a warning.
+    ``raw`` overrides the configured value (Trainer CLI overrides).
     """
-    raw = config.train.get("pack_budget")
+    if raw is None:
+        raw = config.train.get("pack_budget")
     if raw in (None, ""):
         return None
     if str(raw).lower() != "auto":

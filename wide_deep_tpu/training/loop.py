@@ -83,9 +83,12 @@ class Trainer:
         from wide_deep_tpu.features.plan import fold_enabled
         budget = self.train_conf.get("pack_budget")
         if str(budget).lower() == "auto":
-            # measured-occupancy pool sizing (features/analyze.py)
+            # measured-occupancy pool sizing (features/analyze.py); pass the
+            # raw override through so a CLI `--pack_budget auto` resolves
+            # even when the conf pins an integer
             budget = resolve_pack_budget(self.config,
-                                         self.train_conf.get("train_data"))
+                                         self.train_conf.get("train_data"),
+                                         raw=budget)
         # Pallas range-scatter backward for big tables (ops/scatter.py).
         # Single-device meshes: one plan per big group.  Multi-device meshes
         # with the explicit exchange: one plan PER TABLE SHARD
