@@ -139,13 +139,14 @@ def main():
 
     config = Config()
     # BENCH_SCATTER=xla disables the Pallas range-scatter backward;
-    # BENCH_SPARSE=1 enables the fused touched-rows optimizer (compact
-    # dedup plans + apply_compact_update) for huge tables
+    # BENCH_SPARSE=0 disables the fused touched-rows optimizer (compact
+    # dedup plans + apply_compact_update, on by default like train.yaml)
     plan = FeaturePlan(
         config,
         pallas_scatter=(n_chips == 1
                         and os.environ.get("BENCH_SCATTER") != "xla"),
-        sparse_opt=os.environ.get("BENCH_SPARSE") == "1")
+        sparse_opt=(n_chips == 1
+                    and os.environ.get("BENCH_SPARSE") != "0"))
     # BENCH_DENSE_DTYPE=bfloat16 measures the MLP-in-bf16 knob (model.yaml
     # dense_dtype) without editing the conf
     dtype_env = os.environ.get("BENCH_DENSE_DTYPE")
@@ -160,18 +161,22 @@ def main():
     rng = np.random.default_rng(0)
     batch = synthetic_batch(plan, BATCH_SIZE, rng)
     t0 = time.time()
-    params, mstate = model.init(jax.random.PRNGKey(0), batch)
-    shardings = mesh_lib.param_shardings(mesh, params)
-    params = jax.device_put(params, shardings)
-    mstate = jax.device_put(mstate, mesh_lib.replicated(mesh))
+    # jitted init with mesh out_shardings: one compiled program instead of
+    # ~40 eager table initializers dispatched through the device tunnel
+    batch1 = {k: v[:1] for k, v in batch.items()}
+    init_model = lambda r: model.init(r, batch1)  # noqa: E731
+    rng0 = jax.random.PRNGKey(0)
+    p_struct, _ = jax.eval_shape(init_model, rng0)
+    shardings = mesh_lib.param_shardings(mesh, p_struct)
+    params, mstate = jax.jit(
+        init_model,
+        out_shardings=(shardings, mesh_lib.replicated(mesh)))(rng0)
     decay_steps = float(config.train["num_examples"]) / BATCH_SIZE
     from wide_deep_tpu.optim.sparse import plan_sparse_tables
     from wide_deep_tpu.training.step import init_opt_state
-    # BENCH_SPARSE=1 measures the opt-in touched-rows path (see
-    # optim/sparse.py: measured slower than XLA's fused dense update)
     sparse_tables, sparse_paths = plan_sparse_tables(
         plan, config.model, max(decay_steps, 1.0), BATCH_SIZE,
-        enabled=os.environ.get("BENCH_SPARSE") == "1")
+        enabled=plan.sparse_opt)
     log(f"sparse tables: {sorted(sparse_tables)}")
     tx = build_joint_optimizer(config.model, max(decay_steps, 1.0),
                                {"linear": True, "dnn": True},

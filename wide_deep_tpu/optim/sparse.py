@@ -25,16 +25,26 @@ form shrinks only touched rows — which is exactly the reference's
 SparseApplyProximalAdagrad behavior, so the divergence is a deliberate
 reference-parity fix, asserted in tests/test_sparse_optim.py.
 
-**Measured negative result (v5e, batch 25600, production config; kept
-opt-in):** routing the 10M-row dim-32 table through this path made the step
-3.7 ms SLOWER (102.5 -> 106.2 ms).  XLA already fuses the backward scatter
-+ optimizer elementwise + buffer donation into in-place touched-row updates
-(the round-1 minimal harness finding, ARCHITECTURE.md), so the dense
-transform never actually sweeps HBM for rows with zero gradient — while
-this path pays real gathers/scatters for the id rows.  The mechanism stays
-for (a) optimizers XLA cannot fuse this way, (b) exact reference
-SparseApplyProximalAdagrad semantics (dense proximal shrinks untouched
-rows; sparse does not), enabled by train.yaml ``sparse_optimizer: true``.
+**Two generations of this path (v5e, batch 25600, production config):**
+
+1. Dense-grad sparse (apply_sparse_update): reads the dense XLA backward
+   gradient, gathers/updates/scatters touched rows.  Measured 3.7 ms
+   SLOWER than the dense sweep (102.5 -> 106.2 ms, round 2) because the
+   dense [rows, D] gradient still exists; kept as the fallback when no
+   compact plan is available (multi-device meshes, hand-built steps).
+2. **Compact sparse (apply_compact_update, round 3, the default path)**:
+   gradients flow to the GATHERED ROWS only (models/deep.py
+   '_sparse_rows' sink + stop_gradient on the table), the batch's dedup
+   plan + the Pallas range kernel sum duplicate entries, and one gather +
+   formula + sorted-unique scatter-add updates exactly the touched rows.
+   The dense gradient and the full-table optimizer sweep never exist:
+   45.8 -> 44.3 ms end-to-end; the residual cost is the XLA serial
+   scatter write-back (~2 ns/byte — ARCHITECTURE.md round-3 log).
+
+Both give exact reference SparseApply* semantics — notably
+SparseApplyProximalAdagrad, whose dense form shrinks untouched rows every
+step while the sparse form (and the reference) does not.  Enabled by
+train.yaml ``sparse_optimizer`` (default true; single-process meshes).
 
 Eligibility (plan_sparse_tables, when enabled): embed dim-group tables with
 rows >= SPARSE_MIN_ROWS and ids-per-step * SPARSE_ID_FACTOR <= rows.  On

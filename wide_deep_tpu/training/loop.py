@@ -139,10 +139,14 @@ class Trainer:
         # measured slower than XLA's fused scatter+optimizer on v5e — see
         # the optim/sparse.py module docstring for the numbers.
         from wide_deep_tpu.optim.sparse import plan_sparse_tables
+        # single-device only by default: on a multi-device mesh the compact
+        # plans are not emitted (plan.sparse_opt_group) and the fallback
+        # dense-grad sparse path measured slower than the dense sweep
         self.sparse_tables, sparse_paths = (
             plan_sparse_tables(
                 self.plan, self.config.model, decay_steps, self.batch_size,
-                enabled=bool(self.train_conf.get("sparse_optimizer")))
+                enabled=bool(self.train_conf.get("sparse_optimizer"))
+                and n_dev == 1)
             if self.model.has_deep else ({}, frozenset()))
         self.tx = build_joint_optimizer(
             self.config.model, decay_steps,
@@ -179,14 +183,20 @@ class Trainer:
             return
         sample = self._zero_batch()
         sample["mask"] = np.ones_like(sample.get("mask", np.ones(self.batch_size, np.float32)))
-        # init on a process-local device (jax.devices()[0] may belong to
-        # another process in multi-host mode)
-        with jax.default_device(jax.local_devices()[0]):
-            params, mstate = self.model.init(
-                jax.random.PRNGKey(self.seed), sample)
-        shardings = mesh_lib.param_shardings(self.mesh, params)
-        params = jax.device_put(params, shardings)
-        mstate = jax.device_put(mstate, mesh_lib.replicated(self.mesh))
+        # single-row slice: init is batch-size independent, and a 1-row
+        # sample keeps it off the hot-compile path
+        sample1 = {k: v[:1] for k, v in sample.items()}
+        init_fn = lambda rng: self.model.init(rng, sample1)  # noqa: E731
+        rng0 = jax.random.PRNGKey(self.seed)
+        # one jitted program with the mesh shardings as out_shardings:
+        # eager init dispatched each table initializer as its own tiny
+        # program (~45 s through a remote-device tunnel for the production
+        # tables) and then re-transferred everything in device_put
+        p_struct, _ = jax.eval_shape(init_fn, rng0)
+        shardings = mesh_lib.param_shardings(self.mesh, p_struct)
+        params, mstate = jax.jit(
+            init_fn,
+            out_shardings=(shardings, mesh_lib.replicated(self.mesh)))(rng0)
         # commit every opt-state leaf to the mesh explicitly (table slots
         # row-sharded, the rest replicated) — keeps restore/jit consistent
         from wide_deep_tpu.training.step import init_opt_state
