@@ -154,3 +154,44 @@ class TestExplicitExchangeCollectives:
         for op, b, line in ops:
             assert b <= max(id_payload, B * P * 4) * 2, (op, b, line)
             assert b < table_bytes, (op, b, line)
+
+
+class TestDedupExchangeCollectives:
+    def test_dedup_volume_is_unique_scaled(self):
+        """The dedup exchange's collectives carry only the unique-row block
+        (S x cap x D both ways, cap = expected-unique slack), which under
+        heavy duplication is far below the dense exchange's B x P x D
+        contract — the static payload drop VERDICT r2 item 10 asked for."""
+        from wide_deep_tpu.ops.scatter import dedup_cap, make_dedup_plan
+        from wide_deep_tpu.parallel import mesh as mesh_lib
+        from wide_deep_tpu.parallel.exchange import dedup_sharded_gather
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        mesh = mesh_lib.make_mesh(4, 2, jax.devices()[:8])
+        # high duplication by construction: many more ids than rows
+        rows, D, B, P = 1024, 16, 512, 8
+        S = mesh.devices.size
+        cap = dedup_cap(B * P, rows, S)
+        assert S * cap < B * P // 2, (cap, "fixture must be duplication-heavy")
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, rows, (B, P)).astype(np.int32)
+        dp = make_dedup_plan(ids, rows, S)
+        table = jax.device_put(
+            jnp.zeros((rows, D), jnp.float32),
+            NamedSharding(mesh, Pspec(("data", "model"))))
+        uids = jax.device_put(jnp.asarray(dp["uids"]),
+                              NamedSharding(mesh, Pspec(("data", "model"))))
+        slots = jax.device_put(jnp.asarray(dp["slots"]),
+                               NamedSharding(mesh, Pspec("data")))
+
+        def f(t):
+            return dedup_sharded_gather(t, slots, uids, mesh).sum()
+
+        hlo = jax.jit(jax.grad(f)).lower(table).compile().as_text()
+        ops = _collective_ops(hlo)
+        assert ops, "dedup exchange must contain collectives"
+        dense_payload = B * P * D * 4       # what the dense exchange moves
+        unique_payload = S * cap * D * 4    # the dedup contract
+        for op, b, line in ops:
+            assert b <= unique_payload * 2, (op, b, line)
+            assert b < dense_payload // 2, (op, b, line)

@@ -455,10 +455,10 @@ class Config:
                 raise ConfigError(f"{where}: mesh axis `{axis}` must be int")
         out["mesh"] = mesh
         lookup = section.get("sharded_lookup") or "auto"
-        if lookup not in ("auto", "gspmd", "explicit"):
+        if lookup not in ("auto", "gspmd", "explicit", "dedup"):
             raise ConfigError(
-                f"{where}: sharded_lookup must be auto|gspmd|explicit, "
-                f"got {lookup!r}")
+                f"{where}: sharded_lookup must be auto|gspmd|explicit|dedup,"
+                f" got {lookup!r}")
         out["sharded_lookup"] = lookup
         return out
 

@@ -228,8 +228,14 @@ class NativeTransformer:
             # ids (the C++ loader emits range/sharded plans natively; these
             # two sort far smaller streams — port to C++ if profiles say so)
             from wide_deep_tpu.ops.scatter import (make_compact_plan,
+                                                   make_dedup_plan,
                                                    make_window_plan)
             for g in plan.groups:
+                if plan.dedup_group(g, B):
+                    dp = make_dedup_plan(out[f"emb_ids_d{g.dim}"], g.rows,
+                                         plan.scatter_shards)
+                    for key, arr in dp.items():
+                        out[f"dscat_{key}_d{g.dim}"] = arr
                 if plan.window_group(g, B):
                     wp = make_window_plan(
                         out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows,

@@ -304,6 +304,13 @@ class FeatureTransformer:
                                       g_wts[g.dim].reshape(-1))
                 for key, arr in wp.items():
                     out[f"wscat_{key}_d{g.dim}"] = arr
+            if mode == "train" and plan.dedup_group(g, B):
+                # unique-id + slot plan for the dedup exchange
+                from wide_deep_tpu.ops.scatter import make_dedup_plan
+                dp = make_dedup_plan(g_ids[g.dim], g.rows,
+                                     plan.scatter_shards)
+                for key, arr in dp.items():
+                    out[f"dscat_{key}_d{g.dim}"] = arr
             if mode == "train" and plan.sparse_opt_group(g, B):
                 # compact (dedup) plan for the fused touched-rows optimizer
                 # (optim/sparse.apply_compact_update)

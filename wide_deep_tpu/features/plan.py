@@ -193,7 +193,8 @@ class FeaturePlan:
                  pallas_scatter: bool = False,
                  scatter_shards: int = 1,
                  shard_threshold: Optional[int] = None,
-                 sparse_opt: bool = False):
+                 sparse_opt: bool = False,
+                 shard_kind: str = "scatter"):
         self.config = config
         train = config.train
         self.multivalue = train["multivalue"] if multivalue is None else multivalue
@@ -229,6 +230,13 @@ class FeaturePlan:
             from wide_deep_tpu.parallel.mesh import _SHARD_THRESHOLD
             shard_threshold = _SHARD_THRESHOLD
         self.shard_threshold = int(shard_threshold)
+        # shard_kind (scatter_shards > 1): 'scatter' emits per-shard kernel
+        # plans for planned_sharded_gather; 'dedup' emits unique-id + slot
+        # plans for the dedup exchange (dedup_sharded_gather)
+        if shard_kind not in ("scatter", "dedup"):
+            raise ValueError(f"shard_kind must be scatter|dedup, "
+                             f"got {shard_kind!r}")
+        self.shard_kind = shard_kind
         # sparse_opt: batches additionally carry a compact (dedup) scatter
         # plan per huge dim group (ops/scatter.make_compact_plan) so the
         # train step applies the fused touched-rows optimizer
@@ -415,10 +423,22 @@ class FeaturePlan:
                 and n_ids * 16 >= g.rows):
             return False
         if self.scatter_shards > 1:
-            return (g.rows % self.scatter_shards == 0
+            return (self.shard_kind == "scatter"
+                    and g.rows % self.scatter_shards == 0
                     and g.rows * g.dim
                     >= self.shard_threshold * self.scatter_shards)
         return True
+
+    def dedup_group(self, g: "DimGroup", batch_size: int) -> bool:
+        """Whether this dim group's train batches carry a dedup-exchange
+        plan (ops/scatter.make_dedup_plan for
+        parallel/exchange.dedup_sharded_gather): mesh-sharded tables under
+        ``sharded_lookup: dedup``."""
+        return (self.shard_kind == "dedup"
+                and self.scatter_shards > 1
+                and g.rows % self.scatter_shards == 0
+                and g.rows * g.dim
+                >= self.shard_threshold * self.scatter_shards)
 
     def window_group(self, g: "DimGroup", batch_size: int) -> bool:
         """Whether this dim group's train batches carry a window-mode
@@ -483,6 +503,11 @@ class FeaturePlan:
                 from wide_deep_tpu.ops.scatter import window_batch_spec
                 for key, sd in window_batch_spec(B * P, g.rows).items():
                     spec[f"wscat_{key}_d{g.dim}"] = sd
+            if mode == "train" and self.dedup_group(g, B):
+                from wide_deep_tpu.ops.scatter import dedup_batch_spec
+                for key, sd in dedup_batch_spec(
+                        B * P, g.rows, self.scatter_shards, (B, P)).items():
+                    spec[f"dscat_{key}_d{g.dim}"] = sd
             if mode == "train" and self.sparse_opt_group(g, B):
                 from wide_deep_tpu.ops.scatter import compact_plan_spec
                 for key, sd in compact_plan_spec(B * P).items():

@@ -367,22 +367,28 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                       embedding_init(rng, shape).astype(embedding_dtype)))
     fold_wide = None
 
-    def table_gather(tbl, ids, sscat=None):
+    def table_gather(tbl, ids, sscat=None, dscat=None):
         # explicit sharded exchange (parallel/exchange.py) when enabled and
         # the table is big enough to be row-sharded; GSPMD otherwise.
         # ``sscat``: host-built per-shard scatter plans — routes the
         # exchange backward through the Pallas range-scatter kernel
         # (planned_sharded_gather), XLA scatter otherwise.
+        # ``dscat``: host-built unique-id + slot plan — the dedup exchange
+        # (dedup_sharded_gather, O(unique x D) row payload).
         if lookup_mesh is not None:
             mesh, threshold = lookup_mesh
             from wide_deep_tpu.parallel.exchange import (
-                explicit_sharded_gather, planned_sharded_gather)
+                dedup_sharded_gather, explicit_sharded_gather,
+                planned_sharded_gather)
             from wide_deep_tpu.parallel.mesh import _SHARD_THRESHOLD
             threshold = _SHARD_THRESHOLD if threshold is None else threshold
             n_dev = mesh.devices.size
             if (tbl.size >= threshold * n_dev
                     and tbl.shape[0] % n_dev == 0
                     and ids.shape[0] % mesh.shape["data"] == 0):
+                if dscat is not None and dscat["uids"].shape[0] == n_dev:
+                    return dedup_sharded_gather(
+                        tbl, dscat["slots"], dscat["uids"], mesh)
                 if sscat is not None and sscat["ok"].shape[0] == n_dev:
                     return planned_sharded_gather(
                         tbl, ids, sscat["ids"], sscat["perm"],
@@ -419,6 +425,10 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                     "perm": batch[f"wscat_perm_d{g.dim}"],
                     "tiles": batch[f"wscat_tiles_d{g.dim}"],
                     "ok": batch[f"wscat_ok_d{g.dim}"]}
+        dscat = None
+        if f"dscat_uids_d{g.dim}" in batch and lookup_mesh is not None:
+            dscat = {"uids": batch[f"dscat_uids_d{g.dim}"],
+                     "slots": batch[f"dscat_slots_d{g.dim}"]}
         # fused sparse-optimizer sink (training/step.py injects
         # params['dnn']['_sparse_rows'][f'd{dim}'] = zeros [B, P, dim]):
         # gradients flow to the COMPACT per-entry rows instead of a dense
@@ -439,7 +449,8 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                 # shard_map transposes)
                 fused = jnp.concatenate([table, fcol.astype(table.dtype)],
                                         axis=1)
-                full = table_gather(fused, ids, sscat)  # [B,P,dim+n_logits]
+                full = table_gather(fused, ids, sscat,
+                                    dscat)  # [B,P,dim+n_logits]
                 gathered = full[..., :g.dim]
                 wide_rows = full[..., g.dim:].astype(jnp.float32)
             else:
@@ -457,7 +468,7 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         elif scat is not None:
             gathered = gather_with_plan(table, ids, scat)  # [B, P, dim]
         else:
-            gathered = table_gather(table, ids, sscat)  # [B, P, dim]
+            gathered = table_gather(table, ids, sscat, dscat)  # [B, P, dim]
         weighted = (gathered * wts[..., None]).astype(jnp.float32)
         # Per-feature mean combine over the packed pool: a per-row one-hot
         # segment matmul (MXU).  Gather/scatter cost is linear in P (measured

@@ -186,6 +186,100 @@ def _planned_gather_bwd(ctx, res, ct):
 _planned_gather.defvjp(_planned_gather_fwd, _planned_gather_bwd)
 
 
+# ---------------------------------------------------------- dedup exchange
+# Host-assisted all-to-all variant (train.yaml sharded_lookup: dedup): the
+# loader precomputes each table shard's UNIQUE batch ids and every entry's
+# flat slot (ops/scatter.make_dedup_plan), so the devices exchange only the
+# unique rows:
+#
+#     rows:  local gather of the shard's unique ids   (no communication)
+#            all_gather over the WHOLE mesh           S x cap x D
+#            per-entry select by host slot            (no communication)
+#
+# Per-device volume ~ O(unique x D) vs the dense exchange's O(B x P x D) —
+# the win grows with id duplication (hot keys, pod-scale tables).  No id
+# collective at all: the host already routed every entry.  Gradients run
+# the exact transposes: slot scatter-add (local) -> psum_scatter (the
+# all_gather transpose) -> unique-id scatter-add into the shard.
+# Single-process meshes (the host sees the global batch), like the
+# planned kernel path; the contract is pinned by
+# tests/test_hlo_collectives.py (volume) + tests/test_exchange.py (math).
+
+
+def dedup_sharded_gather(table: jnp.ndarray, slots: jnp.ndarray,
+                         uids: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """[rows, D] row-sharded table x host dedup plan -> [B, P, D] rows.
+
+    Semantically ``jnp.take(table, ids, axis=0)`` for the ids the plan was
+    built from (asserted in tests/test_exchange.py, values and grads)."""
+    return _dedup_gather(mesh, table, slots, uids)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dedup_gather(mesh, table, slots, uids):
+    n_total = mesh.devices.size
+    shard_rows = table.shape[0] // n_total
+    sall = ("data", "model")
+
+    # check_vma off: the all_gather over both axes makes the rows block
+    # replicated over 'model', which the static checker cannot infer
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(sall, None), P("data", None), P(sall, None)),
+             out_specs=P("data", None, None))
+    def fwd(tbl, slots_local, uids_local):
+        u = uids_local[0]
+        valid = u < shard_rows  # sentinel-padded tail
+        mine = jnp.take(tbl, jnp.clip(u, 0, shard_rows - 1), axis=0)
+        mine = jnp.where(valid[:, None], mine, jnp.zeros((), tbl.dtype))
+        # the one communication: every device receives every shard's
+        # unique rows — S x cap x D, independent of batch duplication
+        r_all = jax.lax.all_gather(mine, sall, axis=0, tiled=True)
+        out = jnp.take(r_all, slots_local.reshape(-1), axis=0)
+        return out.reshape(*slots_local.shape, r_all.shape[-1])
+
+    return fwd(table, slots, uids)
+
+
+def _dedup_gather_fwd(mesh, table, slots, uids):
+    return _dedup_gather(mesh, table, slots, uids), (slots, uids, table)
+
+
+def _dedup_gather_bwd(mesh, res, ct):
+    slots, uids, table = res
+    n_total = mesh.devices.size
+    shard_rows = table.shape[0] // n_total
+    cap = uids.shape[1]
+    d = table.shape[1]
+    sall = ("data", "model")
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("data", None, None), P("data", None),
+                       P(sall, None)),
+             out_specs=P(sall, None))
+    def bwd(ct_local, slots_local, uids_local):
+        g_flat = ct_local.reshape(-1, d).astype(jnp.float32)
+        # every model rank holds the same data slice of ct — only rank 0
+        # contributes, or the psum_scatter would multiply grads by
+        # mesh.shape['model']
+        g_flat = jnp.where(jax.lax.axis_index("model") == 0, g_flat,
+                           jnp.zeros((), g_flat.dtype))
+        # local partial sums into the [S*cap] unique-row space
+        g_all = (jnp.zeros((n_total * cap, d), jnp.float32)
+                 .at[slots_local.reshape(-1)].add(g_flat))
+        # all_gather transpose: sum partials, keep my shard's cap rows
+        g_mine = jax.lax.psum_scatter(g_all, sall, scatter_dimension=0,
+                                      tiled=True)
+        u = uids_local[0]
+        return (jnp.zeros((shard_rows, d), table.dtype)
+                .at[u].add(g_mine.astype(table.dtype), mode="drop"))
+
+    d_table = bwd(ct, slots, uids)
+    return d_table, None, None
+
+
+_dedup_gather.defvjp(_dedup_gather_fwd, _dedup_gather_bwd)
+
+
 def lookup_mesh_for(model) -> Optional[Mesh]:
     """The mesh a model's explicit-lookup path should use (None = GSPMD)."""
     return getattr(model, "_lookup_mesh", None)

@@ -66,7 +66,7 @@ def batch_key_sharding(mesh: Mesh, key: str, value) -> NamedSharding:
     row-sharded tables, so each device holds the plan for ITS table shard.
     """
     n = mesh.devices.size
-    if (n > 1 and key.startswith("scat_")
+    if (n > 1 and key.startswith(("scat_", "dscat_uids_"))
             and getattr(value, "shape", ()) and value.shape[0] == n):
         return NamedSharding(mesh, P(("data", "model")))
     return batch_sharding(mesh)

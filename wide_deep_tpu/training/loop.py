@@ -99,15 +99,23 @@ class Trainer:
         n_dev = self.mesh.devices.size
         # auto = explicit on multi-device meshes; on a single device there
         # is nothing to exchange — keep the plain gather (and its
-        # fused_gather_split Pallas backward) instead
+        # fused_gather_split Pallas backward) instead.  'dedup' is the
+        # host-assisted unique-row all-to-all variant for high-duplication
+        # workloads (parallel/exchange.dedup_sharded_gather).
         lookup = self.config.distribution.get("sharded_lookup") or "auto"
-        explicit_lookup = n_dev > 1 and lookup in ("explicit", "auto")
+        dedup_lookup = (n_dev > 1 and lookup == "dedup"
+                        and jax.process_count() == 1)
+        explicit_lookup = n_dev > 1 and (
+            lookup in ("explicit", "auto") or dedup_lookup)
         want_pallas = (
             str(self.train_conf.get("scatter_mode") or "pallas") == "pallas")
         pallas_scatter = want_pallas and (
             n_dev == 1
-            or (explicit_lookup and jax.process_count() == 1))
-        scatter_shards = n_dev if (pallas_scatter and n_dev > 1) else 1
+            or (explicit_lookup and not dedup_lookup
+                and jax.process_count() == 1))
+        scatter_shards = (n_dev if (n_dev > 1
+                                    and (pallas_scatter or dedup_lookup))
+                          else 1)
         self.plan = FeaturePlan(
             self.config, multivalue=self.train_conf["multivalue"],
             fold=fold_enabled(self.config, self.model_type),
@@ -115,6 +123,7 @@ class Trainer:
             pallas_scatter=pallas_scatter,
             scatter_shards=scatter_shards,
             shard_threshold=self.train_conf.get("shard_threshold"),
+            shard_kind="dedup" if dedup_lookup else "scatter",
             # fused touched-rows optimizer for huge tables: batches carry
             # compact dedup plans (ops/scatter.make_compact_plan) consumed
             # by optim/sparse.apply_compact_update
