@@ -173,6 +173,19 @@ inline int64_t shard_cap(int64_t n_ids, int64_t n_shards) {
   return std::min(cap, n_ids);
 }
 
+// window-mode plan constants (ops/scatter.py window_cap / window_rows_pad
+// parity): write-only fixed row windows for sparse streams
+inline int64_t window_n_tiles(int64_t rows) {
+  return std::max<int64_t>((rows + kMaxr - 1) / kMaxr, 1);
+}
+
+inline int64_t window_cap(int64_t n_ids, int64_t rows) {
+  double mean = static_cast<double>(n_ids) / window_n_tiles(rows);
+  int64_t cap =
+      static_cast<int64_t>(std::ceil(4.0 * mean / kAlignIds)) * kAlignIds;
+  return std::max<int64_t>(kAlignIds, std::min(cap, kTIds));
+}
+
 // stable LSB radix argsort of non-negative int32 ids (16-bit digits: two
 // passes cover the full range, one when ids < 65536); fills perm/sorted.
 void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
@@ -269,7 +282,9 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  if (r.i64() != 6) return nullptr;  // version (sharded scatter plans)
+  // version 7: window plans moved the wdt_transform ABI (window_mask arg);
+  // the check keeps stale libs from silently mis-reading the call
+  if (r.i64() != 7) return nullptr;
   auto plan = new Plan();
   plan->scatter_shards = std::max<int64_t>(r.i64(), 1);
   plan->n_columns = r.i64();
@@ -564,12 +579,18 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 //                  tiles [S, 4, n_tiles_for(cap, rows/S)], ok [S]
 //                  (ops/scatter.make_sharded_scatter_plan layout: localized
 //                  sorted streams per table shard; ok=0 on cap overflow)
-// scat_mask: bit g set = emit a Pallas scatter plan for group g
-// (ops/scatter.py contract; caller sizes the buffers).
+//              then per window_mask group (ascending): ids [B*P],
+//                perm [B*P], tiles [3, window_n_tiles(rows)], ok [1]
+//                (ops/scatter.make_window_plan layout: weight-0 padding
+//                remapped to an out-of-window sentinel before the sort;
+//                ok=0 + zero tiles when a window exceeds window_cap)
+// scat_mask: bit g set = emit a Pallas range/sharded scatter plan for
+// group g; window_mask: bit g set = emit a window plan (mutually
+// exclusive per group; ops/scatter.py contract, caller sizes buffers).
 int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                       int64_t capacity, int has_label, int multiclass,
                       double pos_w, double neg_w, int weighted, int n_threads,
-                      int64_t scat_mask, void** outs) {
+                      int64_t scat_mask, int64_t window_mask, void** outs) {
   const Plan& plan = *static_cast<Plan*>(plan_ptr);
   Outs o;
   int idx = 0;
@@ -598,6 +619,18 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     s.ok = plan.scatter_shards > 1 ? static_cast<int32_t*>(outs[idx++])
                                    : nullptr;
     scats.push_back(s);
+  }
+  struct WScatOut { int64_t group; int32_t *ids, *perm, *tiles, *ok; };
+  std::vector<WScatOut> wscats;
+  for (size_t g = 0; g < plan.group_dims.size(); ++g) {
+    if (!(window_mask >> g & 1)) continue;
+    WScatOut s;
+    s.group = static_cast<int64_t>(g);
+    s.ids = static_cast<int32_t*>(outs[idx++]);
+    s.perm = static_cast<int32_t*>(outs[idx++]);
+    s.tiles = static_cast<int32_t*>(outs[idx++]);
+    s.ok = static_cast<int32_t*>(outs[idx++]);
+    wscats.push_back(s);
   }
 
   // pass 1: line spans + validity (cell count match)
@@ -736,6 +769,46 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       for (auto& th : threads) th.join();
     }
     if (!scat_ok.load()) return -2;  // id out of table range: wrong plan
+  }
+
+  // window-plan post-pass (ops/scatter.make_window_plan parity): remap
+  // weight-0 pool padding to the out-of-window sentinel, sort, tile by
+  // fixed row windows; on a hot-window overflow emit sorted ids/perm with
+  // ok=0 and zero tiles (consumer falls back to the XLA scatter)
+  for (const auto& s : wscats) {
+    int64_t g = s.group;
+    int64_t n = capacity * plan.group_packed[g];
+    int64_t rows = plan.group_rows[g];
+    int64_t nt_w = window_n_tiles(rows);
+    int64_t sentinel = nt_w * kMaxr;
+    std::vector<int32_t> remapped(n);
+    const int32_t* gids = o.g_ids[g];
+    const float* gwts = o.g_wts[g];
+    for (int64_t i = 0; i < n; ++i)
+      remapped[i] = gwts[i] != 0.0f ? gids[i]
+                                    : static_cast<int32_t>(sentinel);
+    stable_radix_argsort(remapped.data(), n, s.perm, s.ids);
+    const int64_t cap = window_cap(n, rows);
+    int32_t* starts = s.tiles;
+    int32_t* offs = s.tiles + nt_w;
+    int32_t* counts = s.tiles + 2 * nt_w;
+    // first pass: window counts only (tiles must stay zero on overflow)
+    bool fits = true;
+    int64_t i = 0;
+    std::vector<int64_t> bound(nt_w + 1, 0);
+    for (int64_t t = 0; t < nt_w; ++t) {
+      const int64_t hi_row = (t + 1) * kMaxr;
+      while (i < n && s.ids[i] < hi_row) ++i;
+      bound[t + 1] = i;
+      if (i - bound[t] > cap) { fits = false; break; }
+    }
+    s.ok[0] = fits ? 1 : 0;
+    if (!fits) continue;
+    for (int64_t t = 0; t < nt_w; ++t) {
+      starts[t] = static_cast<int32_t>(bound[t] / kAlignIds * kAlignIds);
+      offs[t] = static_cast<int32_t>(bound[t] - starts[t]);
+      counts[t] = static_cast<int32_t>(bound[t + 1] - bound[t]);
+    }
   }
   return n_rows;
 }

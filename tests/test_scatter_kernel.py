@@ -329,6 +329,37 @@ class TestScatterPlanPlumbing:
             assert py[k].shape == (8,)
             assert py[f"scat_ids_d{dim}"].ndim == 2
 
+    def test_python_cpp_window_plan_parity(self, small_config, monkeypatch):
+        """The C++ window-plan emission (weight-0 padding remapped to the
+        out-of-window sentinel, stable sort, fixed-row-window tiles) must be
+        bit-identical to make_window_plan for every array incl. ok flags."""
+        from wide_deep_tpu.features.native import NativeTransformer
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        if not NativeTransformer.available():
+            pytest.skip("native lib not built")
+        monkeypatch.setattr(FeaturePlan, "scatter_group",
+                            lambda self, g, b: False)
+        monkeypatch.setattr(FeaturePlan, "window_group",
+                            lambda self, g, b: self.pallas_scatter)
+        plan = FeaturePlan(small_config, pallas_scatter=True)
+        with open("/root/reference/data/train/train1") as f:
+            rows = [l.rstrip("\n").split("\t") for l in f][:300]
+        # B=512 floods the tiny tables' single window past the 4x-mean cap
+        # (overflow path, ok=0 + zero tiles); B=16 fits (tile emission).
+        oks = set()
+        for B in (512, 16):
+            sub = rows[:B]
+            py = FeatureTransformer(plan).transform(sub, B, mode="train")
+            cc = NativeTransformer(plan).transform(sub, B, mode="train")
+            ok_keys = [k for k in py if k.startswith("wscat_ok_")]
+            assert ok_keys, "no window plans emitted"
+            assert set(py) == set(cc)
+            for k in sorted(py):
+                np.testing.assert_array_equal(py[k], cc[k], err_msg=k)
+            oks |= {int(py[k][0]) for k in ok_keys}
+        assert oks == {0, 1}, f"both cap regimes must be exercised: {oks}"
+
     def test_window_training_matches_xla_path(self, small_config, tmp_path,
                                               monkeypatch):
         """End-to-end: window-mode scatter backward == XLA scatter backward

@@ -38,7 +38,8 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
     added per-group table row counts so the loader can emit Pallas scatter
     plans (ops/scatter.py) with each batch; v6 added scatter_shards so the
     loader emits PER-TABLE-SHARD plans (localized sorted streams + tiles +
-    ok flags) for multi-device meshes.
+    ok flags) for multi-device meshes; v7 added window-plan emission
+    (wdt_transform gained the window_mask argument).
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
     lockstep with cpp/fastdata.cc::parse_plan.
@@ -58,7 +59,7 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(6)  # version (v6: scatter_shards for per-table-shard plans)
+    i64(7)  # version (v7: window plans / wdt_transform window_mask ABI)
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
     i64(int(getattr(plan, "scatter_shards", 1)))
     i64(len(plan.columns), int(plan.multivalue), int(plan.pack_budget),
@@ -144,7 +145,7 @@ class NativeTransformer:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_void_p)]
         blob = serialize_plan(plan)
         self._plan_handle = self._lib.wdt_plan_create(blob, len(blob))
@@ -190,11 +191,14 @@ class NativeTransformer:
 
         # Pallas scatter plans (ops/scatter.py) for big groups, train mode;
         # per table shard (ids/perm/tiles/ok with leading n_shards axis)
-        # when the plan was compiled for a multi-device mesh
+        # when the plan was compiled for a multi-device mesh; window plans
+        # (fixed row windows) for sparse streams
         scat_mask = 0
+        window_mask = 0
         if mode == "train":
             from wide_deep_tpu.ops.scatter import (
-                scatter_batch_spec, sharded_scatter_batch_spec)
+                scatter_batch_spec, sharded_scatter_batch_spec,
+                window_batch_spec)
             for gi, g in enumerate(plan.groups):
                 if not plan.scatter_group(g, B):
                     continue
@@ -212,6 +216,17 @@ class NativeTransformer:
                     arr = np.zeros(shape, dt)
                     out[f"scat_{key}_d{g.dim}"] = arr
                     ptr_order.append(arr)
+            for gi, g in enumerate(plan.groups):
+                if not plan.window_group(g, B):
+                    continue
+                window_mask |= 1 << gi
+                spec = window_batch_spec(B * plan.group_packed_len[g.dim],
+                                         g.rows)
+                for key in ("ids", "perm", "tiles", "ok"):
+                    shape, dt = spec[key]
+                    arr = np.zeros(shape, dt)
+                    out[f"wscat_{key}_d{g.dim}"] = arr
+                    ptr_order.append(arr)
 
         ptrs = (ctypes.c_void_p * len(ptr_order))(
             *[a.ctypes.data_as(ctypes.c_void_p).value for a in ptr_order])
@@ -220,28 +235,22 @@ class NativeTransformer:
             self._plan_handle, text, len(text), B, has_label,
             1 if self.n_classes > 2 else 0,
             float(self.pos_weight or 1.0), float(self.neg_weight or 1.0),
-            1 if self.weighted else 0, self.n_threads, scat_mask, ptrs)
+            1 if self.weighted else 0, self.n_threads, scat_mask,
+            window_mask, ptrs)
         if n < 0:
             raise RuntimeError(f"wdt_transform failed: {n}")
         if mode == "train":
-            # window + compact plans: numpy post-pass over the C++-packed
-            # ids (the C++ loader emits range/sharded plans natively; these
+            # dedup + compact plans: numpy post-pass over the C++-packed
+            # ids (range/sharded/window plans are emitted natively; these
             # two sort far smaller streams — port to C++ if profiles say so)
             from wide_deep_tpu.ops.scatter import (make_compact_plan,
-                                                   make_dedup_plan,
-                                                   make_window_plan)
+                                                   make_dedup_plan)
             for g in plan.groups:
                 if plan.dedup_group(g, B):
                     dp = make_dedup_plan(out[f"emb_ids_d{g.dim}"], g.rows,
                                          plan.scatter_shards)
                     for key, arr in dp.items():
                         out[f"dscat_{key}_d{g.dim}"] = arr
-                if plan.window_group(g, B):
-                    wp = make_window_plan(
-                        out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows,
-                        out[f"emb_wts_d{g.dim}"].reshape(-1))
-                    for key, arr in wp.items():
-                        out[f"wscat_{key}_d{g.dim}"] = arr
                 if plan.sparse_opt_group(g, B):
                     cp = make_compact_plan(
                         out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows)
