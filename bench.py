@@ -161,16 +161,6 @@ def main():
     rng = np.random.default_rng(0)
     batch = synthetic_batch(plan, BATCH_SIZE, rng)
     t0 = time.time()
-    # jitted init with mesh out_shardings: one compiled program instead of
-    # ~40 eager table initializers dispatched through the device tunnel
-    batch1 = {k: v[:1] for k, v in batch.items()}
-    init_model = lambda r: model.init(r, batch1)  # noqa: E731
-    rng0 = jax.random.PRNGKey(0)
-    p_struct, _ = jax.eval_shape(init_model, rng0)
-    shardings = mesh_lib.param_shardings(mesh, p_struct)
-    params, mstate = jax.jit(
-        init_model,
-        out_shardings=(shardings, mesh_lib.replicated(mesh)))(rng0)
     decay_steps = float(config.train["num_examples"]) / BATCH_SIZE
     from wide_deep_tpu.optim.sparse import plan_sparse_tables
     from wide_deep_tpu.training.step import init_opt_state
@@ -181,10 +171,24 @@ def main():
     tx = build_joint_optimizer(config.model, max(decay_steps, 1.0),
                                {"linear": True, "dnn": True},
                                sparse_paths=sparse_paths)
-    init_fn = lambda p: init_opt_state(tx, p, sparse_tables)  # noqa: E731
-    opt_struct = jax.eval_shape(init_fn, params)
-    opt_sh = mesh_lib.opt_state_shardings(mesh, params, shardings, opt_struct)
-    opt_state = jax.jit(init_fn, out_shardings=opt_sh)(params)
+    # ONE jitted init program (params + model state + opt state) with mesh
+    # out_shardings: eager init dispatched ~40 tiny table initializers
+    # through the device tunnel, and two jits paid two remote compiles;
+    # merged it measures ~6 s cold (tools/microbench_init.py)
+    batch1 = {k: v[:1] for k, v in batch.items()}
+
+    def init_all(r):
+        params, mstate = model.init(r, batch1)
+        return params, mstate, init_opt_state(tx, params, sparse_tables)
+
+    rng0 = jax.random.PRNGKey(0)
+    p_struct, _, opt_struct = jax.eval_shape(init_all, rng0)
+    shardings = mesh_lib.param_shardings(mesh, p_struct)
+    opt_sh = mesh_lib.opt_state_shardings(mesh, p_struct, shardings,
+                                          opt_struct)
+    params, mstate, opt_state = jax.jit(
+        init_all, out_shardings=(shardings, mesh_lib.replicated(mesh),
+                                 opt_sh))(rng0)
     log(f"init in {time.time()-t0:.1f}s")
 
     step = make_train_step(model, tx, sparse_tables=sparse_tables)

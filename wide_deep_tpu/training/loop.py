@@ -195,26 +195,28 @@ class Trainer:
         # single-row slice: init is batch-size independent, and a 1-row
         # sample keeps it off the hot-compile path
         sample1 = {k: v[:1] for k, v in sample.items()}
-        init_fn = lambda rng: self.model.init(rng, sample1)  # noqa: E731
-        rng0 = jax.random.PRNGKey(self.seed)
-        # one jitted program with the mesh shardings as out_shardings:
-        # eager init dispatched each table initializer as its own tiny
-        # program (~45 s through a remote-device tunnel for the production
-        # tables) and then re-transferred everything in device_put
-        p_struct, _ = jax.eval_shape(init_fn, rng0)
-        shardings = mesh_lib.param_shardings(self.mesh, p_struct)
-        params, mstate = jax.jit(
-            init_fn,
-            out_shardings=(shardings, mesh_lib.replicated(self.mesh)))(rng0)
-        # commit every opt-state leaf to the mesh explicitly (table slots
-        # row-sharded, the rest replicated) — keeps restore/jit consistent
+        # ONE jitted program for params + model state + optimizer state,
+        # with the mesh shardings as out_shardings: eager init dispatched
+        # each table initializer as its own tiny program (~45 s through a
+        # remote-device tunnel for the production tables), and even two
+        # jits (model, then opt) paid two remote compiles + dispatches —
+        # merged, init measures ~6 s cold (tools/microbench_init.py)
         from wide_deep_tpu.training.step import init_opt_state
-        init_fn = lambda p: init_opt_state(self.tx, p, self.sparse_tables)  # noqa: E731
-        opt_struct = jax.eval_shape(init_fn, params)
+
+        def init_all(rng):
+            params, mstate = self.model.init(rng, sample1)
+            return params, mstate, init_opt_state(
+                self.tx, params, self.sparse_tables)
+
+        rng0 = jax.random.PRNGKey(self.seed)
+        p_struct, _, opt_struct = jax.eval_shape(init_all, rng0)
+        shardings = mesh_lib.param_shardings(self.mesh, p_struct)
         opt_shardings = mesh_lib.opt_state_shardings(
-            self.mesh, params, shardings, opt_struct)
-        opt_state = jax.jit(init_fn,
-                            out_shardings=opt_shardings)(params)
+            self.mesh, p_struct, shardings, opt_struct)
+        params, mstate, opt_state = jax.jit(
+            init_all, out_shardings=(shardings,
+                                     mesh_lib.replicated(self.mesh),
+                                     opt_shardings))(rng0)
         self.params, self.mstate, self.opt_state = params, mstate, opt_state
         self._ckpt = CheckpointManager(self.model_dir, self.runconfig)
         if jax.process_index() == 0:
