@@ -88,10 +88,9 @@ def synthetic_batch(plan, batch_size, rng):
         batch[f"emb_seg_d{g.dim}"] = seg
         if plan.scatter_group(g, batch_size):
             from wide_deep_tpu.ops.scatter import make_scatter_plan
-            sp = make_scatter_plan(ids.reshape(-1), g.rows)
-            batch[f"scat_ids_d{g.dim}"] = sp["ids"]
-            batch[f"scat_perm_d{g.dim}"] = sp["perm"]
-            batch[f"scat_tiles_d{g.dim}"] = sp["tiles"]
+            sp = make_scatter_plan(ids.reshape(-1), g.rows, wts.reshape(-1))
+            for key, arr in sp.items():
+                batch[f"scat_{key}_d{g.dim}"] = arr
         if plan.window_group(g, batch_size):
             from wide_deep_tpu.ops.scatter import make_window_plan
             wp = make_window_plan(ids.reshape(-1), g.rows, wts.reshape(-1))

@@ -282,9 +282,10 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  // version 7: window plans moved the wdt_transform ABI (window_mask arg);
-  // the check keeps stale libs from silently mis-reading the call
-  if (r.i64() != 7) return nullptr;
+  // version 8: live-cap compaction changed the range-plan output layout
+  // (trailing live-count array per single-stream group); the check keeps
+  // stale libs from silently mis-reading the call
+  if (r.i64() != 8) return nullptr;
   auto plan = new Plan();
   plan->scatter_shards = std::max<int64_t>(r.i64(), 1);
   plan->n_columns = r.i64();
@@ -574,7 +575,10 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 //              [per group: ids, wts, seg]..., ind_ids, ind_wts, cont,
 //              then per scat_mask group (ascending):
 //                scatter_shards == 1: ids_sorted [B*P], perm [B*P],
-//                  tiles [4, n_tiles_for(B*P, rows)]
+//                  tiles [4, n_tiles_for(B*P, rows)], live [1]
+//                  (weight-0 pool padding remapped to the rows_pad
+//                  sentinel so it sorts to the tail; tiles cover only
+//                  the live prefix; live = non-padding count)
 //                scatter_shards == S > 1: ids [S, cap], perm [S, cap],
 //                  tiles [S, 4, n_tiles_for(cap, rows/S)], ok [S]
 //                  (ops/scatter.make_sharded_scatter_plan layout: localized
@@ -607,7 +611,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
   o.ind_ids = static_cast<int32_t*>(outs[idx++]);
   o.ind_wts = static_cast<float*>(outs[idx++]);
   o.cont = static_cast<float*>(outs[idx++]);
-  struct ScatOut { int64_t group; int32_t *ids, *perm, *tiles, *ok; };
+  struct ScatOut { int64_t group; int32_t *ids, *perm, *tiles, *ok, *live; };
   std::vector<ScatOut> scats;
   for (size_t g = 0; g < plan.group_dims.size(); ++g) {
     if (!(scat_mask >> g & 1)) continue;
@@ -618,6 +622,8 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     s.tiles = static_cast<int32_t*>(outs[idx++]);
     s.ok = plan.scatter_shards > 1 ? static_cast<int32_t*>(outs[idx++])
                                    : nullptr;
+    s.live = plan.scatter_shards > 1 ? nullptr
+                                     : static_cast<int32_t*>(outs[idx++]);
     scats.push_back(s);
   }
   struct WScatOut { int64_t group; int32_t *ids, *perm, *tiles, *ok; };
@@ -714,8 +720,22 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       int64_t rows = plan.group_rows[g];
       int64_t n_shards = plan.scatter_shards;
       if (n_shards <= 1) {
-        stable_radix_argsort(o.g_ids[g], n, s.perm, s.ids);
-        if (!build_tiles(s.ids, n, rows, s.tiles, n_tiles_for(n, rows)))
+        // live-cap compaction (ops/scatter.make_scatter_plan parity):
+        // weight-0 pool padding -> rows_pad sentinel so it sorts to the
+        // stream tail; only the live prefix is tiled
+        const int64_t sentinel = rows_pad(rows);
+        std::vector<int32_t> remapped(n);
+        const float* gwts = o.g_wts[g];
+        for (int64_t i = 0; i < n; ++i)
+          remapped[i] = gwts[i] != 0.0f
+                            ? o.g_ids[g][i]
+                            : static_cast<int32_t>(sentinel);
+        stable_radix_argsort(remapped.data(), n, s.perm, s.ids);
+        int64_t live = std::lower_bound(s.ids, s.ids + n,
+                                        static_cast<int32_t>(sentinel))
+                       - s.ids;
+        s.live[0] = static_cast<int32_t>(live);
+        if (!build_tiles(s.ids, live, rows, s.tiles, n_tiles_for(n, rows)))
           scat_ok.store(false, std::memory_order_relaxed);
         return;
       }

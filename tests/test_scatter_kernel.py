@@ -112,6 +112,51 @@ class TestKernel:
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+class TestLiveCapCompaction:
+    """Weight-0 padding remapped to the sentinel tail: the compact branch
+    of apply_scatter_plan gathers/streams only live_cap(n) entries and must
+    equal the XLA scatter of the LIVE entries exactly; over-cap batches
+    take the full branch."""
+
+    def _plan_and_ref(self, rows, n, d, pad_frac, seed=5):
+        from wide_deep_tpu.ops.scatter import make_scatter_plan
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(0, rows, n).astype(np.int32)
+        wts = np.ones(n, np.float32)
+        wts[rng.random(n) < pad_frac] = 0.0  # pool padding
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        g[wts == 0] = 0.0  # padding grads are exactly zero (w multiplies)
+        sp = make_scatter_plan(ids, rows, wts)
+        ref = np.zeros((rows, d), np.float64)
+        np.add.at(ref, ids[wts != 0], g[wts != 0].astype(np.float64))
+        return sp, g, ref
+
+    def test_plan_layout(self):
+        from wide_deep_tpu.ops.scatter import _rows_pad
+        rows, n = 8192, 4000
+        sp, _, _ = self._plan_and_ref(rows, n, 8, pad_frac=0.3)
+        live = int(sp["live"][0])
+        assert 0 < live < n
+        assert (sp["ids"][:live] < rows).all()          # live prefix
+        assert (sp["ids"][live:] == _rows_pad(rows)).all()  # sentinel tail
+        assert int(sp["tiles"][2].sum()) == live        # tiles cover live
+
+    @pytest.mark.parametrize("pad_frac", [0.3, 0.0])
+    def test_compact_and_full_branches_match_xla(self, pad_frac):
+        """pad 30% -> live < cap (compact branch); pad 0% -> live == n > cap
+        (full branch).  Both must equal the XLA reference."""
+        from wide_deep_tpu.ops.scatter import apply_scatter_plan, live_cap
+        rows, n, d = 8192, 4096, 8
+        sp, g, ref = self._plan_and_ref(rows, n, d, pad_frac)
+        cap = live_cap(n)
+        assert (int(sp["live"][0]) <= cap) == (pad_frac > 0)
+        out = apply_scatter_plan(
+            {k: jnp.asarray(v) for k, v in sp.items()},
+            jnp.asarray(g), rows, interpret=True)
+        np.testing.assert_allclose(np.asarray(out, np.float64), ref,
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestWindowKernel:
     """Window-mode kernel (write-only fixed row windows) for sparse
     streams: exactness vs the XLA scatter, overflow fallback, empty

@@ -39,7 +39,9 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
     plans (ops/scatter.py) with each batch; v6 added scatter_shards so the
     loader emits PER-TABLE-SHARD plans (localized sorted streams + tiles +
     ok flags) for multi-device meshes; v7 added window-plan emission
-    (wdt_transform gained the window_mask argument).
+    (wdt_transform gained the window_mask argument); v8 added live-cap
+    compaction to single-stream range plans (weight-0 padding remapped to
+    an out-of-range sentinel + a trailing live-count array per group).
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
     lockstep with cpp/fastdata.cc::parse_plan.
@@ -59,7 +61,7 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(7)  # version (v7: window plans / wdt_transform window_mask ABI)
+    i64(8)  # version (v8: live-cap compaction in range plans)
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
     i64(int(getattr(plan, "scatter_shards", 1)))
     i64(len(plan.columns), int(plan.multivalue), int(plan.pack_budget),
@@ -209,7 +211,7 @@ class NativeTransformer:
                         n_ids, g.rows, plan.scatter_shards)
                 else:
                     spec = scatter_batch_spec(n_ids, g.rows)
-                for key in ("ids", "perm", "tiles", "ok"):
+                for key in ("ids", "perm", "tiles", "ok", "live"):
                     if key not in spec:
                         continue
                     shape, dt = spec[key]

@@ -292,7 +292,11 @@ class FeatureTransformer:
                         g_ids[g.dim].reshape(-1), g.rows, plan.scatter_shards)
                     out[f"scat_ok_d{g.dim}"] = sp["ok"]
                 else:
-                    sp = make_scatter_plan(g_ids[g.dim].reshape(-1), g.rows)
+                    # weights route zero-grad pool padding to the stream
+                    # tail (live-cap compaction in apply_scatter_plan)
+                    sp = make_scatter_plan(g_ids[g.dim].reshape(-1), g.rows,
+                                           g_wts[g.dim].reshape(-1))
+                    out[f"scat_live_d{g.dim}"] = sp["live"]
                 out[f"scat_ids_d{g.dim}"] = sp["ids"]
                 out[f"scat_perm_d{g.dim}"] = sp["perm"]
                 out[f"scat_tiles_d{g.dim}"] = sp["tiles"]

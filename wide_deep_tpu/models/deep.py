@@ -412,6 +412,8 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                 scat = {"ids": batch[f"scat_ids_d{g.dim}"],
                         "perm": batch[f"scat_perm_d{g.dim}"],
                         "tiles": batch[f"scat_tiles_d{g.dim}"]}
+                if f"scat_live_d{g.dim}" in batch:  # live-cap compaction
+                    scat["live"] = batch[f"scat_live_d{g.dim}"]
             elif lookup_mesh is not None and f"scat_ok_d{g.dim}" in batch:
                 sscat = {"ids": batch[f"scat_ids_d{g.dim}"],
                          "perm": batch[f"scat_perm_d{g.dim}"],

@@ -428,36 +428,89 @@ PALLAS_WINDOW_MIN_IDS = 1 << 16    # window mode (sparse streams) pays
                                    # enough ids to beat 45 ns/id XLA
 
 
+COMPACT_FRAC = 0.875  # static live-id cap as a fraction of the stream; a
+                      # batch whose live count exceeds it takes the full
+                      # (uncompacted) branch — never wrong, only unshrunk
+
+
+def live_cap(n_ids: int) -> int:
+    """Static cap on live (non-padding) ids for the compacted branch of
+    apply_scatter_plan: ALIGN_IDS-aligned COMPACT_FRAC of the stream."""
+    cap = int(np.ceil(n_ids * COMPACT_FRAC / ALIGN_IDS)) * ALIGN_IDS
+    return min(n_ids, cap)
+
+
 def scatter_batch_spec(n_ids: int, rows: int):
     """Shapes/dtypes of the per-batch scatter-plan arrays."""
     nt = n_tiles_for(n_ids, rows)
     return {"ids": ((n_ids,), np.int32),
             "perm": ((n_ids,), np.int32),
-            "tiles": ((4, nt), np.int32)}
+            "tiles": ((4, nt), np.int32),
+            "live": ((1,), np.int32)}
 
 
-def make_scatter_plan(ids_flat: np.ndarray, rows: int):
-    """Host: flat (unsorted) id vector -> {ids, perm, tiles} np arrays.
+def make_scatter_plan(ids_flat: np.ndarray, rows: int,
+                      weights_flat: Optional[np.ndarray] = None):
+    """Host: flat (unsorted) id vector -> {ids, perm, tiles, live} arrays.
 
     ``perm`` maps sorted position -> original flat position (stable), so
     ``g_flat[perm]`` is the grad stream aligned with ``ids``.
+
+    ``weights_flat``: entries with weight 0 are packed-pool PADDING whose
+    gradients are exactly zero — they are remapped to an out-of-range
+    sentinel so they sort to the stream TAIL, are excluded from every
+    tile, and (when the live count fits the static live_cap) from the
+    device-side perm gather too (the compacted branch of
+    apply_scatter_plan).  ``live`` is the non-padding count.
     """
+    n = int(ids_flat.shape[0])
+    sentinel = _rows_pad(rows)  # beyond the last slab; kMaxr-padded rows
+    if weights_flat is not None:
+        ids_flat = np.where(weights_flat != 0, ids_flat,
+                            sentinel).astype(np.int32)
     order = np.argsort(ids_flat, kind="stable").astype(np.int32)
     ids_sorted = ids_flat[order].astype(np.int32)
-    starts, offs, counts, row_los = build_scatter_tiles(ids_sorted, rows)
-    tiles = np.stack([starts, offs, counts, row_los]).astype(np.int32)
-    return {"ids": ids_sorted, "perm": order, "tiles": tiles}
+    live = int(np.searchsorted(ids_sorted, sentinel, side="left"))
+    nt = n_tiles_for(n, rows)
+    starts, offs, counts, row_los = build_scatter_tiles(
+        ids_sorted[:live], rows)
+    tiles = np.zeros((4, nt), np.int32)
+    for i, arr in enumerate((starts, offs, counts, row_los)):
+        tiles[i, :arr.shape[0]] = arr
+    return {"ids": ids_sorted, "perm": order, "tiles": tiles,
+            "live": np.array([live], np.int32)}
 
 
 def apply_scatter_plan(plan_arrays, g_flat: jnp.ndarray, rows: int,
                        out_dtype=None, interpret: bool = False
                        ) -> jnp.ndarray:
-    """Device: scatter-add ``g_flat`` [N, D] by the host plan -> [rows, D]."""
-    g_sorted = jnp.take(g_flat, plan_arrays["perm"], axis=0)
+    """Device: scatter-add ``g_flat`` [N, D] by the host plan -> [rows, D].
+
+    When the plan carries a ``live`` count (weight-0 padding sorted to the
+    stream tail) and the batch's live count fits the static live_cap, the
+    perm gather and the kernel stream shrink to the cap (~12-25% fewer
+    random row gathers at production occupancies); an over-cap batch takes
+    the full branch, bit-identical to the uncompacted path."""
     tiles = plan_arrays["tiles"]
-    return range_scatter_add(
-        plan_arrays["ids"], g_sorted, tiles[0], tiles[1], tiles[2],
-        tiles[3], rows, out_dtype=out_dtype, interpret=interpret)
+    n, _ = g_flat.shape
+
+    def run(ids, perm, tile4):
+        g_sorted = jnp.take(g_flat, perm, axis=0)
+        return range_scatter_add(
+            ids, g_sorted, tile4[0], tile4[1], tile4[2], tile4[3], rows,
+            out_dtype=out_dtype, interpret=interpret)
+
+    live = plan_arrays.get("live")
+    cap = live_cap(n)
+    if live is None or cap >= n:
+        return run(plan_arrays["ids"], plan_arrays["perm"], tiles)
+    nt_cap = n_tiles_for(cap, rows)
+    return jax.lax.cond(
+        live[0] <= cap,
+        lambda _: run(plan_arrays["ids"][:cap], plan_arrays["perm"][:cap],
+                      tiles[:, :nt_cap]),
+        lambda _: run(plan_arrays["ids"], plan_arrays["perm"], tiles),
+        0)
 
 
 # ----------------------------------------------------------- compact plans
