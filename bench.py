@@ -178,6 +178,8 @@ def main():
 
     def init_all(r):
         params, mstate = model.init(r, batch1)
+        from wide_deep_tpu.optim.sparse import init_fused_params
+        params = init_fused_params(params, sparse_tables)
         return params, mstate, init_opt_state(tx, params, sparse_tables)
 
     rng0 = jax.random.PRNGKey(0)

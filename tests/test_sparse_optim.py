@@ -112,11 +112,19 @@ class TestRowFormulas:
 
 
 class TestSelection:
-    def test_production_plan_selects_d32_only(self, plan, config):
+    def test_production_plan_selects_d32_only(self, config):
+        from wide_deep_tpu.features.plan import FeaturePlan
         from wide_deep_tpu.optim.sparse import plan_sparse_tables
+        plan = FeaturePlan(config, sparse_opt=True)
         tables, paths = plan_sparse_tables(plan, config.model, 100.0, 25600)
         assert set(tables) == {"dnn.embed.d32"}
         assert ("dnn", "embed", "d32") in paths
+        t = tables["dnn.embed.d32"]
+        assert t.fused and t.dim == 32
+        # plan_sparse_tables derives from plan.sparse_opt_group: a plan
+        # without sparse_opt selects nothing (shape/routing consistency)
+        plain = FeaturePlan(config, sparse_opt=False)
+        assert plan_sparse_tables(plain, config.model, 100.0, 25600)[0] == {}
 
     def test_small_plan_selects_nothing(self, small_plan, small_config):
         from wide_deep_tpu.optim.sparse import plan_sparse_tables
@@ -204,6 +212,11 @@ class TestCompactPath:
         sparse_tables, paths = sparse_lib.plan_sparse_tables(
             plan, small_config.model, 100.0, 16)
         assert sparse_tables, "no tables selected"
+        assert all(t.fused for t in sparse_tables.values())
+        # fused tables carry their optimizer slots inside the param matrix;
+        # both branches share the same init (the dense branch's zero-grad
+        # slot columns are Adagrad fixed points, so it never moves them)
+        params0 = sparse_lib.init_fused_params(params0, sparse_tables)
 
         arms = {"linear": True, "dnn": True}
         results = {}
@@ -228,7 +241,11 @@ class TestCompactPath:
         for g in plan.groups:
             d_tab = results["dense"][0]["dnn"]["embed"][f"d{g.dim}"]
             c_tab = results["compact"][0]["dnn"]["embed"][f"d{g.dim}"]
-            np.testing.assert_allclose(np.asarray(c_tab), np.asarray(d_tab),
+            # compare the embedding block only: the compact branch evolves
+            # its in-param slot columns while the dense branch keeps its
+            # accumulators in the optax state
+            np.testing.assert_allclose(np.asarray(c_tab)[:, :g.dim],
+                                       np.asarray(d_tab)[:, :g.dim],
                                        rtol=2e-3, atol=1e-5)
 
 

@@ -240,9 +240,19 @@ class FeaturePlan:
         # sparse_opt: batches additionally carry a compact (dedup) scatter
         # plan per huge dim group (ops/scatter.make_compact_plan) so the
         # train step applies the fused touched-rows optimizer
-        # (optim/sparse.apply_compact_update) without ever materializing a
+        # (optim/sparse.apply_fused_update) without ever materializing a
         # dense [rows, D] gradient.  Set by the Trainer from train.yaml
-        # ``sparse_optimizer``.
+        # ``sparse_optimizer``; gated here on the dnn optimizer having a
+        # sparse row formula (optim.sparse.SPARSE_CAPABLE) because the flag
+        # also fixes the sparse tables' PARAM LAYOUT (see sparse_opt_group)
+        # — an incapable optimizer must see plain [rows, dim] tables.
+        self.sparse_slots = 0
+        if sparse_opt:
+            from wide_deep_tpu.optim.sparse import SPARSE_CAPABLE, _n_slots
+            spec = config.model["dnn_optimizer"]
+            sparse_opt = spec["name"] in SPARSE_CAPABLE
+            if sparse_opt:
+                self.sparse_slots = _n_slots(spec)
         self.sparse_opt = bool(sparse_opt)
         schema = config.schema_columns()
         self.columns = schema
@@ -453,22 +463,25 @@ class FeaturePlan:
         return (n_ids >= PALLAS_WINDOW_MIN_IDS
                 and not self.sparse_opt_group(g, batch_size))
 
-    def sparse_opt_group(self, g: "DimGroup", batch_size: int) -> bool:
-        """Whether this dim group's train batches carry a compact (dedup)
-        scatter plan for the fused touched-rows optimizer
-        (optim/sparse.apply_compact_update).  Mirrors
-        optim.sparse.plan_sparse_tables eligibility: huge tables with id
-        streams far smaller than their row count, unfolded (a folded table's
-        wide column belongs to the linear optimizer), single-shard plans
-        only (the multi-device compact path is future work)."""
+    def sparse_opt_group(self, g: "DimGroup", batch_size: int = 0) -> bool:
+        """Whether this dim group carries the fused touched-rows optimizer
+        (optim/sparse.apply_fused_update): huge tables, unfolded (a folded
+        table's wide column belongs to the linear optimizer), single-shard
+        plans only (the multi-device compact path is future work).
+
+        DELIBERATELY batch-size independent (``batch_size`` kept for API
+        compat): the decision also fixes the PARAM LAYOUT — sparse tables
+        store param + optimizer slots fused in one f32 [rows, 128] matrix
+        (ops/rowdma.py) — so init (B=1), train, eval and pred must all
+        agree.  optim.sparse.plan_sparse_tables derives its table set from
+        this predicate; the two cannot drift."""
         if not self.sparse_opt or self.scatter_shards > 1 or (
                 self.fold and g.folded):
             return False
-        from wide_deep_tpu.optim.sparse import (SPARSE_ID_FACTOR,
-                                                SPARSE_MIN_ROWS)
-        n_ids = batch_size * self.group_packed_len[g.dim]
+        from wide_deep_tpu.ops.rowdma import FUSED_WIDTH
+        from wide_deep_tpu.optim.sparse import SPARSE_MIN_ROWS
         return (g.rows >= SPARSE_MIN_ROWS
-                and n_ids * SPARSE_ID_FACTOR <= g.rows)
+                and (1 + self.sparse_slots) * g.dim <= FUSED_WIDTH)
 
     # ------------------------------------------------------------- descriptors
     def batch_spec(self, batch_size: int, n_classes: int = 2,

@@ -398,7 +398,24 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         return jnp.take(tbl, ids, axis=0)
 
     for g in plan.groups:
-        table = store.get(("embed", f"d{g.dim}"), (g.rows, g.dim), emb_init)
+        if plan.sparse_opt_group(g, B):
+            # fused param+optimizer-slot layout (optim/sparse.py +
+            # ops/rowdma.py): f32 [rows, 128], embedding in cols [0, dim),
+            # slots initialized by optim.sparse.init_fused_params.  The
+            # param block is drawn with the ORIGINAL (rows, dim) shape so
+            # initial weights match the unfused layout exactly.
+            from wide_deep_tpu.ops.rowdma import FUSED_WIDTH
+
+            def fused_init(rng, shape, _d=g.dim):
+                block = embedding_init(rng, (shape[0], _d))
+                pad = jnp.zeros((shape[0], shape[1] - _d), jnp.float32)
+                return jnp.concatenate([block, pad], axis=1)
+
+            table = store.get(("embed", f"d{g.dim}"),
+                              (g.rows, FUSED_WIDTH), fused_init)
+        else:
+            table = store.get(("embed", f"d{g.dim}"), (g.rows, g.dim),
+                              emb_init)
         ids = batch[f"emb_ids_d{g.dim}"]            # [B, P] packed pool
         wts = batch[f"emb_wts_d{g.dim}"]            # [B, P]
         seg = batch[f"emb_seg_d{g.dim}"]            # [B, P] slot index
@@ -442,8 +459,11 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
         if sink is not None:
             assert not (fold_params is not None and g.folded), (
                 "sparse-opt groups must be unfolded (plan.sparse_opt_group)")
-            gathered = (jnp.take(jax.lax.stop_gradient(table), ids, axis=0)
-                        + sink)
+            full = jnp.take(jax.lax.stop_gradient(table), ids, axis=0)
+            # fused layout: embedding block only, in the sink's dtype (the
+            # optimizer slots in the remaining columns never enter the
+            # forward); grads flow to the sink
+            gathered = full[..., :g.dim].astype(sink.dtype) + sink
         elif fold_params is not None and g.folded:
             fcol = fold_params[f"d{g.dim}"]
             if lookup_mesh is not None:
@@ -471,6 +491,12 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
             gathered = gather_with_plan(table, ids, scat)  # [B, P, dim]
         else:
             gathered = table_gather(table, ids, sscat, dscat)  # [B, P, dim]
+        if gathered.shape[-1] != g.dim:
+            # fused table outside the sink path (eval/pred, or a train step
+            # built without sparse_tables): embedding block, model dtype;
+            # slot-column grads under plain autodiff are zero, so a dense
+            # optimizer fallback stays correct
+            gathered = gathered[..., :g.dim].astype(embedding_dtype)
         weighted = (gathered * wts[..., None]).astype(jnp.float32)
         # Per-feature mean combine over the packed pool: a per-row one-hot
         # segment matmul (MXU).  Gather/scatter cost is linear in P (measured

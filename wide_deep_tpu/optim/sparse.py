@@ -77,6 +77,10 @@ class SparseTable:
     ids_key: str                   # batch key holding [B, P] ids
     spec: Dict[str, Any]           # optimizer spec (config.parse_optimizer_spec)
     lr: ScalarOrSchedule
+    dim: int = 0                   # embedding dim (param columns)
+    fused: bool = False            # param stored as f32 [rows, FUSED_WIDTH]
+                                   # with slots fused (ops/rowdma.py)
+    sink_dtype: Any = None         # dtype of the '_sparse_rows' grad sink
 
 
 def tree_get(tree, path):
@@ -94,35 +98,64 @@ def tree_set(tree, path, value):
     return out
 
 
+def _n_slots(spec: Dict[str, Any]) -> int:
+    return {"SGD": 0, "Adagrad": 1, "ProximalAdagrad": 1, "Ftrl": 2}[
+        spec["name"]]
+
+
+def fused_layout(spec: Dict[str, Any], dim: int) -> Dict[str, int]:
+    """Column offsets of the optimizer slots inside a fused [rows, 128]
+    table (param occupies cols [0, dim)); see ops/rowdma.py for why the
+    row must be exactly one 128-lane f32 tile."""
+    names = _SLOT_KEYS[:_n_slots(spec)]
+    return {k: (i + 1) * dim for i, k in enumerate(names)}
+
+
 def plan_sparse_tables(plan, model_conf, decay_steps: float, batch_size: int,
                        enabled: bool = True
                        ) -> Tuple[Dict[str, SparseTable], frozenset]:
-    """Pick tables worth sparse updates -> ({name: SparseTable}, paths)."""
+    """Pick tables worth sparse updates -> ({name: SparseTable}, paths).
+
+    The table set derives from ``plan.sparse_opt_group`` — the SAME
+    predicate models/deep.py uses to pick the fused param layout — so the
+    step's routing and the param shapes cannot drift."""
     spec = model_conf["dnn_optimizer"]
     if not enabled or spec["name"] not in SPARSE_CAPABLE:
         return {}, frozenset()
+    from wide_deep_tpu.ops.rowdma import FUSED_WIDTH
     lr0 = spec.get("learning_rate",
                    model_conf["dnn_initial_learning_rate"])
     schedule = exponential_decay(
         lr0, model_conf.get("dnn_decay_rate", 1.0), decay_steps)
+    sink_dtype = (jnp.bfloat16
+                  if model_conf.get("embedding_dtype") == "bfloat16"
+                  else jnp.float32)
     out: Dict[str, SparseTable] = {}
     for g in plan.groups:
-        n_ids = batch_size * plan.group_packed_len[g.dim]
-        if g.rows >= SPARSE_MIN_ROWS and n_ids * SPARSE_ID_FACTOR <= g.rows:
+        if plan.sparse_opt_group(g, batch_size):
             name = f"dnn.embed.d{g.dim}"
+            assert (1 + _n_slots(spec)) * g.dim <= FUSED_WIDTH, (
+                "sparse_opt_group admitted a group whose fused layout "
+                "doesn't fit — predicate drift vs features/plan.py")
             out[name] = SparseTable(
                 name=name, path=("dnn", "embed", f"d{g.dim}"),
-                ids_key=f"emb_ids_d{g.dim}", spec=spec, lr=schedule)
+                ids_key=f"emb_ids_d{g.dim}", spec=spec, lr=schedule,
+                dim=g.dim, fused=True, sink_dtype=sink_dtype)
     return out, frozenset(t.path for t in out.values())
 
 
 # ------------------------------------------------------------- row formulas
 def init_table_state(table: SparseTable, param: jnp.ndarray) -> Dict[str, Any]:
     """Per-table optimizer slots; mirrors the dense transforms' init exactly
-    (optim/__init__.py) so sparse == dense is testable bit-for-bit."""
+    (optim/__init__.py) so sparse == dense is testable bit-for-bit.
+
+    Fused tables keep their slots INSIDE the param matrix (initialized by
+    init_fused_params), so their state is just the step count."""
     spec = table.spec
     name = spec["name"]
     st: Dict[str, Any] = {"count": jnp.zeros([], jnp.int32)}
+    if table.fused:
+        return st
     if name in ("Adagrad", "ProximalAdagrad"):
         init_acc = spec.get("initial_accumulator_value", 0.1)
         st["accum"] = jnp.full_like(param, init_acc)
@@ -131,6 +164,32 @@ def init_table_state(table: SparseTable, param: jnp.ndarray) -> Dict[str, Any]:
         st["accum"] = jnp.full_like(param, init_acc)
         st["linear"] = jnp.zeros_like(param)
     return st
+
+
+def _slot_init_value(spec: Dict[str, Any], key: str) -> float:
+    return (spec.get("initial_accumulator_value", 0.1)
+            if key == "accum" else 0.0)
+
+
+def init_fused_params(params, sparse_tables: Dict[str, SparseTable]):
+    """Set the optimizer-slot column blocks of fused tables to their init
+    values (models/deep.py creates them zeroed).  Call once inside the
+    jitted init program, right after model.init."""
+    for t in (sparse_tables or {}).values():
+        if not t.fused:
+            continue
+        p = tree_get(params, t.path)
+        for key, off in fused_layout(t.spec, t.dim).items():
+            val = _slot_init_value(t.spec, key)
+            if val:
+                p = p.at[:, off:off + t.dim].set(val)
+        params = tree_set(params, t.path, p)
+    return params
+
+
+def fused_param_view(param: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """The embedding columns of a fused [rows, FUSED_WIDTH] table."""
+    return param[:, :dim]
 
 
 def _row_update(spec: Dict[str, Any], lr, w: jnp.ndarray, g: jnp.ndarray,
@@ -250,3 +309,45 @@ def apply_compact_update(table: SparseTable, param: jnp.ndarray,
     d_w = (w_new - w).astype(param.dtype)
     param = param.at[uids].add(d_w, **scatter_kw)
     return param, new_state
+
+
+def apply_fused_update(table: SparseTable, fused: jnp.ndarray,
+                       row_grads: jnp.ndarray, plan_arrays: Dict[str, Any],
+                       state: Dict[str, Any], interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Fused-LAYOUT touched-rows update: param + slots live side by side in
+    one f32 [rows, FUSED_WIDTH] matrix, so the whole update is ONE gather,
+    the row formulas, and ONE per-row-DMA write-back (ops/rowdma.py,
+    ~81 ns/row vs XLA's ~117 ns/row serial scatter PER buffer — the
+    param and accumulator buffers previously cost two serial loops,
+    ~6.2 ms/step at production shapes).
+
+    Semantics identical to apply_compact_update / the reference's
+    SparseApplyAdagrad row updates (joint.py:224-262); equality asserted in
+    tests/test_sparse_optim.py."""
+    count = state["count"]
+    lr = _lr_at(table.lr, count)
+    n, d = row_grads.shape
+    from wide_deep_tpu.ops.rowdma import rowdma_scatter_rows
+    from wide_deep_tpu.ops.scatter import range_scatter_add
+    g_sorted = jnp.take(row_grads.reshape(n, d).astype(jnp.float32),
+                        plan_arrays["perm"], axis=0)
+    t = plan_arrays["tiles"]
+    g_unique = range_scatter_add(plan_arrays["ids"], g_sorted,
+                                 t[0], t[1], t[2], t[3], n,
+                                 out_dtype=jnp.float32,
+                                 interpret=interpret)     # [N, D] compact
+    uids = plan_arrays["uids"]                            # sentinel-padded
+    rows = fused.shape[0]
+    safe = jnp.clip(uids, 0, rows - 1)
+    full = jnp.take(fused, safe, axis=0)                  # [N, 128] f32
+    layout = fused_layout(table.spec, d)
+    w = full[:, :d]
+    slots = {k: full[:, off:off + d] for k, off in layout.items()}
+    w_new, new_rows = _row_update(table.spec, lr, w, g_unique, slots)
+    used = (1 + len(layout)) * d
+    new_full = jnp.concatenate(
+        [w_new] + [new_rows[k] for k in _SLOT_KEYS if k in new_rows]
+        + [full[:, used:]], axis=1)                       # padding preserved
+    fused = rowdma_scatter_rows(fused, uids, new_full, interpret=interpret)
+    return fused, dict(state, count=count + 1)

@@ -88,9 +88,23 @@ def export_savedmodel(config: Config, export_dir: str,
             f"no checkpoint to export at {checkpoint_path or ckpt_dir!r} "
             f"(available steps: {steps})")
     restored = mgr.restore(step)
+    abstract_params = params
     params = restored["params"]
     mstate = restored["mstate"]
     mgr.close()
+
+    # Fused sparse tables (optim/sparse.py) store optimizer slots in extra
+    # f32 columns ([rows, 128] instead of [rows, dim]); bundles carry only
+    # the embedding block in the serving dtype — load_bundle builds an
+    # unfused model and a fat table would also quadruple the bundle.
+    def _slim(init_leaf, leaf):
+        if (getattr(init_leaf, "ndim", 0) == 2 and getattr(leaf, "ndim", 0) == 2
+                and leaf.shape[0] == init_leaf.shape[0]
+                and leaf.shape[1] > init_leaf.shape[1]):
+            return leaf[:, :init_leaf.shape[1]].astype(init_leaf.dtype)
+        return leaf
+
+    params = jax.tree.map(_slim, abstract_params, params)
 
     version_dir = os.path.join(os.path.abspath(export_dir), str(model_version))
     os.makedirs(version_dir, exist_ok=True)

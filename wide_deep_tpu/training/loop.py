@@ -205,6 +205,8 @@ class Trainer:
 
         def init_all(rng):
             params, mstate = self.model.init(rng, sample1)
+            from wide_deep_tpu.optim.sparse import init_fused_params
+            params = init_fused_params(params, self.sparse_tables)
             return params, mstate, init_opt_state(
                 self.tx, params, self.sparse_tables)
 

@@ -57,8 +57,12 @@ def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
             for t in compact.values():
                 tbl = tree_get(params, t.path)
                 ids = batch[t.ids_key]
-                sinks[t.path[-1]] = jnp.zeros(
-                    ids.shape + (tbl.shape[1],), tbl.dtype)
+                # fused tables carry optimizer slots in extra columns; the
+                # sink (and so the compact cotangent) covers only the
+                # embedding dim, in the model's embedding dtype
+                dim = t.dim if t.fused else tbl.shape[1]
+                dt = t.sink_dtype if t.fused else tbl.dtype
+                sinks[t.path[-1]] = jnp.zeros(ids.shape + (dim,), dt)
             params_g = dict(params, dnn=dict(params["dnn"],
                                              _sparse_rows=sinks))
         else:
@@ -90,10 +94,16 @@ def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
                         k: batch[f"sopt_{k}_{dim_key}"]
                         for k in ("uids", "ids", "perm", "tiles")}
                     rg = sink_grads[dim_key]
-                    param, sp_state[name] = sparse_lib.apply_compact_update(
+                    apply = (sparse_lib.apply_fused_update if table.fused
+                             else sparse_lib.apply_compact_update)
+                    param, sp_state[name] = apply(
                         table, param, rg.reshape(-1, rg.shape[-1]),
                         plan_arrays, sp_state[name], interpret=interpret)
                 else:
+                    assert not table.fused, (
+                        f"{name}: fused table but the batch carries no "
+                        f"sopt_* compact plan — fused layouts require the "
+                        f"compact path (features/pipeline.py train batches)")
                     grad = sparse_lib.tree_get(grads, table.path)
                     param, sp_state[name] = sparse_lib.apply_sparse_update(
                         table, param, grad, batch[table.ids_key],
