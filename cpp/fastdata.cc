@@ -749,8 +749,19 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       const int64_t shard_rows = rows / n_shards;
       const int64_t cap = shard_cap(n, n_shards);
       const int64_t nt = n_tiles_for(cap, shard_rows);
+      // weight-0 padding -> sentinel (ops/scatter.make_sharded_scatter_plan
+      // parity): without it every padding entry (id 0) counts against
+      // shard 0's cap and overflows it at production occupancies
+      std::vector<int32_t> remapped(n);
+      const float* gwts = o.g_wts[g];
+      for (int64_t i = 0; i < n; ++i)
+        remapped[i] = gwts[i] != 0.0f ? o.g_ids[g][i]
+                                      : static_cast<int32_t>(rows);
       std::vector<int32_t> gperm(n), gsort(n);
-      stable_radix_argsort(o.g_ids[g], n, gperm.data(), gsort.data());
+      stable_radix_argsort(remapped.data(), n, gperm.data(), gsort.data());
+      const int64_t live = std::lower_bound(gsort.begin(), gsort.end(),
+                                            static_cast<int32_t>(rows))
+                           - gsort.begin();
       int64_t lo = 0;
       for (int64_t sh = 0; sh < n_shards; ++sh) {
         const int64_t bound = (sh + 1) * shard_rows;
@@ -778,7 +789,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
         s.ok[sh] = 1;
         lo = hi;
       }
-      if (lo != n)  // ids >= rows (or < 0): contract violation, fail loudly
+      if (lo != live)  // ids >= rows (or < 0): contract violation
         scat_ok.store(false, std::memory_order_relaxed);
     };
     if (scats.size() == 1 || nt == 1) {

@@ -347,6 +347,26 @@ class TestScatterPlanPlumbing:
             covered += cnt
         assert covered == n - int(counts[3])
 
+    def test_sharded_padding_sentinel_saves_shard0(self):
+        """Weight-0 pool padding (id 0) must NOT count against shard 0's
+        cap: at ~20% padding and 8 shards the raw stream overflows shard 0
+        every batch (cnt ~ n*(1/8 + 0.2) > the 2x-even-split cap), silently
+        demoting it to the XLA fallback."""
+        from wide_deep_tpu.ops.scatter import make_sharded_scatter_plan
+        rng = np.random.default_rng(9)
+        rows, n, n_shards = 8 * 4096, 40960, 8
+        ids = rng.integers(0, rows, n).astype(np.int32)
+        wts = np.ones(n, np.float32)
+        pad = rng.random(n) < 0.2
+        ids[pad], wts[pad] = 0, 0.0          # pool padding: id 0, weight 0
+        raw = make_sharded_scatter_plan(ids, rows, n_shards)
+        assert raw["ok"][0] == 0             # the failure mode being fixed
+        sp = make_sharded_scatter_plan(ids, rows, n_shards, wts)
+        assert sp["ok"].all()
+        # padding is in NO shard; live entries all covered exactly once
+        covered = sum(int(sp["tiles"][s, 2].sum()) for s in range(n_shards))
+        assert covered == int((~pad).sum())
+
     def test_python_cpp_sharded_plan_parity(self, small_config, monkeypatch):
         """The C++ per-shard emission (sort once, split at shard bounds,
         localize + tile) must be bit-identical to

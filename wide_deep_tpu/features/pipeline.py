@@ -288,8 +288,10 @@ class FeatureTransformer:
                 from wide_deep_tpu.ops.scatter import (
                     make_scatter_plan, make_sharded_scatter_plan)
                 if plan.scatter_shards > 1:
+                    # weights route zero-grad pool padding out of shard 0
                     sp = make_sharded_scatter_plan(
-                        g_ids[g.dim].reshape(-1), g.rows, plan.scatter_shards)
+                        g_ids[g.dim].reshape(-1), g.rows,
+                        plan.scatter_shards, g_wts[g.dim].reshape(-1))
                     out[f"scat_ok_d{g.dim}"] = sp["ok"]
                 else:
                     # weights route zero-grad pool padding to the stream

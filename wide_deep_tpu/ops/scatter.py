@@ -671,7 +671,8 @@ def sharded_scatter_batch_spec(n_ids: int, rows: int, n_shards: int):
 
 
 def make_sharded_scatter_plan(ids_flat: np.ndarray, rows: int,
-                              n_shards: int):
+                              n_shards: int,
+                              weights_flat: Optional[np.ndarray] = None):
     """Host: flat id vector -> per-shard {ids, perm, tiles, ok} np arrays.
 
     ``ids[s]`` holds shard s's ids LOCALIZED to its row range (id -
@@ -681,7 +682,14 @@ def make_sharded_scatter_plan(ids_flat: np.ndarray, rows: int,
     ``tiles[s]`` is the build_scatter_tiles output padded with empty tiles;
     ``ok[s]`` is 0 when the shard's id count overflowed the static cap
     (consumer must fall back to an XLA scatter for that shard).
-    """
+
+    ``weights_flat``: entries with weight 0 are packed-pool PADDING whose
+    gradients are exactly zero — remapped to an out-of-range sentinel so
+    they land in NO shard.  Without the remap every padding entry (id 0)
+    counts against SHARD 0's cap: at production padding occupancies
+    (~15-22%) and 8 shards, shard 0's count (~n*(1/8 + padding)) exceeds
+    the 2x-even-split cap every batch, permanently demoting the row-shard
+    that holds the hottest rows to the XLA fallback."""
     n = int(ids_flat.shape[0])
     if rows % n_shards:
         raise ValueError(f"rows {rows} % n_shards {n_shards} != 0")
@@ -690,6 +698,9 @@ def make_sharded_scatter_plan(ids_flat: np.ndarray, rows: int,
     cap = spec["ids"][0][1]
     nt = spec["tiles"][0][2]
     out = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
+    if weights_flat is not None:
+        ids_flat = np.where(weights_flat != 0, ids_flat,
+                            rows).astype(np.int32)
     order = np.argsort(ids_flat, kind="stable").astype(np.int32)
     ids_sorted = ids_flat[order].astype(np.int32)
     bounds = np.searchsorted(
