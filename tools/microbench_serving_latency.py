@@ -47,6 +47,11 @@ def main():
         version_dir = export_savedmodel(
             config, os.path.join(work, "export"), model_type="wide_deep",
             model_dir=os.path.join(work, "model"), model_version=1)
+        # free the training state (the fused 5 GB d32 table) before the
+        # serving model loads its own copy of the bundle
+        del tr
+        import gc
+        gc.collect()
 
     model = ServingModel(version_dir, 1024)
     with open(args.data_file) as f:
@@ -61,23 +66,23 @@ def main():
         host_ms = (time.time() - t0) * 1e3
         dbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-        def call(b):
-            probs, ids = model.model.predict(model.params, model.mstate, b)
+        def body(p, carry, _):
+            preds = model.model.predict(p, model.mstate, carry)
+            probs = preds["probabilities"]
             # fold the output back into an input so the next call depends
             # on this one (chained timing)
-            b = dict(b)
-            b["wide_wts"] = b["wide_wts"] + probs[:, :1] * 1e-9
-            return b, probs
+            carry = dict(carry)
+            carry["wide_wts"] = carry["wide_wts"] + probs[:, :1] * 1e-9
+            return carry, ()
 
-        def body(carry, _):
-            return call(carry)[0], ()
-
-        run = jax.jit(lambda b: jax.lax.scan(body, b, None,
-                                             length=args.iters)[0])
-        out = run(dbatch)
+        # params as an ARGUMENT: a closure capture would constant-fold the
+        # multi-GB tables into the HLO (the remote compile rejects it)
+        run = jax.jit(lambda p, b: jax.lax.scan(
+            lambda c, x: body(p, c, x), b, None, length=args.iters)[0])
+        out = run(model.params, dbatch)
         jax.block_until_ready(out)          # compile + warm
         t0 = time.perf_counter()
-        out = run(dbatch)
+        out = run(model.params, dbatch)
         jax.block_until_ready(out)
         dev_ms = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"bucket {bucket:5d}: device {dev_ms:7.3f} ms/call"
