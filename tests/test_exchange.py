@@ -152,6 +152,90 @@ class TestPlannedGather:
         np.testing.assert_allclose(np.asarray(got), table[ids], rtol=1e-6)
 
 
+class TestPlannedWindowGather:
+    """planned_sharded_gather with WINDOW-mode per-shard plans
+    (make_sharded_window_plan, [S, 3, n_windows] tiles — the sparse-stream
+    d16 case on a mesh): values and grads must match jnp.take, padding
+    must be routed out of every shard, and a hot-window overflow must fall
+    back per shard."""
+
+    def _run(self, mesh8, table, ids, cot, wts=None):
+        from wide_deep_tpu.ops.scatter import make_sharded_window_plan
+        from wide_deep_tpu.parallel.exchange import planned_sharded_gather
+        rows = table.shape[0]
+        sp = make_sharded_window_plan(
+            ids.reshape(-1), rows, mesh8.devices.size,
+            None if wts is None else wts.reshape(-1))
+        sall = P(("data", "model"))
+        tbl = jax.device_put(jnp.asarray(table), NamedSharding(mesh8, sall))
+        args = [jax.device_put(jnp.asarray(sp[k]),
+                               NamedSharding(mesh8, sall))
+                for k in ("ids", "perm", "tiles", "ok")]
+
+        def loss(t, i):
+            out = planned_sharded_gather(t, i, *args, mesh=mesh8,
+                                         interpret=True)
+            return jnp.vdot(out.astype(jnp.float32), jnp.asarray(cot)), out
+
+        g, out = jax.jit(jax.grad(loss, has_aux=True))(tbl, jnp.asarray(ids))
+        return np.asarray(g, np.float32), np.asarray(out, np.float32), sp
+
+    def test_values_and_grads_match_take(self, mesh8):
+        rows, D, B, Pw = 512, 16, 16, 6
+        rng = np.random.default_rng(21)
+        table = rng.normal(size=(rows, D)).astype(np.float32)
+        ids = rng.integers(0, rows, (B, Pw)).astype(np.int32)
+        ids[:4] = ids[4:8]  # duplicates (grad accumulation inside windows)
+        cot = rng.normal(size=(B, Pw, D)).astype(np.float32)
+        g, out, sp = self._run(mesh8, table, ids, cot)
+        assert sp["tiles"].shape[1] == 3  # window layout reached the VJP
+        assert sp["ok"].all(), sp["ok"]
+        np.testing.assert_allclose(out, table[ids], rtol=1e-6)
+        g_ref = jax.grad(
+            lambda t: jnp.vdot(jnp.take(t, jnp.asarray(ids), axis=0),
+                               jnp.asarray(cot)))(jnp.asarray(table))
+        np.testing.assert_allclose(g, np.asarray(g_ref), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_padding_routed_out_and_grads_exact(self, mesh8):
+        """Weight-0 padding (id 0) must not inflate shard 0 or windows; its
+        zero cotangent keeps grads exact either way."""
+        rows, D, B, Pw = 512, 8, 16, 8
+        rng = np.random.default_rng(22)
+        table = rng.normal(size=(rows, D)).astype(np.float32)
+        ids = rng.integers(0, rows, (B, Pw)).astype(np.int32)
+        wts = np.ones((B, Pw), np.float32)
+        pad = rng.random((B, Pw)) < 0.4
+        ids[pad], wts[pad] = 0, 0.0
+        cot = rng.normal(size=(B, Pw, D)).astype(np.float32)
+        cot[pad] = 0.0  # padding grads are exactly zero (weight multiplies)
+        g, _, sp = self._run(mesh8, table, ids, cot, wts)
+        covered = sum(int(sp["tiles"][s, 2].sum())
+                      for s in range(mesh8.devices.size))
+        assert covered == int((~pad).sum())
+        g_ref = jax.grad(
+            lambda t: jnp.vdot(jnp.take(t, jnp.asarray(ids), axis=0),
+                               jnp.asarray(cot)))(jnp.asarray(table))
+        np.testing.assert_allclose(g, np.asarray(g_ref), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_hot_window_falls_back_per_shard(self, mesh8):
+        """All ids in one window of shard 0: that shard's ok=0 (XLA path),
+        others keep the kernel — grads still exact."""
+        rows, D, B, Pw = 512, 8, 32, 8
+        rng = np.random.default_rng(23)
+        table = rng.normal(size=(rows, D)).astype(np.float32)
+        ids = rng.integers(0, 8, (B, Pw)).astype(np.int32)  # hot window 0
+        cot = rng.normal(size=(B, Pw, D)).astype(np.float32)
+        g, _, sp = self._run(mesh8, table, ids, cot)
+        assert sp["ok"][0] == 0 and sp["ok"][1:].all(), sp["ok"]
+        g_ref = jax.grad(
+            lambda t: jnp.vdot(jnp.take(t, jnp.asarray(ids), axis=0),
+                               jnp.asarray(cot)))(jnp.asarray(table))
+        np.testing.assert_allclose(g, np.asarray(g_ref), rtol=1e-5,
+                                   atol=1e-6)
+
+
 class TestDedupGather:
     """Host-assisted dedup exchange (sharded_lookup: dedup): unique-row
     all-gather + host slots must be jnp.take — values and grads — and the

@@ -219,8 +219,8 @@ class NativeTransformer:
                     out[f"scat_{key}_d{g.dim}"] = arr
                     ptr_order.append(arr)
             for gi, g in enumerate(plan.groups):
-                if not plan.window_group(g, B):
-                    continue
+                if not plan.window_group(g, B) or plan.scatter_shards > 1:
+                    continue  # sharded window plans: numpy post-pass below
                 window_mask |= 1 << gi
                 spec = window_batch_spec(B * plan.group_packed_len[g.dim],
                                          g.rows)
@@ -242,17 +242,26 @@ class NativeTransformer:
         if n < 0:
             raise RuntimeError(f"wdt_transform failed: {n}")
         if mode == "train":
-            # dedup + compact plans: numpy post-pass over the C++-packed
-            # ids (range/sharded/window plans are emitted natively; these
-            # two sort far smaller streams — port to C++ if profiles say so)
+            # dedup + compact + sharded-window plans: numpy post-pass over
+            # the C++-packed ids (range/sharded/window single-stream plans
+            # are emitted natively; these sort far smaller streams or run
+            # on multi-device meshes only — port to C++ if profiles say so)
             from wide_deep_tpu.ops.scatter import (make_compact_plan,
-                                                   make_dedup_plan)
+                                                   make_dedup_plan,
+                                                   make_sharded_window_plan)
             for g in plan.groups:
                 if plan.dedup_group(g, B):
                     dp = make_dedup_plan(out[f"emb_ids_d{g.dim}"], g.rows,
                                          plan.scatter_shards)
                     for key, arr in dp.items():
                         out[f"dscat_{key}_d{g.dim}"] = arr
+                if plan.window_group(g, B) and plan.scatter_shards > 1:
+                    wp = make_sharded_window_plan(
+                        out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows,
+                        plan.scatter_shards,
+                        out[f"emb_wts_d{g.dim}"].reshape(-1))
+                    for key, arr in wp.items():
+                        out[f"wscat_{key}_d{g.dim}"] = arr
                 if plan.sparse_opt_group(g, B):
                     cp = make_compact_plan(
                         out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows)

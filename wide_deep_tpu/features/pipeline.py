@@ -304,10 +304,17 @@ class FeatureTransformer:
                 out[f"scat_tiles_d{g.dim}"] = sp["tiles"]
             if mode == "train" and plan.window_group(g, B):
                 # window-mode plan for sparse streams (ops/scatter.py);
-                # weights route zero-grad pool padding out of the windows
-                from wide_deep_tpu.ops.scatter import make_window_plan
-                wp = make_window_plan(g_ids[g.dim].reshape(-1), g.rows,
-                                      g_wts[g.dim].reshape(-1))
+                # weights route zero-grad pool padding out of the windows;
+                # per table shard on multi-device meshes
+                from wide_deep_tpu.ops.scatter import (
+                    make_sharded_window_plan, make_window_plan)
+                if plan.scatter_shards > 1:
+                    wp = make_sharded_window_plan(
+                        g_ids[g.dim].reshape(-1), g.rows,
+                        plan.scatter_shards, g_wts[g.dim].reshape(-1))
+                else:
+                    wp = make_window_plan(g_ids[g.dim].reshape(-1), g.rows,
+                                          g_wts[g.dim].reshape(-1))
                 for key, arr in wp.items():
                     out[f"wscat_{key}_d{g.dim}"] = arr
             if mode == "train" and plan.dedup_group(g, B):

@@ -454,14 +454,24 @@ class FeaturePlan:
         """Whether this dim group's train batches carry a window-mode
         Pallas plan (ops/scatter.py window-scatter): sparse-but-large id
         streams (the d16 case) where the range kernel's RMW slabs lose but
-        write-only fixed windows win; mutually exclusive with range mode."""
+        write-only fixed windows win; mutually exclusive with range mode.
+
+        With scatter_shards > 1 the plan is PER TABLE SHARD
+        (make_sharded_window_plan, [S, 3, n_windows] tiles) and only
+        row-sharding tables under the explicit exchange qualify — same
+        gating as scatter_group's sharded branch."""
         from wide_deep_tpu.ops.scatter import PALLAS_WINDOW_MIN_IDS
-        if (not self.pallas_scatter or self.scatter_shards > 1
-                or self.scatter_group(g, batch_size)):
+        if not self.pallas_scatter or self.scatter_group(g, batch_size):
             return False
         n_ids = batch_size * self.group_packed_len[g.dim]
-        return (n_ids >= PALLAS_WINDOW_MIN_IDS
-                and not self.sparse_opt_group(g, batch_size))
+        if n_ids < PALLAS_WINDOW_MIN_IDS:
+            return False
+        if self.scatter_shards > 1:
+            return (self.shard_kind == "scatter"
+                    and g.rows % self.scatter_shards == 0
+                    and g.rows * g.dim
+                    >= self.shard_threshold * self.scatter_shards)
+        return not self.sparse_opt_group(g, batch_size)
 
     def sparse_opt_group(self, g: "DimGroup", batch_size: int = 0) -> bool:
         """Whether this dim group carries the fused touched-rows optimizer
@@ -513,8 +523,13 @@ class FeaturePlan:
                 for key, sd in sd_spec.items():
                     spec[f"scat_{key}_d{g.dim}"] = sd
             if mode == "train" and self.window_group(g, B):
-                from wide_deep_tpu.ops.scatter import window_batch_spec
-                for key, sd in window_batch_spec(B * P, g.rows).items():
+                from wide_deep_tpu.ops.scatter import (
+                    sharded_window_batch_spec, window_batch_spec)
+                w_spec = (sharded_window_batch_spec(
+                              B * P, g.rows, self.scatter_shards)
+                          if self.scatter_shards > 1
+                          else window_batch_spec(B * P, g.rows))
+                for key, sd in w_spec.items():
                     spec[f"wscat_{key}_d{g.dim}"] = sd
             if mode == "train" and self.dedup_group(g, B):
                 from wide_deep_tpu.ops.scatter import dedup_batch_spec

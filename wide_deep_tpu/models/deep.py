@@ -436,14 +436,23 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                          "perm": batch[f"scat_perm_d{g.dim}"],
                          "tiles": batch[f"scat_tiles_d{g.dim}"],
                          "ok": batch[f"scat_ok_d{g.dim}"]}
-        elif f"wscat_ids_d{g.dim}" in batch and lookup_mesh is None:
-            # window-mode plan for sparse streams (the 'ok' key routes the
-            # custom VJPs to apply_window_plan; ok=0 batches fall back to
-            # the XLA scatter inside it)
-            scat = {"ids": batch[f"wscat_ids_d{g.dim}"],
-                    "perm": batch[f"wscat_perm_d{g.dim}"],
-                    "tiles": batch[f"wscat_tiles_d{g.dim}"],
-                    "ok": batch[f"wscat_ok_d{g.dim}"]}
+        elif f"wscat_ids_d{g.dim}" in batch:
+            if lookup_mesh is None:
+                # window-mode plan for sparse streams (the 'ok' key routes
+                # the custom VJPs to apply_window_plan; ok=0 batches fall
+                # back to the XLA scatter inside it)
+                scat = {"ids": batch[f"wscat_ids_d{g.dim}"],
+                        "perm": batch[f"wscat_perm_d{g.dim}"],
+                        "tiles": batch[f"wscat_tiles_d{g.dim}"],
+                        "ok": batch[f"wscat_ok_d{g.dim}"]}
+            elif batch[f"wscat_tiles_d{g.dim}"].ndim == 3:
+                # per-table-shard window plan ([S, 3, n_windows] tiles —
+                # the exchange backward dispatches window vs range mode on
+                # the tiles' second axis)
+                sscat = {"ids": batch[f"wscat_ids_d{g.dim}"],
+                         "perm": batch[f"wscat_perm_d{g.dim}"],
+                         "tiles": batch[f"wscat_tiles_d{g.dim}"],
+                         "ok": batch[f"wscat_ok_d{g.dim}"]}
         dscat = None
         if f"dscat_uids_d{g.dim}" in batch and lookup_mesh is not None:
             dscat = {"uids": batch[f"dscat_uids_d{g.dim}"],

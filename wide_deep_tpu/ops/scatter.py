@@ -726,3 +726,66 @@ def make_sharded_scatter_plan(ids_flat: np.ndarray, rows: int,
         out["tiles"][s, 2, :k] = counts
         out["tiles"][s, 3, :k] = row_los
     return out
+
+
+def sharded_window_batch_spec(n_ids: int, rows: int, n_shards: int):
+    """Shapes/dtypes of per-shard WINDOW-mode plan arrays.  Same layout as
+    the sharded range plan but tiles are [3, n_windows] (starts, offs,
+    counts — window t covers the FIXED local rows [t*MAXR, (t+1)*MAXR)),
+    which is how consumers (parallel/exchange.py) tell the modes apart."""
+    cap = shard_cap(n_ids, n_shards)
+    nt = window_rows_pad(rows // n_shards) // MAXR
+    return {"ids": ((n_shards, cap), np.int32),
+            "perm": ((n_shards, cap), np.int32),
+            "tiles": ((n_shards, 3, nt), np.int32),
+            "ok": ((n_shards,), np.int32)}
+
+
+def make_sharded_window_plan(ids_flat: np.ndarray, rows: int, n_shards: int,
+                             weights_flat: Optional[np.ndarray] = None):
+    """Host: flat id vector -> per-shard window-mode {ids, perm, tiles, ok}.
+
+    The sparse-stream analog of make_sharded_scatter_plan (the d16 case on
+    a mesh: too few ids for range mode, enough to beat the XLA serial
+    scatter with write-only fixed windows).  ``ok[s]`` is 0 when shard s's
+    stream overflowed the cap OR one of its windows overflowed the static
+    window_cap(cap, shard_rows); weight-0 padding is remapped out of every
+    shard (zero gradients, see make_sharded_scatter_plan)."""
+    n = int(ids_flat.shape[0])
+    if rows % n_shards:
+        raise ValueError(f"rows {rows} % n_shards {n_shards} != 0")
+    shard_rows = rows // n_shards
+    spec = sharded_window_batch_spec(n, rows, n_shards)
+    cap = spec["ids"][0][1]
+    nt = spec["tiles"][0][2]
+    wcap = window_cap(cap, shard_rows)
+    out = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
+    if weights_flat is not None:
+        ids_flat = np.where(weights_flat != 0, ids_flat,
+                            rows).astype(np.int32)
+    order = np.argsort(ids_flat, kind="stable").astype(np.int32)
+    ids_sorted = ids_flat[order].astype(np.int32)
+    shard_bounds = np.searchsorted(
+        ids_sorted, np.arange(n_shards + 1, dtype=np.int64) * shard_rows,
+        side="left")
+    for s in range(n_shards):
+        lo, hi = int(shard_bounds[s]), int(shard_bounds[s + 1])
+        cnt = hi - lo
+        if cnt > cap:
+            continue  # ok stays 0: consumer falls back to XLA for shard s
+        local = ids_sorted[lo:hi] - s * shard_rows
+        bounds = np.searchsorted(
+            local, np.arange(nt + 1, dtype=np.int64) * MAXR, side="left")
+        counts = np.diff(bounds)
+        if counts.max(initial=0) > wcap:
+            continue  # hot window: ok stays 0
+        out["ok"][s] = 1
+        if cnt == 0:
+            continue  # valid empty plan (all windows empty)
+        out["ids"][s, :cnt] = local
+        out["perm"][s, :cnt] = order[lo:hi]
+        starts = (bounds[:-1] // ALIGN_IDS) * ALIGN_IDS
+        out["tiles"][s, 0] = starts
+        out["tiles"][s, 1] = bounds[:-1] - starts
+        out["tiles"][s, 2] = counts
+    return out

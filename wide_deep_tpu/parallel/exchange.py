@@ -163,9 +163,20 @@ def _planned_gather_bwd(ctx, res, ct):
         local_all = ids_all.reshape(-1) - shard * shard_rows
 
         def kernel_path(_):
-            from wide_deep_tpu.ops.scatter import range_scatter_add
+            from wide_deep_tpu.ops.scatter import (range_scatter_add,
+                                                   window_cap,
+                                                   window_scatter_add)
             gs = jnp.take(g, sperm[0], axis=0).astype(tdtype)
             t = stiles[0]
+            if t.shape[0] == 3:
+                # window-mode per-shard plan (sparse streams, e.g. d16):
+                # tiles are [3, n_windows]; the static window cap derives
+                # from the shard stream cap exactly like the host side
+                # (make_sharded_window_plan)
+                return window_scatter_add(
+                    sids[0], gs, t[0], t[1], t[2], shard_rows,
+                    window_cap(sids.shape[-1], shard_rows),
+                    out_dtype=tdtype, interpret=interpret)
             return range_scatter_add(sids[0], gs, t[0], t[1], t[2], t[3],
                                      shard_rows, out_dtype=tdtype,
                                      interpret=interpret)
