@@ -97,8 +97,12 @@ def synthetic_batch(plan, batch_size, rng):
             for key, arr in wp.items():
                 batch[f"wscat_{key}_d{g.dim}"] = arr
         if plan.sparse_opt_group(g, batch_size):
-            from wide_deep_tpu.ops.scatter import make_compact_plan
-            cp = make_compact_plan(ids.reshape(-1), g.rows)
+            from wide_deep_tpu.ops.scatter import (
+                make_compact_plan, make_sharded_compact_plan)
+            cp = (make_sharded_compact_plan(ids.reshape(-1), g.rows,
+                                            plan.scatter_shards)
+                  if plan.scatter_shards > 1
+                  else make_compact_plan(ids.reshape(-1), g.rows))
             for key, arr in cp.items():
                 batch[f"sopt_{key}_d{g.dim}"] = arr
 
@@ -144,8 +148,7 @@ def main():
         config,
         pallas_scatter=(n_chips == 1
                         and os.environ.get("BENCH_SCATTER") != "xla"),
-        sparse_opt=(n_chips == 1
-                    and os.environ.get("BENCH_SPARSE") != "0"))
+        sparse_opt=os.environ.get("BENCH_SPARSE") != "0")
     # BENCH_DENSE_DTYPE=bfloat16 measures the MLP-in-bf16 knob (model.yaml
     # dense_dtype) without editing the conf
     dtype_env = os.environ.get("BENCH_DENSE_DTYPE")
@@ -192,7 +195,8 @@ def main():
                                  opt_sh))(rng0)
     log(f"init in {time.time()-t0:.1f}s")
 
-    step = make_train_step(model, tx, sparse_tables=sparse_tables)
+    step = make_train_step(model, tx, sparse_tables=sparse_tables,
+                           mesh=mesh)
     bsh = mesh_lib.batch_sharding(mesh)
     dbatch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
     key = jax.random.PRNGKey(0)

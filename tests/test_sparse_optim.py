@@ -249,6 +249,64 @@ class TestCompactPath:
                                        rtol=2e-3, atol=1e-5)
 
 
+class TestShardedFused:
+    def test_sharded_fused_matches_single_device(self, small_config,
+                                                 fixture_rows, monkeypatch):
+        """Multi-device fused optimizer (per-shard compact plans +
+        apply_fused_sharded_update inside shard_map) must reproduce the
+        single-device fused path exactly: losses AND the full fused tables
+        (param + in-param slot blocks)."""
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        from wide_deep_tpu.models.joint import build_model
+        from wide_deep_tpu.optim import build_joint_optimizer
+        import wide_deep_tpu.optim.sparse as sparse_lib
+        from wide_deep_tpu.parallel import mesh as mesh_lib
+        from wide_deep_tpu.training.step import (init_opt_state,
+                                                 make_train_step)
+
+        monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
+        mesh8 = mesh_lib.make_mesh(4, 2, jax.devices()[:8])
+        results = {}
+        for tag, (shards, mesh) in {"single": (1, None),
+                                    "sharded": (8, mesh8)}.items():
+            plan = FeaturePlan(small_config, fold=False, sparse_opt=True,
+                               scatter_shards=shards, shard_threshold=64)
+            model = build_model(small_config, plan=plan,
+                                model_type="wide_deep")
+            batch = {k: jnp.asarray(v) for k, v in FeatureTransformer(
+                plan).transform(fixture_rows, 16).items()}
+            if tag == "sharded":
+                assert any(k.startswith("sopt_ok_") for k in batch), \
+                    "no sharded compact plans emitted"
+            sparse_tables, paths = sparse_lib.plan_sparse_tables(
+                plan, small_config.model, 100.0, 16)
+            assert sparse_tables and all(
+                t.fused for t in sparse_tables.values())
+            params, mstate = model.init(jax.random.PRNGKey(0), dict(batch))
+            params = sparse_lib.init_fused_params(params, sparse_tables)
+            tx = build_joint_optimizer(small_config.model, 100.0,
+                                       {"linear": True, "dnn": True},
+                                       sparse_paths=paths)
+            step = make_train_step(model, tx, donate=False,
+                                   sparse_tables=sparse_tables, mesh=mesh)
+            opt_state = init_opt_state(tx, params, sparse_tables)
+            losses = []
+            for i in range(3):
+                params, mstate, opt_state, loss = step(
+                    params, mstate, opt_state, batch,
+                    jax.random.PRNGKey(7), i)
+                losses.append(float(loss))
+            results[tag] = (params, losses)
+        np.testing.assert_allclose(results["single"][1],
+                                   results["sharded"][1], rtol=1e-5)
+        for dim_key, tab in results["single"][0]["dnn"]["embed"].items():
+            s_tab = results["sharded"][0]["dnn"]["embed"][dim_key]
+            np.testing.assert_allclose(np.asarray(s_tab), np.asarray(tab),
+                                       rtol=2e-4, atol=1e-6,
+                                       err_msg=dim_key)
+
+
 class TestEndToEnd:
     def test_step_with_sparse_table_matches_dense(self, small_config,
                                                   small_plan, fixture_rows):

@@ -263,8 +263,15 @@ class NativeTransformer:
                     for key, arr in wp.items():
                         out[f"wscat_{key}_d{g.dim}"] = arr
                 if plan.sparse_opt_group(g, B):
-                    cp = make_compact_plan(
-                        out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows)
+                    if plan.scatter_shards > 1:
+                        from wide_deep_tpu.ops.scatter import (
+                            make_sharded_compact_plan)
+                        cp = make_sharded_compact_plan(
+                            out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows,
+                            plan.scatter_shards)
+                    else:
+                        cp = make_compact_plan(
+                            out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows)
                     for key, arr in cp.items():
                         out[f"sopt_{key}_d{g.dim}"] = arr
         if mode == "pred":

@@ -326,9 +326,16 @@ class FeatureTransformer:
                     out[f"dscat_{key}_d{g.dim}"] = arr
             if mode == "train" and plan.sparse_opt_group(g, B):
                 # compact (dedup) plan for the fused touched-rows optimizer
-                # (optim/sparse.apply_compact_update)
-                from wide_deep_tpu.ops.scatter import make_compact_plan
-                cp = make_compact_plan(g_ids[g.dim].reshape(-1), g.rows)
+                # (optim/sparse.apply_fused_update); per table shard on
+                # multi-device meshes (apply_fused_sharded_update)
+                from wide_deep_tpu.ops.scatter import (
+                    make_compact_plan, make_sharded_compact_plan)
+                if plan.scatter_shards > 1:
+                    cp = make_sharded_compact_plan(
+                        g_ids[g.dim].reshape(-1), g.rows,
+                        plan.scatter_shards)
+                else:
+                    cp = make_compact_plan(g_ids[g.dim].reshape(-1), g.rows)
                 for key, arr in cp.items():
                     out[f"sopt_{key}_d{g.dim}"] = arr
         if plan.indicator_total_len:

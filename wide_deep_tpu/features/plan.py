@@ -484,9 +484,15 @@ class FeaturePlan:
         store param + optimizer slots fused in one f32 [rows, 128] matrix
         (ops/rowdma.py) — so init (B=1), train, eval and pred must all
         agree.  optim.sparse.plan_sparse_tables derives its table set from
-        this predicate; the two cannot drift."""
-        if not self.sparse_opt or self.scatter_shards > 1 or (
-                self.fold and g.folded):
+        this predicate; the two cannot drift.
+
+        On multi-device plans (scatter_shards > 1) the batch carries
+        PER-TABLE-SHARD compact plans (make_sharded_compact_plan) and the
+        step updates each row shard inside shard_map
+        (optim.sparse.apply_fused_sharded_update)."""
+        if not self.sparse_opt or (self.fold and g.folded):
+            return False
+        if self.scatter_shards > 1 and g.rows % self.scatter_shards:
             return False
         from wide_deep_tpu.ops.rowdma import FUSED_WIDTH
         from wide_deep_tpu.optim.sparse import SPARSE_MIN_ROWS
@@ -537,8 +543,13 @@ class FeaturePlan:
                         B * P, g.rows, self.scatter_shards, (B, P)).items():
                     spec[f"dscat_{key}_d{g.dim}"] = sd
             if mode == "train" and self.sparse_opt_group(g, B):
-                from wide_deep_tpu.ops.scatter import compact_plan_spec
-                for key, sd in compact_plan_spec(B * P).items():
+                from wide_deep_tpu.ops.scatter import (
+                    compact_plan_spec, sharded_compact_plan_spec)
+                c_spec = (sharded_compact_plan_spec(
+                              B * P, self.scatter_shards)
+                          if self.scatter_shards > 1
+                          else compact_plan_spec(B * P))
+                for key, sd in c_spec.items():
                     spec[f"sopt_{key}_d{g.dim}"] = sd
         if self.indicator_total_len:
             spec["ind_ids"] = ((B, self.indicator_total_len), np.int32)

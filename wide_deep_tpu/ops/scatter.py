@@ -565,6 +565,73 @@ def make_compact_plan(ids_flat: np.ndarray, rows: int):
     return {"uids": uids, "ids": compact, "perm": order, "tiles": tiles}
 
 
+def sharded_compact_plan_spec(n_ids: int, n_shards: int):
+    """Shapes/dtypes of PER-TABLE-SHARD compact plans (the multi-device
+    fused-optimizer path, optim/sparse.apply_fused_sharded_update): same
+    row-shard layout discipline as the sharded scatter plans."""
+    cap = shard_cap(n_ids, n_shards)
+    nt = n_tiles_for(cap, cap)
+    return {"uids": ((n_shards, cap), np.int32),
+            "ids": ((n_shards, cap), np.int32),
+            "perm": ((n_shards, cap), np.int32),
+            "tiles": ((n_shards, 4, nt), np.int32),
+            "ok": ((n_shards,), np.int32)}
+
+
+def make_sharded_compact_plan(ids_flat: np.ndarray, rows: int,
+                              n_shards: int):
+    """Host: flat id vector -> per-shard compact (dedup) plans.
+
+    Shard s gets make_compact_plan of ITS slice of the globally-sorted
+    stream, with ``uids`` LOCALIZED to the shard's row range and ``perm``
+    mapping into the GLOBAL flat stream (each device gathers its grad rows
+    from the all-gathered cotangent).  ``ok[s]`` is 0 when the shard's
+    stream overflows the static cap (consumer falls back to the serial
+    per-row update for that shard).  Single-process meshes (the host sees
+    the global batch), like the other sharded plans."""
+    n = int(ids_flat.shape[0])
+    if rows % n_shards:
+        raise ValueError(f"rows {rows} % n_shards {n_shards} != 0")
+    shard_rows = rows // n_shards
+    spec = sharded_compact_plan_spec(n, n_shards)
+    cap = spec["ids"][0][1]
+    nt = spec["tiles"][0][2]
+    out = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
+    # sentinel-pad every shard's uids with distinct ascending values >=
+    # shard_rows (consumers gather clipped + scatter with drop semantics)
+    out["uids"][:] = (shard_rows
+                      + np.arange(cap, dtype=np.int64)[None, :]).astype(
+                          np.int32)
+    order = np.argsort(ids_flat, kind="stable").astype(np.int32)
+    ids_sorted = ids_flat[order].astype(np.int32)
+    bounds = np.searchsorted(
+        ids_sorted, np.arange(n_shards + 1, dtype=np.int64) * shard_rows,
+        side="left")
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        cnt = hi - lo
+        if cnt > cap:
+            continue  # ok stays 0
+        out["ok"][s] = 1
+        if cnt == 0:
+            continue  # valid empty plan
+        local = ids_sorted[lo:hi] - s * shard_rows
+        first = np.empty(cnt, bool)
+        first[0] = True
+        np.not_equal(local[1:], local[:-1], out=first[1:])
+        compact = (np.cumsum(first) - 1).astype(np.int32)
+        u = int(compact[-1]) + 1
+        out["uids"][s, :u] = local[first]
+        out["ids"][s, :cnt] = compact
+        out["perm"][s, :cnt] = order[lo:hi]
+        starts, offs, counts, row_los = build_scatter_tiles(compact, cap)
+        k = starts.shape[0]
+        assert k <= nt, (k, nt)
+        out["tiles"][s, 0, :k], out["tiles"][s, 1, :k] = starts, offs
+        out["tiles"][s, 2, :k], out["tiles"][s, 3, :k] = counts, row_los
+    return out
+
+
 # ------------------------------------------------------------- dedup plans
 # Host side of the dedup exchange (parallel/exchange.dedup_sharded_gather,
 # train.yaml sharded_lookup: dedup): per table shard, the UNIQUE ids the

@@ -351,3 +351,115 @@ def apply_fused_update(table: SparseTable, fused: jnp.ndarray,
         + [full[:, used:]], axis=1)                       # padding preserved
     fused = rowdma_scatter_rows(fused, uids, new_full, interpret=interpret)
     return fused, dict(state, count=count + 1)
+
+
+def _fused_rows_formula(spec, lr, full: jnp.ndarray, g: jnp.ndarray,
+                        d: int) -> jnp.ndarray:
+    """[*, FUSED_WIDTH] rows + per-row grads -> updated rows (layout
+    preserved, padding columns untouched)."""
+    layout = fused_layout(spec, d)
+    w = full[:, :d]
+    slots = {k: full[:, off:off + d] for k, off in layout.items()}
+    w_new, new_rows = _row_update(spec, lr, w, g, slots)
+    used = (1 + len(layout)) * d
+    return jnp.concatenate(
+        [w_new] + [new_rows[k] for k in _SLOT_KEYS if k in new_rows]
+        + [full[:, used:]], axis=1)
+
+
+def apply_fused_sharded_update(table: SparseTable, fused: jnp.ndarray,
+                               row_grads: jnp.ndarray, ids: jnp.ndarray,
+                               plan_arrays: Dict[str, Any],
+                               state: Dict[str, Any], mesh,
+                               interpret: bool = False
+                               ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Multi-device fused update: each ROW SHARD of the fused table updates
+    its touched rows inside shard_map.
+
+    ``fused`` is row-sharded over the whole mesh; ``row_grads`` [N, D] is
+    the data-sharded compact cotangent (the '_sparse_rows' sink);
+    ``plan_arrays`` is the batch's SHARDED compact plan
+    (ops/scatter.make_sharded_compact_plan: per-shard unique local rows +
+    dedup-sum range tiles + global-stream perms).  Per shard: one
+    all-gather of the [N, D] cotangent (d32: 3.3 MB), the range kernel
+    sums duplicates, one gather + row formulas + one per-row-DMA
+    write-back into the LOCAL shard.  A shard whose stream overflowed the
+    static cap (ok=0) falls back to an exact serial-scatter update driven
+    by the raw batch ids.
+    """
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
+
+    from wide_deep_tpu.ops.rowdma import rowdma_scatter_rows
+    from wide_deep_tpu.ops.scatter import range_scatter_add
+
+    count = state["count"]
+    lr = _lr_at(table.lr, count)
+    d = row_grads.shape[-1]
+    rows = fused.shape[0]
+    n_total = mesh.devices.size
+    model_size = mesh.shape["model"]
+    shard_rows = rows // n_total
+    sall = ("data", "model")
+    spec = table.spec
+
+    @_ft.partial(shard_map, mesh=mesh, check_vma=False,
+                 in_specs=(P(sall, None), P("data", None), P("data", None),
+                           P(sall, None), P(sall, None), P(sall, None),
+                           P(sall, None, None), P(sall)),
+                 out_specs=P(sall, None))
+    def upd(fused_l, g_local, ids_local, suids, sids, sperm, stiles, sok):
+        shard = (jax.lax.axis_index("data") * model_size
+                 + jax.lax.axis_index("model"))
+        # collectives hoisted out of the cond (branch divergence across
+        # shards would deadlock otherwise) — same O(N x D) volume as the
+        # forward's lookup exchange
+        g_all = jax.lax.all_gather(g_local, "data", axis=0,
+                                   tiled=True).reshape(-1, d)
+        g_all = g_all.astype(jnp.float32)
+        ids_all = jax.lax.all_gather(ids_local, "data", axis=0,
+                                     tiled=True).reshape(-1)
+        local_all = ids_all - shard * shard_rows
+
+        def kernel_path(_):
+            gs = jnp.take(g_all, sperm[0], axis=0)
+            t = stiles[0]
+            cap = sids.shape[-1]
+            g_unique = range_scatter_add(sids[0], gs, t[0], t[1], t[2],
+                                         t[3], cap, out_dtype=jnp.float32,
+                                         interpret=interpret)
+            uids_l = suids[0]
+            safe = jnp.clip(uids_l, 0, shard_rows - 1)
+            full = jnp.take(fused_l, safe, axis=0)
+            new_full = _fused_rows_formula(spec, lr, full, g_unique, d)
+            return rowdma_scatter_rows(fused_l, uids_l, new_full,
+                                       interpret=interpret)
+
+        def xla_path(_):
+            # exact fallback (duplicates compute identical rows from the
+            # per-row-summed dense grad, so the scatter-set is
+            # deterministic; out-of-shard entries drop)
+            mask = (local_all >= 0) & (local_all < shard_rows)
+            safe = jnp.clip(local_all, 0, shard_rows - 1)
+            gm = jnp.where(mask[:, None], g_all, jnp.zeros((), jnp.float32))
+            g_dense = (jnp.zeros((shard_rows, d), jnp.float32)
+                       .at[safe].add(gm, mode="drop"))
+            full = jnp.take(fused_l, safe, axis=0)
+            new_full = _fused_rows_formula(spec, lr, full,
+                                           jnp.take(g_dense, safe, axis=0),
+                                           d)
+            write = jnp.where(mask, local_all, shard_rows)
+            return fused_l.at[write].set(new_full, mode="drop")
+
+        return jax.lax.cond(sok[0] > 0, kernel_path, xla_path, 0)
+
+    fused = upd(fused, row_grads, ids.reshape(ids.shape[0], -1),
+                plan_arrays["uids"], plan_arrays["ids"],
+                plan_arrays["perm"], plan_arrays["tiles"],
+                plan_arrays["ok"])
+    return fused, dict(state, count=count + 1)

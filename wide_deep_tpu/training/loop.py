@@ -148,14 +148,13 @@ class Trainer:
         # measured slower than XLA's fused scatter+optimizer on v5e — see
         # the optim/sparse.py module docstring for the numbers.
         from wide_deep_tpu.optim.sparse import plan_sparse_tables
-        # single-device only by default: on a multi-device mesh the compact
-        # plans are not emitted (plan.sparse_opt_group) and the fallback
-        # dense-grad sparse path measured slower than the dense sweep
+        # single-device: fused tables + apply_fused_update (one row-DMA
+        # write-back); multi-device: per-table-shard compact plans +
+        # apply_fused_sharded_update inside shard_map
         self.sparse_tables, sparse_paths = (
             plan_sparse_tables(
                 self.plan, self.config.model, decay_steps, self.batch_size,
-                enabled=bool(self.train_conf.get("sparse_optimizer"))
-                and n_dev == 1)
+                enabled=bool(self.train_conf.get("sparse_optimizer")))
             if self.model.has_deep else ({}, frozenset()))
         self.tx = build_joint_optimizer(
             self.config.model, decay_steps,
@@ -170,7 +169,8 @@ class Trainer:
 
         self._train_step = make_train_step(self.model, self.tx,
                                            with_summaries=True,
-                                           sparse_tables=self.sparse_tables)
+                                           sparse_tables=self.sparse_tables,
+                                           mesh=self.mesh)
         self._eval_step = make_eval_step(self.model)
         self._predict_step = make_predict_step(self.model)
         self._ckpt: Optional[CheckpointManager] = None

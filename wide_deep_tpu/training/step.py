@@ -25,7 +25,8 @@ from wide_deep_tpu.models.joint import WideDeep
 
 def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
                     donate: bool = True, with_summaries: bool = False,
-                    sparse_tables: Optional[Dict[str, Any]] = None):
+                    sparse_tables: Optional[Dict[str, Any]] = None,
+                    mesh=None):
     """Returns jit'd step: (params, mstate, opt_state, batch, rng, step)
     -> (params, mstate, opt_state, loss[, stats]).
 
@@ -90,15 +91,34 @@ def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
                 param = sparse_lib.tree_get(params, table.path)
                 if name in compact:
                     dim_key = table.path[-1]
-                    plan_arrays = {
-                        k: batch[f"sopt_{k}_{dim_key}"]
-                        for k in ("uids", "ids", "perm", "tiles")}
                     rg = sink_grads[dim_key]
-                    apply = (sparse_lib.apply_fused_update if table.fused
-                             else sparse_lib.apply_compact_update)
-                    param, sp_state[name] = apply(
-                        table, param, rg.reshape(-1, rg.shape[-1]),
-                        plan_arrays, sp_state[name], interpret=interpret)
+                    if f"sopt_ok_{dim_key}" in batch:
+                        # per-table-shard plans: row shards update inside
+                        # shard_map (multi-device meshes)
+                        assert table.fused and mesh is not None, (
+                            f"{name}: sharded compact plans need a fused "
+                            f"table and the mesh (make_train_step(mesh=))")
+                        plan_arrays = {
+                            k: batch[f"sopt_{k}_{dim_key}"]
+                            for k in ("uids", "ids", "perm", "tiles", "ok")}
+                        param, sp_state[name] = (
+                            sparse_lib.apply_fused_sharded_update(
+                                table, param,
+                                rg.reshape(-1, rg.shape[-1]),
+                                batch[table.ids_key], plan_arrays,
+                                sp_state[name], mesh,
+                                interpret=interpret))
+                    else:
+                        plan_arrays = {
+                            k: batch[f"sopt_{k}_{dim_key}"]
+                            for k in ("uids", "ids", "perm", "tiles")}
+                        apply = (sparse_lib.apply_fused_update
+                                 if table.fused
+                                 else sparse_lib.apply_compact_update)
+                        param, sp_state[name] = apply(
+                            table, param, rg.reshape(-1, rg.shape[-1]),
+                            plan_arrays, sp_state[name],
+                            interpret=interpret)
                 else:
                     assert not table.fused, (
                         f"{name}: fused table but the batch carries no "
