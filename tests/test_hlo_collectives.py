@@ -195,3 +195,59 @@ class TestDedupExchangeCollectives:
         for op, b, line in ops:
             assert b <= unique_payload * 2, (op, b, line)
             assert b < dense_payload // 2, (op, b, line)
+
+
+class TestShardedFusedOptimizerCollectives:
+    def test_fused_update_volume_is_cotangent_scaled(self, small_config):
+        """The multi-device fused optimizer's only collective cost is the
+        all-gather of the compact [N, D] cotangent (plus id routing) —
+        never anything scaled to the fused [rows, 128] tables."""
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        from wide_deep_tpu.models.joint import build_model
+        from wide_deep_tpu.optim import build_joint_optimizer
+        import wide_deep_tpu.optim.sparse as sparse_lib
+        from wide_deep_tpu.parallel import mesh as mesh_lib
+        from wide_deep_tpu.training.step import (init_opt_state,
+                                                 make_train_step)
+        import unittest.mock as mock
+
+        with mock.patch.object(sparse_lib, "SPARSE_MIN_ROWS", 1):
+            mesh = mesh_lib.make_mesh(4, 2, jax.devices()[:8])
+            plan = FeaturePlan(small_config, fold=False, sparse_opt=True,
+                               scatter_shards=8, shard_threshold=64)
+            model = build_model(small_config, plan=plan,
+                                model_type="wide_deep")
+            with open("/root/reference/data/test/test2") as f:
+                rows = [ln.rstrip("\n").split("\t") for ln in f
+                        if ln.strip()]
+            batch = FeatureTransformer(plan).transform(rows, 16)
+            assert any(k.startswith("sopt_ok_") for k in batch)
+            sparse_tables, paths = sparse_lib.plan_sparse_tables(
+                plan, small_config.model, 100.0, 16)
+            assert sparse_tables
+            params, mstate = model.init(jax.random.PRNGKey(0), batch)
+            params = sparse_lib.init_fused_params(params, sparse_tables)
+            shardings = mesh_lib.param_shardings(mesh, params,
+                                                 size_threshold=64)
+            params = jax.device_put(params, shardings)
+            mstate = jax.device_put(mstate, mesh_lib.replicated(mesh))
+            tx = build_joint_optimizer(small_config.model, 100.0,
+                                       {"linear": True, "dnn": True},
+                                       sparse_paths=paths)
+            opt_state = init_opt_state(tx, params, sparse_tables)
+            dbatch = {k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
+                      for k, v in batch.items()}
+            step = make_train_step(model, tx, donate=False,
+                                   sparse_tables=sparse_tables, mesh=mesh)
+            hlo = step.lower(params, mstate, opt_state, dbatch,
+                             jax.random.PRNGKey(0), 0).compile().as_text()
+        fused_bytes = min(
+            int(np.prod(p.shape)) * p.dtype.itemsize
+            for path, p in jax.tree_util.tree_flatten_with_path(params)[0]
+            if getattr(p, "ndim", 0) == 2 and p.shape[-1] == 128)
+        offenders = [(op, b, line) for op, b, line in _collective_ops(hlo)
+                     if b > fused_bytes // 4]
+        assert not offenders, (
+            f"fused-table-scale collectives (table={fused_bytes}B):\n"
+            + "\n".join(f"{op} {b}B: {line}" for op, b, line in offenders))
