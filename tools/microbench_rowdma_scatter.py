@@ -14,7 +14,6 @@ competition here is 20x weaker per row, so the overhead may clear the bar.
 Chained lax.scan timing (tunnel discipline — see memory notes).
 """
 
-import functools
 import sys
 import time
 

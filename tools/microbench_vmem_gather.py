@@ -14,7 +14,6 @@ Timing discipline: chained lax.scan with a real data dependency (see
 memory: unchained microbenches read ~0 through the axon tunnel).
 """
 
-import functools
 import time
 
 import jax

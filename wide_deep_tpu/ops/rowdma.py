@@ -21,6 +21,8 @@ Reference semantics anchor: the in-place row writes of SparseApplyAdagrad
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -105,7 +107,6 @@ def rowdma_scatter_rows(table: jnp.ndarray, uids: jnp.ndarray,
         uids = jnp.concatenate([uids, jnp.full((pad,), r, jnp.int32)])
         new_rows = jnp.concatenate(
             [new_rows, jnp.zeros((pad, d), new_rows.dtype)])
-    import functools
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=((n + pad) // _CHUNK,),
