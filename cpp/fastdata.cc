@@ -282,10 +282,10 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  // version 8: live-cap compaction changed the range-plan output layout
-  // (trailing live-count array per single-stream group); the check keeps
-  // stale libs from silently mis-reading the call
-  if (r.i64() != 8) return nullptr;
+  // version 9: native sharded-window and compact (sopt) plan emission
+  // moved the wdt_transform ABI (sopt_mask arg); the check keeps stale
+  // libs from silently mis-reading the call
+  if (r.i64() != 9) return nullptr;
   auto plan = new Plan();
   plan->scatter_shards = std::max<int64_t>(r.i64(), 1);
   plan->n_columns = r.i64();
@@ -583,18 +583,31 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 //                  tiles [S, 4, n_tiles_for(cap, rows/S)], ok [S]
 //                  (ops/scatter.make_sharded_scatter_plan layout: localized
 //                  sorted streams per table shard; ok=0 on cap overflow)
-//              then per window_mask group (ascending): ids [B*P],
-//                perm [B*P], tiles [3, window_n_tiles(rows)], ok [1]
-//                (ops/scatter.make_window_plan layout: weight-0 padding
-//                remapped to an out-of-window sentinel before the sort;
-//                ok=0 + zero tiles when a window exceeds window_cap)
-// scat_mask: bit g set = emit a Pallas range/sharded scatter plan for
-// group g; window_mask: bit g set = emit a window plan (mutually
-// exclusive per group; ops/scatter.py contract, caller sizes buffers).
+//              then per window_mask group (ascending):
+//                scatter_shards == 1: ids [B*P], perm [B*P],
+//                  tiles [3, window_n_tiles(rows)], ok [1]
+//                  (ops/scatter.make_window_plan layout: weight-0 padding
+//                  remapped to an out-of-window sentinel before the sort;
+//                  ok=0 + zero tiles when a window exceeds window_cap)
+//                scatter_shards == S > 1: ids [S, cap], perm [S, cap],
+//                  tiles [S, 3, window_n_tiles(rows/S)], ok [S]
+//                  (ops/scatter.make_sharded_window_plan layout)
+//              then per sopt_mask group (ascending):
+//                scatter_shards == 1: uids [B*P], ids [B*P], perm [B*P],
+//                  tiles [4, n_tiles_for(B*P, B*P)]
+//                  (ops/scatter.make_compact_plan layout: dedup ranks +
+//                  sentinel-padded unique rows)
+//                scatter_shards == S > 1: uids [S, cap], ids [S, cap],
+//                  perm [S, cap], tiles [S, 4, n_tiles_for(cap, cap)],
+//                  ok [S] (ops/scatter.make_sharded_compact_plan layout)
+// scat_mask / window_mask / sopt_mask: bit g set = emit that plan kind for
+// group g (range and window are mutually exclusive per group; sopt may
+// coexist; ops/scatter.py contract, caller sizes buffers).
 int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                       int64_t capacity, int has_label, int multiclass,
                       double pos_w, double neg_w, int weighted, int n_threads,
-                      int64_t scat_mask, int64_t window_mask, void** outs) {
+                      int64_t scat_mask, int64_t window_mask,
+                      int64_t sopt_mask, void** outs) {
   const Plan& plan = *static_cast<Plan*>(plan_ptr);
   Outs o;
   int idx = 0;
@@ -637,6 +650,20 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     s.tiles = static_cast<int32_t*>(outs[idx++]);
     s.ok = static_cast<int32_t*>(outs[idx++]);
     wscats.push_back(s);
+  }
+  struct SoptOut { int64_t group; int32_t *uids, *ids, *perm, *tiles, *ok; };
+  std::vector<SoptOut> sopts;
+  for (size_t g = 0; g < plan.group_dims.size(); ++g) {
+    if (!(sopt_mask >> g & 1)) continue;
+    SoptOut s;
+    s.group = static_cast<int64_t>(g);
+    s.uids = static_cast<int32_t*>(outs[idx++]);
+    s.ids = static_cast<int32_t*>(outs[idx++]);
+    s.perm = static_cast<int32_t*>(outs[idx++]);
+    s.tiles = static_cast<int32_t*>(outs[idx++]);
+    s.ok = plan.scatter_shards > 1 ? static_cast<int32_t*>(outs[idx++])
+                                   : nullptr;
+    sopts.push_back(s);
   }
 
   // pass 1: line spans + validity (cell count match)
@@ -802,43 +829,156 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     if (!scat_ok.load()) return -2;  // id out of table range: wrong plan
   }
 
-  // window-plan post-pass (ops/scatter.make_window_plan parity): remap
-  // weight-0 pool padding to the out-of-window sentinel, sort, tile by
-  // fixed row windows; on a hot-window overflow emit sorted ids/perm with
-  // ok=0 and zero tiles (consumer falls back to the XLA scatter)
+  // window-plan post-pass (ops/scatter.make_window_plan /
+  // make_sharded_window_plan parity): remap weight-0 pool padding to an
+  // out-of-range sentinel, sort, tile by fixed row windows; on a
+  // hot-window overflow emit ok=0 and zero tiles (consumer falls back)
   for (const auto& s : wscats) {
     int64_t g = s.group;
     int64_t n = capacity * plan.group_packed[g];
     int64_t rows = plan.group_rows[g];
-    int64_t nt_w = window_n_tiles(rows);
-    int64_t sentinel = nt_w * kMaxr;
-    std::vector<int32_t> remapped(n);
+    const int64_t n_shards = plan.scatter_shards;
     const int32_t* gids = o.g_ids[g];
     const float* gwts = o.g_wts[g];
-    for (int64_t i = 0; i < n; ++i)
-      remapped[i] = gwts[i] != 0.0f ? gids[i]
-                                    : static_cast<int32_t>(sentinel);
-    stable_radix_argsort(remapped.data(), n, s.perm, s.ids);
-    const int64_t cap = window_cap(n, rows);
-    int32_t* starts = s.tiles;
-    int32_t* offs = s.tiles + nt_w;
-    int32_t* counts = s.tiles + 2 * nt_w;
-    // first pass: window counts only (tiles must stay zero on overflow)
-    bool fits = true;
-    int64_t i = 0;
-    std::vector<int64_t> bound(nt_w + 1, 0);
-    for (int64_t t = 0; t < nt_w; ++t) {
-      const int64_t hi_row = (t + 1) * kMaxr;
-      while (i < n && s.ids[i] < hi_row) ++i;
-      bound[t + 1] = i;
-      if (i - bound[t] > cap) { fits = false; break; }
+    if (n_shards <= 1) {
+      int64_t nt_w = window_n_tiles(rows);
+      int64_t sentinel = nt_w * kMaxr;
+      std::vector<int32_t> remapped(n);
+      for (int64_t i = 0; i < n; ++i)
+        remapped[i] = gwts[i] != 0.0f ? gids[i]
+                                      : static_cast<int32_t>(sentinel);
+      stable_radix_argsort(remapped.data(), n, s.perm, s.ids);
+      const int64_t cap = window_cap(n, rows);
+      int32_t* starts = s.tiles;
+      int32_t* offs = s.tiles + nt_w;
+      int32_t* counts = s.tiles + 2 * nt_w;
+      // first pass: window counts only (tiles must stay zero on overflow)
+      bool fits = true;
+      int64_t i = 0;
+      std::vector<int64_t> bound(nt_w + 1, 0);
+      for (int64_t t = 0; t < nt_w; ++t) {
+        const int64_t hi_row = (t + 1) * kMaxr;
+        while (i < n && s.ids[i] < hi_row) ++i;
+        bound[t + 1] = i;
+        if (i - bound[t] > cap) { fits = false; break; }
+      }
+      s.ok[0] = fits ? 1 : 0;
+      if (!fits) continue;
+      for (int64_t t = 0; t < nt_w; ++t) {
+        starts[t] = static_cast<int32_t>(bound[t] / kAlignIds * kAlignIds);
+        offs[t] = static_cast<int32_t>(bound[t] - starts[t]);
+        counts[t] = static_cast<int32_t>(bound[t + 1] - bound[t]);
+      }
+      continue;
     }
-    s.ok[0] = fits ? 1 : 0;
-    if (!fits) continue;
-    for (int64_t t = 0; t < nt_w; ++t) {
-      starts[t] = static_cast<int32_t>(bound[t] / kAlignIds * kAlignIds);
-      offs[t] = static_cast<int32_t>(bound[t] - starts[t]);
-      counts[t] = static_cast<int32_t>(bound[t + 1] - bound[t]);
+    // sharded window plans: per-shard localized streams + window tiles
+    const int64_t shard_rows = rows / n_shards;
+    const int64_t cap = shard_cap(n, n_shards);
+    const int64_t nt_w = window_n_tiles(shard_rows);
+    const int64_t wcap = window_cap(cap, shard_rows);
+    std::vector<int32_t> remapped(n);
+    for (int64_t i = 0; i < n; ++i)
+      remapped[i] = gwts[i] != 0.0f ? gids[i] : static_cast<int32_t>(rows);
+    std::vector<int32_t> gperm(n), gsort(n);
+    stable_radix_argsort(remapped.data(), n, gperm.data(), gsort.data());
+    int64_t lo = 0;
+    for (int64_t sh = 0; sh < n_shards; ++sh) {
+      const int64_t bnd = (sh + 1) * shard_rows;
+      int64_t hi = std::lower_bound(gsort.begin() + lo, gsort.end(),
+                                    static_cast<int32_t>(bnd))
+                   - gsort.begin();
+      const int64_t cnt = hi - lo;
+      int32_t* sid = s.ids + sh * cap;
+      int32_t* spm = s.perm + sh * cap;
+      int32_t* stl = s.tiles + sh * 3 * nt_w;
+      if (cnt > cap) { lo = hi; continue; }  // ok stays 0
+      const int32_t base = static_cast<int32_t>(sh * shard_rows);
+      // window counts before committing (tiles stay zero on overflow)
+      bool fits = true;
+      std::vector<int64_t> bound(nt_w + 1, 0);
+      int64_t i = lo;
+      for (int64_t t = 0; t < nt_w; ++t) {
+        const int64_t hi_row = base + (t + 1) * kMaxr;
+        while (i < hi && gsort[i] < hi_row) ++i;
+        bound[t + 1] = i - lo;
+        if (bound[t + 1] - bound[t] > wcap) { fits = false; break; }
+      }
+      if (!fits) { lo = hi; continue; }  // ok stays 0
+      s.ok[sh] = 1;
+      if (cnt == 0) { lo = hi; continue; }  // valid empty plan
+      for (int64_t k = 0; k < cnt; ++k) {
+        sid[k] = gsort[lo + k] - base;
+        spm[k] = gperm[lo + k];
+      }
+      for (int64_t t = 0; t < nt_w; ++t) {
+        stl[t] = static_cast<int32_t>(bound[t] / kAlignIds * kAlignIds);
+        stl[nt_w + t] = static_cast<int32_t>(bound[t] - stl[t]);
+        stl[2 * nt_w + t] = static_cast<int32_t>(bound[t + 1] - bound[t]);
+      }
+      lo = hi;
+    }
+  }
+
+  // compact (sopt) plan post-pass (ops/scatter.make_compact_plan /
+  // make_sharded_compact_plan parity): dedup ranks over the sorted
+  // stream + sentinel-padded unique rows + range tiles in compact space
+  for (const auto& s : sopts) {
+    int64_t g = s.group;
+    int64_t n = capacity * plan.group_packed[g];
+    int64_t rows = plan.group_rows[g];
+    const int64_t n_shards = plan.scatter_shards;
+    if (n_shards <= 1) {
+      stable_radix_argsort(o.g_ids[g], n, s.perm, s.uids);  // uids = sorted
+      // compact ranks into s.ids; unique rows into s.uids prefix
+      int64_t u = 0;
+      int32_t prev = -1;
+      for (int64_t i = 0; i < n; ++i) {
+        int32_t v = s.uids[i];
+        if (i == 0 || v != prev) { s.uids[u] = v; ++u; prev = v; }
+        s.ids[i] = static_cast<int32_t>(u - 1);
+      }
+      for (int64_t i = u; i < n; ++i)  // distinct ascending sentinels
+        s.uids[i] = static_cast<int32_t>(rows + i);
+      if (!build_tiles(s.ids, n, n, s.tiles, n_tiles_for(n, n)))
+        return -3;  // compact ranks out of range: impossible unless bug
+      continue;
+    }
+    const int64_t shard_rows = rows / n_shards;
+    const int64_t cap = shard_cap(n, n_shards);
+    const int64_t nt = n_tiles_for(cap, cap);
+    // sentinel-prefill uids (distinct ascending >= shard_rows)
+    for (int64_t sh = 0; sh < n_shards; ++sh)
+      for (int64_t i = 0; i < cap; ++i)
+        s.uids[sh * cap + i] = static_cast<int32_t>(shard_rows + i);
+    std::vector<int32_t> gperm(n), gsort(n);
+    stable_radix_argsort(o.g_ids[g], n, gperm.data(), gsort.data());
+    int64_t lo = 0;
+    for (int64_t sh = 0; sh < n_shards; ++sh) {
+      const int64_t bnd = (sh + 1) * shard_rows;
+      int64_t hi = std::lower_bound(gsort.begin() + lo, gsort.end(),
+                                    static_cast<int32_t>(bnd))
+                   - gsort.begin();
+      const int64_t cnt = hi - lo;
+      if (cnt > cap) { lo = hi; continue; }  // ok stays 0
+      s.ok[sh] = 1;
+      if (cnt == 0) { lo = hi; continue; }  // valid empty plan
+      int32_t* su = s.uids + sh * cap;
+      int32_t* sid = s.ids + sh * cap;
+      int32_t* spm = s.perm + sh * cap;
+      const int32_t base = static_cast<int32_t>(sh * shard_rows);
+      int64_t u = 0;
+      int32_t prev = -1;
+      for (int64_t i = 0; i < cnt; ++i) {
+        int32_t v = gsort[lo + i] - base;
+        if (i == 0 || v != prev) { su[u] = v; ++u; prev = v; }
+        sid[i] = static_cast<int32_t>(u - 1);
+        spm[i] = gperm[lo + i];
+      }
+      for (int64_t i = u; i < cap; ++i)
+        su[i] = static_cast<int32_t>(shard_rows + i);
+      if (!build_tiles(sid, cnt, cap, s.tiles + sh * 4 * nt, nt))
+        return -3;
+      lo = hi;
     }
   }
   return n_rows;

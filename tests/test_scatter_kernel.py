@@ -425,6 +425,44 @@ class TestScatterPlanPlumbing:
             oks |= {int(py[k][0]) for k in ok_keys}
         assert oks == {0, 1}, f"both cap regimes must be exercised: {oks}"
 
+    def test_python_cpp_compact_and_sharded_window_parity(
+            self, small_config, monkeypatch):
+        """Native (v9) emission of compact/sopt plans (single + sharded)
+        and SHARDED window plans must be bit-identical to the Python
+        builders for every array including uids sentinels and ok flags."""
+        from wide_deep_tpu.features.native import NativeTransformer
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        import wide_deep_tpu.optim.sparse as sparse_lib
+        if not NativeTransformer.available():
+            pytest.skip("native lib not built")
+        monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
+        with open("/root/reference/data/train/train1") as f:
+            rows = [l.rstrip("\n").split("\t") for l in f][:300]
+        # single-device: compact plans for every group (fold off so all
+        # groups are sparse-eligible)
+        plan1 = FeaturePlan(small_config, fold=False, sparse_opt=True)
+        py = FeatureTransformer(plan1).transform(rows, 512, mode="train")
+        cc = NativeTransformer(plan1).transform(rows, 512, mode="train")
+        assert any(k.startswith("sopt_uids_") for k in py)
+        assert set(py) == set(cc)
+        for k in sorted(py):
+            np.testing.assert_array_equal(py[k], cc[k], err_msg=k)
+        # 8-shard mesh plans: sharded compact + sharded window together
+        monkeypatch.setattr(FeaturePlan, "window_group",
+                            lambda self, g, b: self.pallas_scatter
+                            and g.rows % 8 == 0)
+        plan8 = FeaturePlan(small_config, fold=False, sparse_opt=True,
+                            pallas_scatter=True, scatter_shards=8,
+                            shard_threshold=1)
+        py = FeatureTransformer(plan8).transform(rows, 512, mode="train")
+        cc = NativeTransformer(plan8).transform(rows, 512, mode="train")
+        assert any(k.startswith("sopt_ok_") for k in py)
+        assert any(k.startswith("wscat_ok_") for k in py)
+        assert set(py) == set(cc)
+        for k in sorted(py):
+            np.testing.assert_array_equal(py[k], cc[k], err_msg=k)
+
     def test_window_training_matches_xla_path(self, small_config, tmp_path,
                                               monkeypatch):
         """End-to-end: window-mode scatter backward == XLA scatter backward

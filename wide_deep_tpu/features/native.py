@@ -41,7 +41,9 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
     ok flags) for multi-device meshes; v7 added window-plan emission
     (wdt_transform gained the window_mask argument); v8 added live-cap
     compaction to single-stream range plans (weight-0 padding remapped to
-    an out-of-range sentinel + a trailing live-count array per group).
+    an out-of-range sentinel + a trailing live-count array per group); v9
+    added native sharded-window and compact/sopt plan emission
+    (wdt_transform gained the sopt_mask argument).
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
     lockstep with cpp/fastdata.cc::parse_plan.
@@ -61,7 +63,7 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(8)  # version (v8: live-cap compaction in range plans)
+    i64(9)  # version (v9: native sharded-window + compact plan emission)
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
     i64(int(getattr(plan, "scatter_shards", 1)))
     i64(len(plan.columns), int(plan.multivalue), int(plan.pack_budget),
@@ -148,7 +150,7 @@ class NativeTransformer:
             ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_void_p)]
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p)]
         blob = serialize_plan(plan)
         self._plan_handle = self._lib.wdt_plan_create(blob, len(blob))
         if not self._plan_handle:
@@ -197,10 +199,12 @@ class NativeTransformer:
         # (fixed row windows) for sparse streams
         scat_mask = 0
         window_mask = 0
+        sopt_mask = 0
         if mode == "train":
             from wide_deep_tpu.ops.scatter import (
-                scatter_batch_spec, sharded_scatter_batch_spec,
-                window_batch_spec)
+                compact_plan_spec, scatter_batch_spec,
+                sharded_compact_plan_spec, sharded_scatter_batch_spec,
+                sharded_window_batch_spec, window_batch_spec)
             for gi, g in enumerate(plan.groups):
                 if not plan.scatter_group(g, B):
                     continue
@@ -219,15 +223,34 @@ class NativeTransformer:
                     out[f"scat_{key}_d{g.dim}"] = arr
                     ptr_order.append(arr)
             for gi, g in enumerate(plan.groups):
-                if not plan.window_group(g, B) or plan.scatter_shards > 1:
-                    continue  # sharded window plans: numpy post-pass below
+                if not plan.window_group(g, B):
+                    continue
                 window_mask |= 1 << gi
-                spec = window_batch_spec(B * plan.group_packed_len[g.dim],
-                                         g.rows)
+                n_ids = B * plan.group_packed_len[g.dim]
+                spec = (sharded_window_batch_spec(
+                            n_ids, g.rows, plan.scatter_shards)
+                        if plan.scatter_shards > 1
+                        else window_batch_spec(n_ids, g.rows))
                 for key in ("ids", "perm", "tiles", "ok"):
                     shape, dt = spec[key]
                     arr = np.zeros(shape, dt)
                     out[f"wscat_{key}_d{g.dim}"] = arr
+                    ptr_order.append(arr)
+            for gi, g in enumerate(plan.groups):
+                if not plan.sparse_opt_group(g, B):
+                    continue
+                sopt_mask |= 1 << gi
+                n_ids = B * plan.group_packed_len[g.dim]
+                spec = (sharded_compact_plan_spec(
+                            n_ids, plan.scatter_shards)
+                        if plan.scatter_shards > 1
+                        else compact_plan_spec(n_ids))
+                for key in ("uids", "ids", "perm", "tiles", "ok"):
+                    if key not in spec:
+                        continue
+                    shape, dt = spec[key]
+                    arr = np.zeros(shape, dt)
+                    out[f"sopt_{key}_d{g.dim}"] = arr
                     ptr_order.append(arr)
 
         ptrs = (ctypes.c_void_p * len(ptr_order))(
@@ -238,42 +261,20 @@ class NativeTransformer:
             1 if self.n_classes > 2 else 0,
             float(self.pos_weight or 1.0), float(self.neg_weight or 1.0),
             1 if self.weighted else 0, self.n_threads, scat_mask,
-            window_mask, ptrs)
+            window_mask, sopt_mask, ptrs)
         if n < 0:
             raise RuntimeError(f"wdt_transform failed: {n}")
         if mode == "train":
-            # dedup + compact + sharded-window plans: numpy post-pass over
-            # the C++-packed ids (range/sharded/window single-stream plans
-            # are emitted natively; these sort far smaller streams or run
-            # on multi-device meshes only — port to C++ if profiles say so)
-            from wide_deep_tpu.ops.scatter import (make_compact_plan,
-                                                   make_dedup_plan,
-                                                   make_sharded_window_plan)
+            # dedup plans: numpy post-pass over the C++-packed ids (every
+            # other plan kind — range/sharded/window/compact — is emitted
+            # natively; dedup sorts a far smaller unique stream)
+            from wide_deep_tpu.ops.scatter import make_dedup_plan
             for g in plan.groups:
                 if plan.dedup_group(g, B):
                     dp = make_dedup_plan(out[f"emb_ids_d{g.dim}"], g.rows,
                                          plan.scatter_shards)
                     for key, arr in dp.items():
                         out[f"dscat_{key}_d{g.dim}"] = arr
-                if plan.window_group(g, B) and plan.scatter_shards > 1:
-                    wp = make_sharded_window_plan(
-                        out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows,
-                        plan.scatter_shards,
-                        out[f"emb_wts_d{g.dim}"].reshape(-1))
-                    for key, arr in wp.items():
-                        out[f"wscat_{key}_d{g.dim}"] = arr
-                if plan.sparse_opt_group(g, B):
-                    if plan.scatter_shards > 1:
-                        from wide_deep_tpu.ops.scatter import (
-                            make_sharded_compact_plan)
-                        cp = make_sharded_compact_plan(
-                            out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows,
-                            plan.scatter_shards)
-                    else:
-                        cp = make_compact_plan(
-                            out[f"emb_ids_d{g.dim}"].reshape(-1), g.rows)
-                    for key, arr in cp.items():
-                        out[f"sopt_{key}_d{g.dim}"] = arr
         if mode == "pred":
             out.pop("label"); out.pop("weight")
         return out
