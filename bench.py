@@ -205,9 +205,19 @@ def main():
     for i in range(WARMUP_STEPS):
         params, mstate, opt_state, loss = step(params, mstate, opt_state,
                                                dbatch, key, i)
+        if i == 0:
+            loss0 = float(loss)
     jax.block_until_ready(loss)
     warmup_s = time.time() - t0
     log(f"warmup (incl. compile) {warmup_s:.1f}s; loss={float(loss):.4f}")
+    # sanity: a timing from a numerically broken step is worthless — the
+    # loss must be finite and moving down on the repeated synthetic batch.
+    # Non-finite fails hard; non-improving only warns (scheduler quirks
+    # must not cost a benchmark run its JSON line).
+    assert np.isfinite(loss0) and np.isfinite(float(loss)), (loss0, loss)
+    if float(loss) >= loss0:
+        log(f"WARNING: loss did not improve over warmup: "
+            f"{loss0} -> {float(loss)}")
 
     # BENCH_PROFILE=<dir>: capture a 3-step profiler trace for
     # tools/parse_xplane.py op-time analysis
