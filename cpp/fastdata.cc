@@ -186,6 +186,25 @@ inline int64_t window_cap(int64_t n_ids, int64_t rows) {
   return std::max<int64_t>(kAlignIds, std::min(cap, kTIds));
 }
 
+// dedup-exchange cap (ops/scatter.dedup_cap parity): DEDUP_SLACK x the
+// expected unique count of n_ids uniform draws over rows, per shard
+constexpr double kDedupSlack = 1.5;
+
+inline int64_t dedup_cap(int64_t n_ids, int64_t rows, int64_t n_shards) {
+  const int64_t shard_rows = rows / n_shards;
+  const double lam = static_cast<double>(n_ids) / static_cast<double>(rows);
+  const double e_unique = static_cast<double>(rows) * (1.0 - std::exp(-lam));
+  int64_t cap = static_cast<int64_t>(
+                    std::ceil(kDedupSlack * e_unique
+                              / static_cast<double>(n_shards)
+                              / static_cast<double>(kAlignIds)))
+                * kAlignIds;
+  const int64_t safe =
+      (shard_rows + kAlignIds - 1) / kAlignIds * kAlignIds;
+  return std::max<int64_t>(kAlignIds,
+                           std::min(cap, std::min(safe, n_ids)));
+}
+
 // stable LSB radix argsort of non-negative int32 ids (16-bit digits: two
 // passes cover the full range, one when ids < 65536); fills perm/sorted.
 void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
@@ -282,10 +301,10 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  // version 9: native sharded-window and compact (sopt) plan emission
-  // moved the wdt_transform ABI (sopt_mask arg); the check keeps stale
-  // libs from silently mis-reading the call
-  if (r.i64() != 9) return nullptr;
+  // version 10: native dedup-exchange plan emission moved the
+  // wdt_transform ABI (dedup_mask arg); the check keeps stale libs from
+  // silently mis-reading the call
+  if (r.i64() != 10) return nullptr;
   auto plan = new Plan();
   plan->scatter_shards = std::max<int64_t>(r.i64(), 1);
   plan->n_columns = r.i64();
@@ -600,14 +619,20 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 //                scatter_shards == S > 1: uids [S, cap], ids [S, cap],
 //                  perm [S, cap], tiles [S, 4, n_tiles_for(cap, cap)],
 //                  ok [S] (ops/scatter.make_sharded_compact_plan layout)
-// scat_mask / window_mask / sopt_mask: bit g set = emit that plan kind for
-// group g (range and window are mutually exclusive per group; sopt may
-// coexist; ops/scatter.py contract, caller sizes buffers).
+//              then per dedup_mask group (ascending): uids [S, dcap],
+//                slots [B, P] (ops/scatter.make_dedup_plan layout:
+//                per-shard unique LOCAL ids sentinel-padded with
+//                shard_rows; slots[b,p] = shard*dcap + unique position)
+// scat_mask / window_mask / sopt_mask / dedup_mask: bit g set = emit that
+// plan kind for group g (range and window are mutually exclusive per
+// group; sopt/dedup may coexist; ops/scatter.py contract, caller sizes
+// buffers).  Returns -4 when a dedup shard's unique count exceeds its
+// static cap (the Python builder raises in the same case).
 int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                       int64_t capacity, int has_label, int multiclass,
                       double pos_w, double neg_w, int weighted, int n_threads,
                       int64_t scat_mask, int64_t window_mask,
-                      int64_t sopt_mask, void** outs) {
+                      int64_t sopt_mask, int64_t dedup_mask, void** outs) {
   const Plan& plan = *static_cast<Plan*>(plan_ptr);
   Outs o;
   int idx = 0;
@@ -664,6 +689,16 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     s.ok = plan.scatter_shards > 1 ? static_cast<int32_t*>(outs[idx++])
                                    : nullptr;
     sopts.push_back(s);
+  }
+  struct DedupOut { int64_t group; int32_t *uids, *slots; };
+  std::vector<DedupOut> dedups;
+  for (size_t g = 0; g < plan.group_dims.size(); ++g) {
+    if (!(dedup_mask >> g & 1)) continue;
+    DedupOut s;
+    s.group = static_cast<int64_t>(g);
+    s.uids = static_cast<int32_t*>(outs[idx++]);
+    s.slots = static_cast<int32_t*>(outs[idx++]);
+    dedups.push_back(s);
   }
 
   // pass 1: line spans + validity (cell count match)
@@ -979,6 +1014,38 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       if (!build_tiles(sid, cnt, cap, s.tiles + sh * 4 * nt, nt))
         return -3;
       lo = hi;
+    }
+  }
+
+  // dedup-exchange post-pass (ops/scatter.make_dedup_plan parity):
+  // per-shard unique LOCAL ids (sentinel shard_rows past the unique
+  // count) + each entry's flat slot (shard*cap + unique position)
+  for (const auto& s : dedups) {
+    int64_t g = s.group;
+    int64_t n = capacity * plan.group_packed[g];
+    int64_t rows = plan.group_rows[g];
+    const int64_t n_shards = std::max<int64_t>(plan.scatter_shards, 1);
+    if (rows % n_shards) return -4;
+    const int64_t shard_rows = rows / n_shards;
+    const int64_t cap = dedup_cap(n, rows, n_shards);
+    for (int64_t i = 0; i < n_shards * cap; ++i)
+      s.uids[i] = static_cast<int32_t>(shard_rows);  // sentinel prefill
+    std::vector<int32_t> gperm(n), gsort(n);
+    stable_radix_argsort(o.g_ids[g], n, gperm.data(), gsort.data());
+    int64_t sh = 0, u_in_shard = 0;
+    int32_t cur_slot = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t v = gsort[i];
+      if (v < 0 || v >= rows) return -2;  // id out of range: wrong plan
+      if (i == 0 || v != gsort[i - 1]) {
+        while (v >= (sh + 1) * shard_rows) { ++sh; u_in_shard = 0; }
+        if (u_in_shard >= cap) return -4;  // unique count > static cap
+        s.uids[sh * cap + u_in_shard] =
+            static_cast<int32_t>(v - sh * shard_rows);
+        cur_slot = static_cast<int32_t>(sh * cap + u_in_shard);
+        ++u_in_shard;
+      }
+      s.slots[gperm[i]] = cur_slot;
     }
   }
   return n_rows;

@@ -462,6 +462,15 @@ class TestScatterPlanPlumbing:
         assert set(py) == set(cc)
         for k in sorted(py):
             np.testing.assert_array_equal(py[k], cc[k], err_msg=k)
+        # dedup-exchange plans (shard_kind=dedup): uids + slots parity
+        pland = FeaturePlan(small_config, fold=False, scatter_shards=8,
+                            shard_threshold=1, shard_kind="dedup")
+        py = FeatureTransformer(pland).transform(rows, 512, mode="train")
+        cc = NativeTransformer(pland).transform(rows, 512, mode="train")
+        assert any(k.startswith("dscat_uids_") for k in py)
+        assert set(py) == set(cc)
+        for k in sorted(py):
+            np.testing.assert_array_equal(py[k], cc[k], err_msg=k)
 
     def test_window_training_matches_xla_path(self, small_config, tmp_path,
                                               monkeypatch):

@@ -43,7 +43,9 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
     compaction to single-stream range plans (weight-0 padding remapped to
     an out-of-range sentinel + a trailing live-count array per group); v9
     added native sharded-window and compact/sopt plan emission
-    (wdt_transform gained the sopt_mask argument).
+    (wdt_transform gained the sopt_mask argument); v10 added native
+    dedup-exchange plans (wdt_transform gained the dedup_mask argument) —
+    every per-batch plan kind now emits inside the C++ loader.
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
     lockstep with cpp/fastdata.cc::parse_plan.
@@ -63,7 +65,7 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(9)  # version (v9: native sharded-window + compact plan emission)
+    i64(10)  # version (v10: native dedup-exchange plan emission)
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
     i64(int(getattr(plan, "scatter_shards", 1)))
     i64(len(plan.columns), int(plan.multivalue), int(plan.pack_budget),
@@ -150,7 +152,8 @@ class NativeTransformer:
             ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p)]
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p)]
         blob = serialize_plan(plan)
         self._plan_handle = self._lib.wdt_plan_create(blob, len(blob))
         if not self._plan_handle:
@@ -200,9 +203,10 @@ class NativeTransformer:
         scat_mask = 0
         window_mask = 0
         sopt_mask = 0
+        dedup_mask = 0
         if mode == "train":
             from wide_deep_tpu.ops.scatter import (
-                compact_plan_spec, scatter_batch_spec,
+                compact_plan_spec, dedup_batch_spec, scatter_batch_spec,
                 sharded_compact_plan_spec, sharded_scatter_batch_spec,
                 sharded_window_batch_spec, window_batch_spec)
             for gi, g in enumerate(plan.groups):
@@ -252,6 +256,18 @@ class NativeTransformer:
                     arr = np.zeros(shape, dt)
                     out[f"sopt_{key}_d{g.dim}"] = arr
                     ptr_order.append(arr)
+            for gi, g in enumerate(plan.groups):
+                if not plan.dedup_group(g, B):
+                    continue
+                dedup_mask |= 1 << gi
+                P = plan.group_packed_len[g.dim]
+                spec = dedup_batch_spec(B * P, g.rows,
+                                        plan.scatter_shards, (B, P))
+                for key in ("uids", "slots"):
+                    shape, dt = spec[key]
+                    arr = np.zeros(shape, dt)
+                    out[f"dscat_{key}_d{g.dim}"] = arr
+                    ptr_order.append(arr)
 
         ptrs = (ctypes.c_void_p * len(ptr_order))(
             *[a.ctypes.data_as(ctypes.c_void_p).value for a in ptr_order])
@@ -261,20 +277,14 @@ class NativeTransformer:
             1 if self.n_classes > 2 else 0,
             float(self.pos_weight or 1.0), float(self.neg_weight or 1.0),
             1 if self.weighted else 0, self.n_threads, scat_mask,
-            window_mask, sopt_mask, ptrs)
+            window_mask, sopt_mask, dedup_mask, ptrs)
+        if n == -4:
+            raise ValueError(
+                "dedup exchange: a table shard's unique-id count exceeded "
+                "its static cap — unusually spread ids; raise DEDUP_SLACK "
+                "or use sharded_lookup: explicit")
         if n < 0:
             raise RuntimeError(f"wdt_transform failed: {n}")
-        if mode == "train":
-            # dedup plans: numpy post-pass over the C++-packed ids (every
-            # other plan kind — range/sharded/window/compact — is emitted
-            # natively; dedup sorts a far smaller unique stream)
-            from wide_deep_tpu.ops.scatter import make_dedup_plan
-            for g in plan.groups:
-                if plan.dedup_group(g, B):
-                    dp = make_dedup_plan(out[f"emb_ids_d{g.dim}"], g.rows,
-                                         plan.scatter_shards)
-                    for key, arr in dp.items():
-                        out[f"dscat_{key}_d{g.dim}"] = arr
         if mode == "pred":
             out.pop("label"); out.pop("weight")
         return out
