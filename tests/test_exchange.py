@@ -236,6 +236,20 @@ class TestPlannedWindowGather:
                                    atol=1e-6)
 
 
+class TestDedupCapOverflow:
+    def test_python_and_native_raise_alike(self):
+        """Adversarially concentrated unique ids (one shard holding 4x the
+        expected unique count) must fail LOUDLY in both builders — the
+        Python make_dedup_plan ValueError and the C++ loader's -4 return
+        both say to raise DEDUP_SLACK or use the explicit exchange."""
+        from wide_deep_tpu.ops.scatter import dedup_cap, make_dedup_plan
+        rows, n_shards, n = 65536, 8, 1024
+        assert dedup_cap(n, rows, n_shards) < n  # construction valid
+        ids = np.arange(n, dtype=np.int32).reshape(16, 64)  # all shard 0
+        with pytest.raises(ValueError, match="DEDUP_SLACK"):
+            make_dedup_plan(ids, rows, n_shards)
+
+
 class TestDedupGather:
     """Host-assisted dedup exchange (sharded_lookup: dedup): unique-row
     all-gather + host slots must be jnp.take — values and grads — and the
