@@ -301,10 +301,10 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  // version 10: native dedup-exchange plan emission moved the
-  // wdt_transform ABI (dedup_mask arg); the check keeps stale libs from
-  // silently mis-reading the call
-  if (r.i64() != 10) return nullptr;
+  // version 11: per-shard live counts in the sharded range/window plan
+  // output layout; the check keeps stale libs from silently mis-reading
+  // the call
+  if (r.i64() != 11) return nullptr;
   auto plan = new Plan();
   plan->scatter_shards = std::max<int64_t>(r.i64(), 1);
   plan->n_columns = r.i64();
@@ -599,9 +599,10 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 //                  sentinel so it sorts to the tail; tiles cover only
 //                  the live prefix; live = non-padding count)
 //                scatter_shards == S > 1: ids [S, cap], perm [S, cap],
-//                  tiles [S, 4, n_tiles_for(cap, rows/S)], ok [S]
+//                  tiles [S, 4, n_tiles_for(cap, rows/S)], ok [S], live [S]
 //                  (ops/scatter.make_sharded_scatter_plan layout: localized
-//                  sorted streams per table shard; ok=0 on cap overflow)
+//                  sorted streams per table shard; ok=0 on cap overflow;
+//                  live = per-shard id count for live-cap compaction)
 //              then per window_mask group (ascending):
 //                scatter_shards == 1: ids [B*P], perm [B*P],
 //                  tiles [3, window_n_tiles(rows)], ok [1]
@@ -609,7 +610,7 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 //                  remapped to an out-of-window sentinel before the sort;
 //                  ok=0 + zero tiles when a window exceeds window_cap)
 //                scatter_shards == S > 1: ids [S, cap], perm [S, cap],
-//                  tiles [S, 3, window_n_tiles(rows/S)], ok [S]
+//                  tiles [S, 3, window_n_tiles(rows/S)], ok [S], live [S]
 //                  (ops/scatter.make_sharded_window_plan layout)
 //              then per sopt_mask group (ascending):
 //                scatter_shards == 1: uids [B*P], ids [B*P], perm [B*P],
@@ -660,11 +661,10 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     s.tiles = static_cast<int32_t*>(outs[idx++]);
     s.ok = plan.scatter_shards > 1 ? static_cast<int32_t*>(outs[idx++])
                                    : nullptr;
-    s.live = plan.scatter_shards > 1 ? nullptr
-                                     : static_cast<int32_t*>(outs[idx++]);
+    s.live = static_cast<int32_t*>(outs[idx++]);  // [1] single / [S] sharded
     scats.push_back(s);
   }
-  struct WScatOut { int64_t group; int32_t *ids, *perm, *tiles, *ok; };
+  struct WScatOut { int64_t group; int32_t *ids, *perm, *tiles, *ok, *live; };
   std::vector<WScatOut> wscats;
   for (size_t g = 0; g < plan.group_dims.size(); ++g) {
     if (!(window_mask >> g & 1)) continue;
@@ -674,6 +674,8 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     s.perm = static_cast<int32_t*>(outs[idx++]);
     s.tiles = static_cast<int32_t*>(outs[idx++]);
     s.ok = static_cast<int32_t*>(outs[idx++]);
+    s.live = plan.scatter_shards > 1 ? static_cast<int32_t*>(outs[idx++])
+                                     : nullptr;
     wscats.push_back(s);
   }
   struct SoptOut { int64_t group; int32_t *uids, *ids, *perm, *tiles, *ok; };
@@ -834,6 +836,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
         int32_t* sid = s.ids + sh * cap;
         int32_t* spm = s.perm + sh * cap;
         int32_t* stl = s.tiles + sh * 4 * nt;
+        s.live[sh] = static_cast<int32_t>(cnt);
         if (cnt > cap) {  // hot-key skew: consumer falls back to XLA
           s.ok[sh] = 0;
           lo = hi;
@@ -926,6 +929,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       int32_t* sid = s.ids + sh * cap;
       int32_t* spm = s.perm + sh * cap;
       int32_t* stl = s.tiles + sh * 3 * nt_w;
+      s.live[sh] = static_cast<int32_t>(cnt);
       if (cnt > cap) { lo = hi; continue; }  // ok stays 0
       const int32_t base = static_cast<int32_t>(sh * shard_rows);
       // window counts before committing (tiles stay zero on overflow)

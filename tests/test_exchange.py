@@ -236,6 +236,111 @@ class TestPlannedWindowGather:
                                    atol=1e-6)
 
 
+class TestPlannedGatherLiveCap:
+    """Per-shard live-cap compaction (ops/scatter.shard_live_cap +
+    the ``plan_live`` arg of planned_sharded_gather): when every shard's
+    live count fits the 1.25x-even-split static cap, the backward runs on
+    the compacted stream prefix — grads must stay exactly jnp.take's; a
+    shard whose live count exceeds the compact cap (but fits the full 2x
+    cap) must take the full-width branch, also exactly."""
+
+    def _grads(self, mesh8, table, ids, cot, wts=None, window=False):
+        from wide_deep_tpu.ops.scatter import (make_sharded_scatter_plan,
+                                               make_sharded_window_plan)
+        from wide_deep_tpu.parallel.exchange import planned_sharded_gather
+        rows = table.shape[0]
+        make = make_sharded_window_plan if window else make_sharded_scatter_plan
+        sp = make(ids.reshape(-1), rows, mesh8.devices.size,
+                  None if wts is None else wts.reshape(-1))
+        sall = P(("data", "model"))
+        tbl = jax.device_put(jnp.asarray(table), NamedSharding(mesh8, sall))
+        args = [jax.device_put(jnp.asarray(sp[k]), NamedSharding(mesh8, sall))
+                for k in ("ids", "perm", "tiles", "ok", "live")]
+
+        def loss(t, i):
+            out = planned_sharded_gather(t, i, *args[:4], mesh=mesh8,
+                                         interpret=True, plan_live=args[4])
+            return jnp.vdot(out.astype(jnp.float32), jnp.asarray(cot))
+
+        g = jax.jit(jax.grad(loss))(tbl, jnp.asarray(ids))
+        return np.asarray(g, np.float32), sp
+
+    def _ref(self, table, ids, cot):
+        return np.asarray(jax.grad(
+            lambda t: jnp.vdot(jnp.take(t, jnp.asarray(ids), axis=0),
+                               jnp.asarray(cot)))(jnp.asarray(table)))
+
+    def test_compact_branch_grads_exact(self, mesh8):
+        """Uniform ids + 25% weight-0 padding: every shard's live count is
+        well under shard_live_cap, so the sliced branch runs — grads must
+        match jnp.take exactly (padding cotangents are zero, as the model's
+        pool weights guarantee)."""
+        from wide_deep_tpu.ops.scatter import shard_cap, shard_live_cap
+        rows, D, B, Pw = 512, 8, 512, 8
+        n, S = B * Pw, mesh8.devices.size
+        small, cap = shard_live_cap(n, S), shard_cap(n, S)
+        assert small < cap, "shapes must engage the live-cap branch"
+        rng = np.random.default_rng(31)
+        table = rng.normal(size=(rows, D)).astype(np.float32)
+        ids = rng.integers(0, rows, (B, Pw)).astype(np.int32)
+        wts = np.ones((B, Pw), np.float32)
+        pad = rng.random((B, Pw)) < 0.25
+        ids[pad], wts[pad] = 0, 0.0
+        cot = rng.normal(size=(B, Pw, D)).astype(np.float32)
+        cot[pad] = 0.0
+        g, sp = self._grads(mesh8, table, ids, cot, wts)
+        assert sp["ok"].all(), sp["ok"]
+        assert (sp["live"] <= small).all(), (sp["live"], small)
+        np.testing.assert_allclose(g, self._ref(table, ids, cot),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_live_overflow_takes_full_branch(self, mesh8):
+        """Shard 0 skewed past shard_live_cap but within the full 2x cap:
+        ok stays 1, the full-width branch runs for that shard — grads
+        still exact."""
+        from wide_deep_tpu.ops.scatter import shard_cap, shard_live_cap
+        rows, D, B, Pw = 512, 8, 512, 8
+        n, S = B * Pw, mesh8.devices.size
+        small, cap = shard_live_cap(n, S), shard_cap(n, S)
+        shard_rows = rows // S
+        rng = np.random.default_rng(32)
+        table = rng.normal(size=(rows, D)).astype(np.float32)
+        hot = (small + cap) // 2  # between the compact and the full cap
+        ids = rng.integers(shard_rows, rows, n).astype(np.int32)
+        ids[:hot] = rng.integers(0, shard_rows, hot)  # exactly hot in shard 0
+        ids = rng.permutation(ids).reshape(B, Pw).astype(np.int32)
+        cot = rng.normal(size=(B, Pw, D)).astype(np.float32)
+        g, sp = self._grads(mesh8, table, ids, cot)
+        assert sp["ok"].all(), sp["ok"]
+        assert sp["live"][0] > small and sp["live"][0] <= cap, (
+            sp["live"], small, cap)
+        np.testing.assert_allclose(g, self._ref(table, ids, cot),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_window_mode_compact_branch(self, mesh8):
+        """Window-mode sharded plans carry live counts too: the sliced
+        stream with full-cap-derived window caps stays exact."""
+        from wide_deep_tpu.ops.scatter import shard_cap, shard_live_cap
+        rows, D, B, Pw = 512, 16, 512, 8
+        n, S = B * Pw, mesh8.devices.size
+        small, cap = shard_live_cap(n, S), shard_cap(n, S)
+        assert small < cap
+        rng = np.random.default_rng(33)
+        table = rng.normal(size=(rows, D)).astype(np.float32)
+        ids = rng.integers(0, rows, (B, Pw)).astype(np.int32)
+        wts = np.ones((B, Pw), np.float32)
+        pad = rng.random((B, Pw)) < 0.25
+        ids[pad], wts[pad] = 0, 0.0
+        cot = rng.normal(size=(B, Pw, D)).astype(np.float32)
+        cot[pad] = 0.0
+        g, sp = self._grads(mesh8, table, ids, cot, wts, window=True)
+        assert sp["tiles"].shape[1] == 3  # window layout reached the VJP
+        assert sp["ok"].all(), sp["ok"]
+        assert (sp["live"] <= small).all(), (sp["live"], small)
+        np.testing.assert_allclose(g, self._ref(table, ids, cot),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestDedupCapOverflow:
     def test_python_and_native_raise_alike(self):
         """Adversarially concentrated unique ids (one shard holding 4x the

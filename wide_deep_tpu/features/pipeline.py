@@ -293,6 +293,7 @@ class FeatureTransformer:
                         g_ids[g.dim].reshape(-1), g.rows,
                         plan.scatter_shards, g_wts[g.dim].reshape(-1))
                     out[f"scat_ok_d{g.dim}"] = sp["ok"]
+                    out[f"scat_live_d{g.dim}"] = sp["live"]
                 else:
                     # weights route zero-grad pool padding to the stream
                     # tail (live-cap compaction in apply_scatter_plan)

@@ -393,7 +393,8 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                     return planned_sharded_gather(
                         tbl, ids, sscat["ids"], sscat["perm"],
                         sscat["tiles"], sscat["ok"], mesh=mesh,
-                        interpret=jax.default_backend() == "cpu")
+                        interpret=jax.default_backend() == "cpu",
+                        plan_live=sscat.get("live"))
                 return explicit_sharded_gather(tbl, ids, mesh)
         return jnp.take(tbl, ids, axis=0)
 
@@ -436,6 +437,8 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                          "perm": batch[f"scat_perm_d{g.dim}"],
                          "tiles": batch[f"scat_tiles_d{g.dim}"],
                          "ok": batch[f"scat_ok_d{g.dim}"]}
+                if f"scat_live_d{g.dim}" in batch:  # per-shard live-cap
+                    sscat["live"] = batch[f"scat_live_d{g.dim}"]
         elif f"wscat_ids_d{g.dim}" in batch:
             if lookup_mesh is None:
                 # window-mode plan for sparse streams (the 'ok' key routes
@@ -453,6 +456,8 @@ def deep_input_layer(store: ParamStore, plan: FeaturePlan,
                          "perm": batch[f"wscat_perm_d{g.dim}"],
                          "tiles": batch[f"wscat_tiles_d{g.dim}"],
                          "ok": batch[f"wscat_ok_d{g.dim}"]}
+                if f"wscat_live_d{g.dim}" in batch:  # per-shard live-cap
+                    sscat["live"] = batch[f"wscat_live_d{g.dim}"]
         dscat = None
         if f"dscat_uids_d{g.dim}" in batch and lookup_mesh is not None:
             dscat = {"uids": batch[f"dscat_uids_d{g.dim}"],

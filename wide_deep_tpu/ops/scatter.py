@@ -727,6 +727,29 @@ def shard_cap(n_ids: int, n_shards: int) -> int:
     return min(cap, n_ids)
 
 
+# per-shard live-cap (the sharded analog of live_cap/COMPACT_FRAC): the
+# 2x-slack cap above means a shard's stream is typically less than half
+# live — hashed ids spread ~evenly (~n/S) and weight-0 pool padding
+# (~15-22% at production occupancies) is routed out of every shard.  The
+# consumer (parallel/exchange._planned_gather_bwd) conds on the plan's
+# per-shard ``live`` count: when it fits this tighter static cap, the
+# device-side perm gather and the kernel stream run on the compacted
+# prefix (about half the random row crossings); an over-cap shard takes
+# the full-width branch — never wrong, only unshrunk.  Rational 5/4 so
+# cpp/fastdata.cc computes the identical cap in integers.
+SHARD_LIVE_NUM = 5
+SHARD_LIVE_DEN = 4
+
+
+def shard_live_cap(n_ids: int, n_shards: int) -> int:
+    """Static compacted per-shard stream length: 1.25x the even split,
+    ALIGN_IDS-aligned, never above shard_cap."""
+    cap = ((n_ids * SHARD_LIVE_NUM + n_shards * SHARD_LIVE_DEN - 1)
+           // (n_shards * SHARD_LIVE_DEN))
+    cap = ((cap + ALIGN_IDS - 1) // ALIGN_IDS) * ALIGN_IDS
+    return min(cap, shard_cap(n_ids, n_shards))
+
+
 def sharded_scatter_batch_spec(n_ids: int, rows: int, n_shards: int):
     """Shapes/dtypes of the per-batch sharded scatter-plan arrays."""
     cap = shard_cap(n_ids, n_shards)
@@ -734,7 +757,8 @@ def sharded_scatter_batch_spec(n_ids: int, rows: int, n_shards: int):
     return {"ids": ((n_shards, cap), np.int32),
             "perm": ((n_shards, cap), np.int32),
             "tiles": ((n_shards, 4, nt), np.int32),
-            "ok": ((n_shards,), np.int32)}
+            "ok": ((n_shards,), np.int32),
+            "live": ((n_shards,), np.int32)}
 
 
 def make_sharded_scatter_plan(ids_flat: np.ndarray, rows: int,
@@ -756,7 +780,10 @@ def make_sharded_scatter_plan(ids_flat: np.ndarray, rows: int,
     counts against SHARD 0's cap: at production padding occupancies
     (~15-22%) and 8 shards, shard 0's count (~n*(1/8 + padding)) exceeds
     the 2x-even-split cap every batch, permanently demoting the row-shard
-    that holds the hottest rows to the XLA fallback."""
+    that holds the hottest rows to the XLA fallback.
+
+    ``live[s]`` is shard s's id count — the consumer's per-shard live-cap
+    compaction conds on it (shard_live_cap above)."""
     n = int(ids_flat.shape[0])
     if rows % n_shards:
         raise ValueError(f"rows {rows} % n_shards {n_shards} != 0")
@@ -776,6 +803,7 @@ def make_sharded_scatter_plan(ids_flat: np.ndarray, rows: int,
     for s in range(n_shards):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         cnt = hi - lo
+        out["live"][s] = cnt
         if cnt > cap:
             continue  # ok stays 0: consumer falls back to XLA for shard s
         out["ok"][s] = 1
@@ -805,7 +833,8 @@ def sharded_window_batch_spec(n_ids: int, rows: int, n_shards: int):
     return {"ids": ((n_shards, cap), np.int32),
             "perm": ((n_shards, cap), np.int32),
             "tiles": ((n_shards, 3, nt), np.int32),
-            "ok": ((n_shards,), np.int32)}
+            "ok": ((n_shards,), np.int32),
+            "live": ((n_shards,), np.int32)}
 
 
 def make_sharded_window_plan(ids_flat: np.ndarray, rows: int, n_shards: int,
@@ -817,7 +846,8 @@ def make_sharded_window_plan(ids_flat: np.ndarray, rows: int, n_shards: int,
     scatter with write-only fixed windows).  ``ok[s]`` is 0 when shard s's
     stream overflowed the cap OR one of its windows overflowed the static
     window_cap(cap, shard_rows); weight-0 padding is remapped out of every
-    shard (zero gradients, see make_sharded_scatter_plan)."""
+    shard (zero gradients, see make_sharded_scatter_plan); ``live[s]`` is
+    shard s's id count (the consumer's live-cap compaction)."""
     n = int(ids_flat.shape[0])
     if rows % n_shards:
         raise ValueError(f"rows {rows} % n_shards {n_shards} != 0")
@@ -838,6 +868,7 @@ def make_sharded_window_plan(ids_flat: np.ndarray, rows: int, n_shards: int,
     for s in range(n_shards):
         lo, hi = int(shard_bounds[s]), int(shard_bounds[s + 1])
         cnt = hi - lo
+        out["live"][s] = cnt
         if cnt > cap:
             continue  # ok stays 0: consumer falls back to XLA for shard s
         local = ids_sorted[lo:hi] - s * shard_rows

@@ -102,7 +102,9 @@ def explicit_sharded_gather(table: jnp.ndarray, ids: jnp.ndarray,
 def planned_sharded_gather(table: jnp.ndarray, ids: jnp.ndarray,
                            plan_ids: jnp.ndarray, plan_perm: jnp.ndarray,
                            plan_tiles: jnp.ndarray, plan_ok: jnp.ndarray,
-                           mesh: Mesh, interpret: bool = False) -> jnp.ndarray:
+                           mesh: Mesh, interpret: bool = False,
+                           plan_live: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
     """explicit_sharded_gather with a Pallas range-scatter backward.
 
     Forward collective schedule and semantics are identical to
@@ -110,32 +112,39 @@ def planned_sharded_gather(table: jnp.ndarray, ids: jnp.ndarray,
     tests/test_exchange.py); only the backward's table-gradient scatter
     changes schedule.  Plan arrays have leading dim n_devices, laid out in
     row-shard order (data-major, then model — matching P(('data','model'))).
+
+    ``plan_live`` ([n_devices] non-padding id counts, emitted by
+    make_sharded_scatter_plan/make_sharded_window_plan): enables the
+    per-shard live-cap compaction — a shard whose live count fits the
+    static shard_live_cap gathers and streams only the compacted prefix
+    (the 2x-slack cap means roughly half the perm-gather row crossings);
+    over-cap shards take the full-width branch, bit-identically.
     """
     return _planned_gather((mesh, interpret), table, ids, plan_ids,
-                           plan_perm, plan_tiles, plan_ok)
+                           plan_perm, plan_tiles, plan_ok, plan_live)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _planned_gather(ctx, table, ids, plan_ids, plan_perm, plan_tiles,
-                    plan_ok):
+                    plan_ok, plan_live):
     mesh, _ = ctx
     return explicit_sharded_gather(table, ids, mesh)
 
 
 def _planned_gather_fwd(ctx, table, ids, plan_ids, plan_perm, plan_tiles,
-                        plan_ok):
+                        plan_ok, plan_live):
     out = _planned_gather(ctx, table, ids, plan_ids, plan_perm, plan_tiles,
-                          plan_ok)
+                          plan_ok, plan_live)
     # `table` rides the residuals for shape/dtype only — the backward never
     # reads its values, so XLA keeps no extra copy live (same pattern as
     # models/deep.py fused_gather_split)
-    res = (ids, plan_ids, plan_perm, plan_tiles, plan_ok, table)
+    res = (ids, plan_ids, plan_perm, plan_tiles, plan_ok, plan_live, table)
     return out, res
 
 
 def _planned_gather_bwd(ctx, res, ct):
     mesh, interpret = ctx
-    ids, plan_ids, plan_perm, plan_tiles, plan_ok, table = res
+    ids, plan_ids, plan_perm, plan_tiles, plan_ok, plan_live, table = res
     rows, d = table.shape
     tdtype = table.dtype
     n_total = mesh.devices.size
@@ -143,14 +152,28 @@ def _planned_gather_bwd(ctx, res, ct):
     shard_rows = rows // n_total
     sall = ("data", "model")
 
+    from wide_deep_tpu.ops.scatter import (n_tiles_for, range_scatter_add,
+                                           shard_live_cap, window_cap,
+                                           window_scatter_add)
+    cap = plan_ids.shape[-1]
+    # static compacted stream length (host parity: the plan emitters size
+    # caps from the same (n_ids, n_shards)); live-cap only engages when a
+    # per-shard live count was emitted AND the compact cap actually shrinks
+    small = shard_live_cap(ids.size, n_total)
+    with_live = plan_live is not None and small < cap
+
+    in_specs = [P("data", None, None), P("data", None), P(sall, None),
+                P(sall, None), P(sall, None, None), P(sall)]
+    args = [ct, ids, plan_ids, plan_perm, plan_tiles, plan_ok]
+    if with_live:
+        in_specs.append(P(sall))
+        args.append(plan_live)
+
     # check_vma off: pallas_call's out ShapeDtypeStruct carries no varying
     # mesh-axes annotation, which the checker (jax>=0.7) rejects otherwise
     @partial(shard_map, mesh=mesh, check_vma=False,
-             in_specs=(P("data", None, None), P("data", None),
-                       P(sall, None), P(sall, None), P(sall, None, None),
-                       P(sall)),
-             out_specs=P(sall, None))
-    def bwd(ct_local, ids_local, sids, sperm, stiles, sok):
+             in_specs=tuple(in_specs), out_specs=P(sall, None))
+    def bwd(ct_local, ids_local, sids, sperm, stiles, sok, *slive):
         shard = (jax.lax.axis_index("data") * model_size
                  + jax.lax.axis_index("model"))
         # dense-exchange contract: the full cotangent is gathered once
@@ -161,25 +184,40 @@ def _planned_gather_bwd(ctx, res, ct):
         # would deadlock when shards disagree on ok
         ids_all = jax.lax.all_gather(ids_local, "data", axis=0, tiled=True)
         local_all = ids_all.reshape(-1) - shard * shard_rows
+        t = stiles[0]
+        window_mode = t.shape[0] == 3
+        # window mode: the static window cap derives from the FULL shard
+        # stream cap exactly like the host side (make_sharded_window_plan),
+        # independent of live-cap slicing
+        wcap = window_cap(cap, shard_rows) if window_mode else 0
+
+        def run(ids_s, perm_s, tiles_s):
+            gs = jnp.take(g, perm_s, axis=0).astype(tdtype)
+            if window_mode:
+                # window-mode per-shard plan (sparse streams, e.g. d16):
+                # tiles are [3, n_windows] — fixed output windows, so the
+                # tiling never shrinks with the stream
+                return window_scatter_add(
+                    ids_s, gs, tiles_s[0], tiles_s[1], tiles_s[2],
+                    shard_rows, wcap, out_dtype=tdtype, interpret=interpret)
+            return range_scatter_add(
+                ids_s, gs, tiles_s[0], tiles_s[1], tiles_s[2], tiles_s[3],
+                shard_rows, out_dtype=tdtype, interpret=interpret)
 
         def kernel_path(_):
-            from wide_deep_tpu.ops.scatter import (range_scatter_add,
-                                                   window_cap,
-                                                   window_scatter_add)
-            gs = jnp.take(g, sperm[0], axis=0).astype(tdtype)
-            t = stiles[0]
-            if t.shape[0] == 3:
-                # window-mode per-shard plan (sparse streams, e.g. d16):
-                # tiles are [3, n_windows]; the static window cap derives
-                # from the shard stream cap exactly like the host side
-                # (make_sharded_window_plan)
-                return window_scatter_add(
-                    sids[0], gs, t[0], t[1], t[2], shard_rows,
-                    window_cap(sids.shape[-1], shard_rows),
-                    out_dtype=tdtype, interpret=interpret)
-            return range_scatter_add(sids[0], gs, t[0], t[1], t[2], t[3],
-                                     shard_rows, out_dtype=tdtype,
-                                     interpret=interpret)
+            if not with_live:
+                return run(sids[0], sperm[0], t)
+            # live-cap compaction: tiles cover only the live prefix, so a
+            # live count within the compact cap means every tile (and every
+            # window's entries) references positions < small — the stream
+            # and the perm gather can run on the sliced prefix
+            nt_small = (t.shape[1] if window_mode
+                        else n_tiles_for(small, shard_rows))
+            return jax.lax.cond(
+                slive[0][0] <= small,
+                lambda _: run(sids[0][:small], sperm[0][:small],
+                              t if window_mode else t[:, :nt_small]),
+                lambda _: run(sids[0], sperm[0], t), 0)
 
         def xla_path(_):
             mask = (local_all >= 0) & (local_all < shard_rows)
@@ -190,8 +228,8 @@ def _planned_gather_bwd(ctx, res, ct):
 
         return jax.lax.cond(sok[0] > 0, kernel_path, xla_path, 0)
 
-    d_table = bwd(ct, ids, plan_ids, plan_perm, plan_tiles, plan_ok)
-    return d_table, None, None, None, None, None
+    d_table = bwd(*args)
+    return d_table, None, None, None, None, None, None
 
 
 _planned_gather.defvjp(_planned_gather_fwd, _planned_gather_bwd)
