@@ -342,6 +342,95 @@ class TestAuth:
             model.close()
 
 
+class TestTLS:
+    @pytest.fixture(scope="class")
+    def certs(self, tmp_path_factory):
+        """Self-signed localhost cert via the openssl CLI (no extra deps)."""
+        import shutil
+        import subprocess
+        if shutil.which("openssl") is None:
+            pytest.skip("openssl CLI not available")
+        d = tmp_path_factory.mktemp("tls")
+        cert, key = str(d / "cert.pem"), str(d / "key.pem")
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", key, "-out", cert, "-days", "2",
+             "-subj", "/CN=localhost",
+             "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+            check=True, capture_output=True)
+        return cert, key
+
+    def test_tls_both_transports(self, bundle_dir, certs):
+        """With tls_cert/tls_key set, clients that pin the cert score on
+        both transports and plaintext clients are rejected."""
+        from wide_deep_tpu.serving.client import (PredictorClient,
+                                                  TcpPredictorClient)
+        from wide_deep_tpu.serving.server import PredictorServer, ServingModel
+        cert, key = certs
+        model = ServingModel(bundle_dir, max_batch_size=16)
+        srv = PredictorServer(model, port=_free_port(),
+                              tcp_port=_free_port(), tls_cert=cert,
+                              tls_key=key)
+        srv.start()
+        try:
+            rows = _rows(FIXTURE, 2)
+            c = PredictorClient(port=srv.port, timeout=15.0, tls_ca=cert)
+            assert all(c.predict(rows)["valid"])
+            c.close()
+            t = TcpPredictorClient(port=srv.tcp_port, tls_ca=cert)
+            assert all(t.predict(rows)["valid"])
+            t.close()
+            # plaintext gRPC against the TLS port: the channel never
+            # completes the handshake — the call errors out
+            plain = PredictorClient(port=srv.port, timeout=5.0)
+            with pytest.raises(Exception):
+                plain.predict(rows)
+            plain.close()
+            # plaintext TCP against the TLS port: the server drops the
+            # connection at the failed handshake
+            tp = TcpPredictorClient(port=srv.tcp_port, timeout=5.0)
+            with pytest.raises((IOError, RuntimeError)):
+                tp.predict(rows)
+            tp.close()
+        finally:
+            srv.stop()
+            model.close()
+
+    def test_mutual_tls_requires_client_cert(self, bundle_dir, certs):
+        """With tls_ca set, only clients presenting a cert the CA signed
+        score (the self-signed cert is its own CA); cert-less TLS clients
+        are rejected on both transports."""
+        from wide_deep_tpu.serving.client import (PredictorClient,
+                                                  TcpPredictorClient)
+        from wide_deep_tpu.serving.server import PredictorServer, ServingModel
+        cert, key = certs
+        model = ServingModel(bundle_dir, max_batch_size=16)
+        srv = PredictorServer(model, port=_free_port(),
+                              tcp_port=_free_port(), tls_cert=cert,
+                              tls_key=key, tls_ca=cert)
+        srv.start()
+        try:
+            rows = _rows(FIXTURE, 2)
+            c = PredictorClient(port=srv.port, timeout=15.0, tls_ca=cert,
+                                tls_cert=cert, tls_key=key)
+            assert all(c.predict(rows)["valid"])
+            c.close()
+            t = TcpPredictorClient(port=srv.tcp_port, tls_ca=cert,
+                                   tls_cert=cert, tls_key=key)
+            assert all(t.predict(rows)["valid"])
+            t.close()
+            bare = PredictorClient(port=srv.port, timeout=5.0, tls_ca=cert)
+            with pytest.raises(Exception):
+                bare.predict(rows)
+            bare.close()
+            with pytest.raises((IOError, RuntimeError, OSError)):
+                tb = TcpPredictorClient(port=srv.tcp_port, tls_ca=cert)
+                tb.predict(rows)
+        finally:
+            srv.stop()
+            model.close()
+
+
 class TestOpenLoopHarness:
     def test_open_loop_inference(self, server):
         """Multi-process open-loop load: fixed offered rate, latencies and

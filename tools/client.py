@@ -21,6 +21,12 @@ def main():
                    help="run the concurrency load harness instead")
     p.add_argument("--num_requests", type=int, default=100)
     p.add_argument("--concurrency", type=int, default=8)
+    p.add_argument("--tls_ca", default=None,
+                   help="PEM root cert: connect over TLS, verify the server")
+    p.add_argument("--tls_cert", default=None,
+                   help="PEM client certificate (mutual TLS)")
+    p.add_argument("--tls_key", default=None,
+                   help="PEM client key (with --tls_cert)")
     args = p.parse_args()
 
     from wide_deep_tpu.serving.client import (PredictorClient,
@@ -30,12 +36,14 @@ def main():
         rows = [line.rstrip("\n") for line in f if line.strip()]
     rows = rows[:max(args.num_rows, 1)] if not args.load_test else rows
 
+    tls = dict(tls_ca=args.tls_ca, tls_cert=args.tls_cert,
+               tls_key=args.tls_key)
     if args.transport == "grpc":
         client = PredictorClient(args.server_host, args.server_port,
-                                 args.model_name)
+                                 args.model_name, **tls)
     else:
         client = TcpPredictorClient(args.server_host, args.server_port,
-                                    args.model_name)
+                                    args.model_name, **tls)
     if args.load_test:
         stats = do_inference(client, rows, args.num_requests,
                              args.concurrency)

@@ -29,6 +29,15 @@ def main():
                         "requests into one device call (0 = drain-only)")
     p.add_argument("--auth_token", default=server_conf.get("auth_token"),
                    help="shared-secret request auth (empty = open)")
+    p.add_argument("--tls_cert", default=server_conf.get("tls_cert"),
+                   help="PEM server certificate: enables TLS on both "
+                        "transports (the native C++ client is plaintext — "
+                        "front it with a TLS proxy)")
+    p.add_argument("--tls_key", default=server_conf.get("tls_key"),
+                   help="PEM server private key (required with --tls_cert)")
+    p.add_argument("--tls_ca", default=server_conf.get("tls_ca"),
+                   help="PEM CA bundle: require client certificates it "
+                        "signed (mutual TLS)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -45,7 +54,10 @@ def main():
     # watch for new versions unless one was pinned explicitly
     watch = None if args.model_version is not None else args.model_base_path
     server = PredictorServer(model, port=args.port, model_base_path=watch,
-                             auth_token=args.auth_token or None)
+                             auth_token=args.auth_token or None,
+                             tls_cert=args.tls_cert or None,
+                             tls_key=args.tls_key or None,
+                             tls_ca=args.tls_ca or None)
     server.start()
     print(f"serving {args.model_name} from {version_dir} "
           f"(grpc :{args.port}, tcp :{args.port + 1})", flush=True)

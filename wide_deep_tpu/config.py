@@ -506,6 +506,11 @@ class Config:
             # shared-secret request auth (empty = open, like the reference's
             # tensorflow_model_server)
             "auth_token": str(server.get("auth_token") or ""),
+            # TLS on both transports (empty = plaintext); tls_ca enables
+            # mutual TLS (clients must present a cert the CA signed)
+            "tls_cert": str(server.get("tls_cert") or ""),
+            "tls_key": str(server.get("tls_key") or ""),
+            "tls_ca": str(server.get("tls_ca") or ""),
         }
         return out
 

@@ -18,16 +18,32 @@ from wide_deep_tpu.serving import protocol
 
 
 class PredictorClient:
-    """gRPC transport (uses the generic method, no generated stubs)."""
+    """gRPC transport (uses the generic method, no generated stubs).
+
+    ``tls_ca``: PEM root certificate(s) — switches to a secure channel
+    (required against a TLS server).  ``tls_cert``/``tls_key``: client
+    certificate + key for mutual TLS."""
 
     def __init__(self, host: str = "localhost", port: int = 8500,
                  model_name: str = "wide_deep", timeout: float = 30.0,
-                 auth_token: str = None):
+                 auth_token: str = None, tls_ca: str = None,
+                 tls_cert: str = None, tls_key: str = None):
         import grpc
         self.model_name = model_name
         self.timeout = timeout
         self.auth_token = auth_token
-        self._channel = grpc.insecure_channel(f"{host}:{port}")
+        if tls_ca or tls_cert:
+            def rd(path):
+                if not path:
+                    return None
+                with open(path, "rb") as f:
+                    return f.read()
+            creds = grpc.ssl_channel_credentials(
+                root_certificates=rd(tls_ca), private_key=rd(tls_key),
+                certificate_chain=rd(tls_cert))
+            self._channel = grpc.secure_channel(f"{host}:{port}", creds)
+        else:
+            self._channel = grpc.insecure_channel(f"{host}:{port}")
         self._call = self._channel.unary_unary(
             protocol.GRPC_METHOD,
             request_serializer=lambda b: b,
@@ -47,14 +63,27 @@ class PredictorClient:
 
 
 class TcpPredictorClient:
-    """Raw-TCP transport (same frames as the C++ client)."""
+    """Raw-TCP transport (same frames as the C++ client).
+
+    ``tls_ca`` wraps the connection in TLS (server cert verified against
+    it; hostname checked); ``tls_cert``/``tls_key`` add a client cert for
+    mutual TLS.  The native C++ client has no TLS — pair it with a
+    TLS-terminating proxy when the transport must be encrypted."""
 
     def __init__(self, host: str = "localhost", port: int = 8501,
                  model_name: str = "wide_deep", timeout: float = 30.0,
-                 auth_token: str = None):
+                 auth_token: str = None, tls_ca: str = None,
+                 tls_cert: str = None, tls_key: str = None):
         self.model_name = model_name
         self.auth_token = auth_token
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if tls_ca:
+            import ssl
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.load_verify_locations(tls_ca)
+            if tls_cert:
+                ctx.load_cert_chain(tls_cert, tls_key)
+            self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
 
     def predict(self, rows: List[str]) -> Dict:
         protocol.send_frame(

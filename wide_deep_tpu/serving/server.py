@@ -279,11 +279,34 @@ class PredictorServer:
                  tcp_port: Optional[int] = None, workers: int = 8,
                  model_base_path: Optional[str] = None,
                  reload_interval_s: float = 10.0,
-                 auth_token: Optional[str] = None):
+                 auth_token: Optional[str] = None,
+                 tls_cert: Optional[str] = None,
+                 tls_key: Optional[str] = None,
+                 tls_ca: Optional[str] = None):
         # auth_token: shared-secret request auth on BOTH transports (the
         # reference's tensorflow_model_server shipped unauthenticated;
         # serving.yaml server.auth_token enables this)
         self.auth_token = auth_token or None
+        # tls_cert/tls_key: PEM server certificate + key — enables TLS on
+        # BOTH transports (gRPC secure port + an ssl-wrapped TCP endpoint
+        # for the Python TcpPredictorClient; the native C++ client is
+        # plaintext-only — front it with a TLS-terminating proxy when the
+        # transport must be encrypted).  tls_ca: PEM CA bundle — when set,
+        # clients must present a certificate it signed (mutual TLS).
+        self.tls_cert = tls_cert or None
+        self.tls_key = tls_key or None
+        self.tls_ca = tls_ca or None
+        if self.tls_cert and not self.tls_key:
+            raise ValueError("tls_cert requires tls_key")
+        self._ssl_ctx = None
+        if self.tls_cert:
+            import ssl
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(self.tls_cert, self.tls_key)
+            if self.tls_ca:
+                ctx.load_verify_locations(self.tls_ca)
+                ctx.verify_mode = ssl.CERT_REQUIRED
+            self._ssl_ctx = ctx
         self.model = model
         self.port = port
         self.tcp_port = tcp_port if tcp_port is not None else port + 1
@@ -339,7 +362,21 @@ class PredictorServer:
         server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=self.workers))
         server.add_generic_rpc_handlers((Handler(),))
-        server.add_insecure_port(f"[::]:{self.port}")
+        if self.tls_cert:
+            with open(self.tls_key, "rb") as f:
+                key = f.read()
+            with open(self.tls_cert, "rb") as f:
+                cert = f.read()
+            ca = None
+            if self.tls_ca:
+                with open(self.tls_ca, "rb") as f:
+                    ca = f.read()
+            creds = grpc.ssl_server_credentials(
+                [(key, cert)], root_certificates=ca,
+                require_client_auth=ca is not None)
+            server.add_secure_port(f"[::]:{self.port}", creds)
+        else:
+            server.add_insecure_port(f"[::]:{self.port}")
         return server
 
     # ------------------------------------------------------------------- TCP
@@ -362,6 +399,17 @@ class PredictorServer:
 
     def _tcp_conn(self, conn: socket.socket):
         try:
+            if self._ssl_ctx is not None:
+                # handshake runs in this worker thread, never the accept loop
+                try:
+                    conn = self._ssl_ctx.wrap_socket(conn, server_side=True)
+                except OSError as e:
+                    log.warning("tls handshake failed: %s", e)
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+                    return
             with conn:
                 while not self._stop.is_set():
                     try:
