@@ -89,14 +89,19 @@ def parse_line(buf):
     return lname, events
 
 
-def main():
-    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+def is_device_plane(pname: str) -> bool:
+    return ("TPU" in pname or "Device" in pname
+            or "/device" in pname.lower())
+
+
+def op_totals(root: str, line_filter: str = None):
+    """Walk every xplane.pb under ``root`` -> {op name: total ps} over the
+    device planes (XEvent durations are picoseconds).  ``line_filter``:
+    keep only XLines named EXACTLY that (e.g. "XLA Ops" — the op-level
+    line on TPU device planes; a substring match would also sweep in
+    "Async XLA Ops", the overlapping DMA spans, and double-count)."""
     paths = glob.glob(os.path.join(root, "**", "*.xplane.pb"),
                       recursive=True)
-    if not paths:
-        print(f"no xplane.pb under {root}")
-        return
     totals = defaultdict(int)
     for path in paths:
         with open(path, "rb") as f:
@@ -104,19 +109,29 @@ def main():
         for f_, w, v, raw in fields(space):
             if f_ == 1 and w == 2:  # plane
                 pname, lines, meta = parse_plane(raw)
-                if "TPU" not in pname and "Device" not in pname \
-                        and "/device" not in pname.lower():
+                if not is_device_plane(pname):
                     continue
                 for line in lines:
                     lname, events = parse_line(line)
-                    if "XLA Op" in lname or "Ops" in lname or True:
-                        for mid, dur in events:
-                            totals[(pname, meta.get(mid, f"#{mid}"))] += dur
+                    if line_filter is not None and lname != line_filter:
+                        continue
+                    for mid, dur in events:
+                        totals[meta.get(mid, f"#{mid}")] += dur
+    return dict(totals)
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    totals = op_totals(root)
+    if not totals:
+        print(f"no xplane.pb under {root}")
+        return
     ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:top_n]
     total_all = sum(totals.values())
     print(f"total device event time: {total_all/1e9:.2f} ms "
           f"(all lines, may double-count nesting)")
-    for (plane, name), dur in ranked:
+    for name, dur in ranked:
         print(f"{dur/1e9:9.3f} ms  {name[:110]}")
 
 

@@ -460,6 +460,15 @@ class Config:
                 f"{where}: sharded_lookup must be auto|gspmd|explicit|dedup,"
                 f" got {lookup!r}")
         out["sharded_lookup"] = lookup
+        # input_service: "host:port" of a tools/input_server.py loader — a
+        # process that sees the GLOBAL batch, so multi-process meshes keep
+        # the per-shard kernel plans (features/input_service.py); empty =
+        # per-host row sharding (pipeline.CsvDataset)
+        svc = section.get("input_service") or ""
+        if svc and ":" not in str(svc):
+            raise ConfigError(
+                f"{where}: input_service must be host:port, got {svc!r}")
+        out["input_service"] = str(svc)
         return out
 
     @property

@@ -1,0 +1,313 @@
+"""Multi-host input service: one loader process sees the GLOBAL batch.
+
+The per-shard kernel plans (``scat_*``/``wscat_*``/``sopt_*``/``dscat_*``,
+ops/scatter.py) are built from the global batch's id stream, so a
+multi-process mesh whose hosts row-shard the input (pipeline.CsvDataset
+round-robin) could never emit them — training/loop.py gated every kernel
+path off and multi-host runs fell back to GSPMD's serial-scatter
+collectives, losing the 2.6x the kernel family buys.
+
+This service restores the single-host data path at multi-host scale:
+
+    loader host                         training processes (jax.distributed)
+    ───────────                         ─────────────────────────────────
+    tools/input_server.py               Trainer (train.yaml
+      CsvDataset @ GLOBAL batch           distribution.input_service:
+      C++ plan emission (all kinds)       "loader:port")
+      InputServer ──── framed TCP ────▶ RemoteInputDataset (one per proc)
+        per-proc slices:                  yields per-host batches;
+        batch axis rows [b*i, b*(i+1))    _to_device assembles the global
+        plan shard rows its devices own   arrays per key sharding
+
+Every process requests batch ``seq`` 0, 1, 2, ... in lockstep (training is
+synchronous SPMD); the server materializes each global batch once, serves
+each process its slice, and evicts the batch when all processes took it.
+Batches are deterministic in (seed, epoch_seed): the loader's shuffle is
+the same epoch-seeded stream a single-process run would see, which also
+gives multi-host training a deterministic GLOBAL data order across epochs
+— per-host round-robin sharding cannot (rows interleave by arrival).
+
+The reference's analog was ``tf.data`` + per-worker ``dataset.shard``
+(/root/reference/python/lib/dataset.py:173-174) — workers never shared a
+batch, which its async parameter servers tolerated; synchronous SPMD with
+host-built plans needs exactly-one-loader semantics instead.
+
+Wire format: serving/protocol.py frames (magic + u32 length); JSON control
+messages; batches as uncompressed ``.npz``.  This is a correctness/rig
+service: one loader saturates at the C++ parser's ~300k rows/s per 2
+cores — production pods run one loader per N hosts and split the file
+list, which this protocol supports by pointing different host groups at
+different servers.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import socket
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from wide_deep_tpu.serving.protocol import recv_frame, send_frame
+
+log = logging.getLogger("wide_deep_tpu.input_service")
+
+KIND_BATCH = b"BTCH"
+KIND_END = b"END!"
+KIND_ERR = b"ERR!"
+
+# keys with a leading [n_shards] axis (per-table-shard plan arrays); every
+# other key has a leading batch axis.  With scatter_shards > 1 EVERY key
+# under these prefixes is shard-layout except dscat_slots (per-entry slot
+# matrix, batch axis).
+_SHARD_PREFIXES = ("scat_", "wscat_", "sopt_", "dscat_uids_")
+
+
+def key_axis(key: str, scatter_shards: int) -> str:
+    """'shard' | 'batch' — which axis of a batch entry is partitioned."""
+    if scatter_shards > 1 and key.startswith(_SHARD_PREFIXES):
+        return "shard"
+    return "batch"
+
+
+def slice_for_proc(key: str, arr: np.ndarray, proc: int, n_procs: int,
+                   scatter_shards: int) -> np.ndarray:
+    """Process ``proc``'s slice of one global batch entry.
+
+    Batch-axis keys split rows evenly; shard-axis keys split the leading
+    n_shards axis into the contiguous block proc's devices own (mesh
+    device order is process-major — jax.devices() lists each process's
+    local devices as one block, and parallel/mesh.make_mesh reshapes that
+    order)."""
+    n = arr.shape[0]
+    if n % n_procs:
+        raise ValueError(f"{key}: leading dim {n} % n_procs {n_procs} != 0")
+    per = n // n_procs
+    return arr[proc * per:(proc + 1) * per]
+
+
+def local_batch_spec(plan, global_batch: int, n_procs: int,
+                     n_classes: int = 2, mode: str = "train"):
+    """Per-process shape/dtype contract of a served batch: the global
+    plan.batch_spec with each entry's leading axis divided by n_procs."""
+    spec = plan.batch_spec(global_batch, n_classes, mode=mode)
+    out = {}
+    for key, (shape, dt) in spec.items():
+        lead = shape[0] // n_procs
+        out[key] = ((lead,) + tuple(shape[1:]), dt)
+    return out
+
+
+def _encode_batch(batch: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **batch)
+    return buf.getvalue()
+
+
+def _decode_batch(payload: bytes) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(payload), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+class _Stream:
+    """One (path, mode, epoch_seed) batch stream shared by n_procs clients:
+    sequential production, per-seq caching, eviction when all procs took
+    the seq."""
+
+    def __init__(self, it: Iterator[Dict[str, np.ndarray]], n_procs: int):
+        self.it = it
+        self.n_procs = n_procs
+        self.lock = threading.Lock()
+        self.cache: Dict[int, Optional[Dict[str, np.ndarray]]] = {}
+        self.taken: Dict[int, set] = {}
+        self.next_seq = 0
+
+    def get(self, proc: int, seq: int) -> Optional[Dict[str, np.ndarray]]:
+        """-> the GLOBAL batch for ``seq`` (None = end of data)."""
+        with self.lock:
+            if seq < self.next_seq and seq not in self.cache:
+                raise ValueError(
+                    f"seq {seq} already evicted (procs out of lockstep)")
+            while seq >= self.next_seq:
+                self.cache[self.next_seq] = next(self.it, None)
+                self.taken[self.next_seq] = set()
+                self.next_seq += 1
+            batch = self.cache[seq]
+            self.taken[seq].add(proc)
+            if len(self.taken[seq]) >= self.n_procs:
+                del self.cache[seq], self.taken[seq]
+            return batch
+
+
+class InputServer:
+    """Serves GLOBAL-batch slices to n_procs training processes.
+
+    ``dataset_factory(path, mode, epoch_seed)`` must yield batches at the
+    GLOBAL batch size with every plan the training step consumes —
+    tools/input_server.py builds it from the same config + topology the
+    trainers use (training/loop.build_training_plan keeps the plans
+    bit-identical)."""
+
+    def __init__(self, dataset_factory: Callable[[str, str, int], Any],
+                 n_procs: int, scatter_shards: int, port: int = 0,
+                 host: str = "0.0.0.0"):
+        self.dataset_factory = dataset_factory
+        self.n_procs = int(n_procs)
+        self.scatter_shards = int(scatter_shards)
+        self._streams: Dict[Tuple[str, str, int], _Stream] = {}
+        self._streams_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self.port = self._sock.getsockname()[1]
+        self._sock.listen(max(16, 2 * self.n_procs))
+        self._sock.settimeout(0.5)
+        self._threads = []
+        self._accept_thread: Optional[threading.Thread] = None
+
+    # ----------------------------------------------------------- lifecycle
+    def start(self):
+        self._accept_thread = threading.Thread(target=self._accept_loop,
+                                               daemon=True)
+        self._accept_thread.start()
+        log.info("input service on :%d for %d procs (%d table shards)",
+                 self.port, self.n_procs, self.scatter_shards)
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+    def _accept_loop(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve_conn, args=(conn,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    # ------------------------------------------------------------- serving
+    def _stream_for(self, path: str, mode: str, epoch_seed: int) -> _Stream:
+        key = (path, mode, int(epoch_seed))
+        with self._streams_lock:
+            st = self._streams.get(key)
+            if st is None:
+                st = _Stream(iter(self.dataset_factory(path, mode,
+                                                       epoch_seed)),
+                             self.n_procs)
+                self._streams[key] = st
+            return st
+
+    def _serve_conn(self, conn: socket.socket):
+        try:
+            with conn:
+                hello = json.loads(recv_frame(conn).decode("utf-8"))
+                if hello.get("op") != "hello":
+                    send_frame(conn, KIND_ERR + b"expected hello")
+                    return
+                proc = int(hello["proc"])
+                n_procs = int(hello["n_procs"])
+                if n_procs != self.n_procs or not 0 <= proc < n_procs:
+                    send_frame(conn, KIND_ERR + (
+                        f"topology mismatch: server runs {self.n_procs} "
+                        f"procs, hello said proc {proc}/{n_procs}"
+                    ).encode())
+                    return
+                st = self._stream_for(hello["path"], hello["mode"],
+                                      hello.get("epoch_seed", 0))
+                send_frame(conn, KIND_BATCH)  # hello ack
+                while not self._stop.is_set():
+                    req = json.loads(recv_frame(conn).decode("utf-8"))
+                    if req.get("op") == "close":
+                        return
+                    seq = int(req["seq"])
+                    batch = st.get(proc, seq)
+                    if batch is None:
+                        send_frame(conn, KIND_END)
+                        continue  # client may re-ask (idempotent end)
+                    sliced = {
+                        k: slice_for_proc(k, v, proc, n_procs,
+                                          self.scatter_shards)
+                        for k, v in batch.items()}
+                    send_frame(conn, KIND_BATCH + _encode_batch(sliced))
+        except (IOError, json.JSONDecodeError, ValueError) as e:
+            if not self._stop.is_set():
+                log.warning("input-service connection ended: %s", e)
+                try:
+                    send_frame(conn, KIND_ERR + str(e).encode())
+                except OSError:
+                    pass
+
+
+class RemoteInputDataset:
+    """Client side: iterate this process's slices of the service's global
+    batches.  Drop-in for pipeline.CsvDataset in the Trainer's train loop
+    (same per-host batch shapes; ``local_spec`` gives the pad-batch
+    contract for the synced-batch protocol)."""
+
+    def __init__(self, plan, address: str, path: str, mode: str,
+                 global_batch: int, proc: int, n_procs: int,
+                 epoch_seed: int = 0, n_classes: int = 2,
+                 timeout: float = 300.0):
+        host, _, port = address.rpartition(":")
+        self.plan = plan
+        self.mode = mode
+        self.address = (host or "localhost", int(port))
+        self.path = path
+        self.proc = int(proc)
+        self.n_procs = int(n_procs)
+        self.epoch_seed = int(epoch_seed)
+        self.timeout = timeout
+        self.local_spec = local_batch_spec(plan, global_batch, n_procs,
+                                           n_classes, mode=mode)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        sock = socket.create_connection(self.address, timeout=self.timeout)
+        try:
+            send_frame(sock, json.dumps({
+                "op": "hello", "proc": self.proc, "n_procs": self.n_procs,
+                "path": self.path, "mode": self.mode,
+                "epoch_seed": self.epoch_seed}).encode("utf-8"))
+            ack = recv_frame(sock)
+            if ack[:4] != KIND_BATCH:
+                raise IOError(f"input service rejected hello: "
+                              f"{ack[4:].decode('utf-8', 'replace')}")
+            seq = 0
+            while True:
+                send_frame(sock, json.dumps({"op": "next",
+                                             "seq": seq}).encode("utf-8"))
+                resp = recv_frame(sock)
+                kind, payload = resp[:4], resp[4:]
+                if kind == KIND_END:
+                    return
+                if kind != KIND_BATCH:
+                    raise IOError(f"input service error: "
+                                  f"{payload.decode('utf-8', 'replace')}")
+                batch = _decode_batch(payload)
+                for k, v in batch.items():
+                    want = self.local_spec.get(k)
+                    if want is not None and tuple(v.shape) != want[0]:
+                        raise ValueError(
+                            f"{k}: served shape {v.shape} != expected "
+                            f"{want[0]} — loader plan/topology mismatch")
+                yield batch
+                seq += 1
+        finally:
+            try:
+                send_frame(sock, json.dumps({"op": "close"}).encode())
+            except OSError:
+                pass
+            sock.close()

@@ -56,19 +56,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def batch_key_sharding(mesh: Mesh, key: str, value) -> NamedSharding:
+# batch keys whose arrays lead with the n_shards axis when the plan is
+# compiled per table shard (ops/scatter.py sharded plan layouts); every
+# other key (incl. dscat_slots) leads with the batch axis
+_SHARD_PLAN_PREFIXES = ("scat_", "wscat_", "sopt_", "dscat_uids_")
+
+
+def batch_key_sharding(mesh: Mesh, key: str, value,
+                       plan_sharded: Optional[bool] = None) -> NamedSharding:
     """Sharding for one batch entry.
 
     Regular feature tensors split their leading (batch) dim over 'data'.
-    Per-table-shard scatter-plan arrays (``scat_*`` with a leading
-    n_devices axis, ops/scatter.make_sharded_scatter_plan) instead place
-    one plan row on each device — the same data-major device order as
-    row-sharded tables, so each device holds the plan for ITS table shard.
+    Per-table-shard plan arrays (leading n_devices axis,
+    ops/scatter.make_sharded_*_plan) instead place one plan row on each
+    device — the same data-major device order as row-sharded tables, so
+    each device holds the plan for ITS table shard.
+
+    ``plan_sharded``: multi-process callers pass whether the FeaturePlan
+    was compiled per table shard — there the process-LOCAL array's leading
+    dim is n_shards/n_procs, so the shape==n heuristic cannot apply.
     """
     n = mesh.devices.size
-    if (n > 1 and key.startswith(("scat_", "dscat_uids_"))
-            and getattr(value, "shape", ()) and value.shape[0] == n):
-        return NamedSharding(mesh, P(("data", "model")))
+    if n > 1 and key.startswith(_SHARD_PLAN_PREFIXES):
+        if plan_sharded or (plan_sharded is None
+                            and getattr(value, "shape", ())
+                            and value.shape[0] == n):
+            return NamedSharding(mesh, P(("data", "model")))
     return batch_sharding(mesh)
 
 

@@ -56,6 +56,74 @@ def resolve_checkpoint(checkpoint_path: str):
     return p, None
 
 
+def build_training_plan(config: Config, train_conf: Dict[str, Any],
+                        model_type: str, n_dev: int,
+                        n_procs: int = 1,
+                        global_batch_input: bool = False):
+    """The training FeaturePlan for a (config, mesh topology) pair.
+
+    Factored out of Trainer.__init__ so the multi-host input service
+    (features/input_service.py, tools/input_server.py) can construct the
+    BIT-IDENTICAL plan on the loader host: the per-batch kernel plans it
+    emits must match the shapes the training processes compiled for.
+
+    -> (plan, explicit_lookup, dedup_lookup).
+
+    ``global_batch_input``: some host sees the whole global batch — true
+    for single-process meshes and for multi-process meshes fed by the
+    input service.  Kernel/dedup plans cover the global id stream, so
+    they are only emitted when this holds; otherwise multi-device meshes
+    keep GSPMD's collectives path.
+    """
+    from wide_deep_tpu.features.analyze import resolve_pack_budget
+    from wide_deep_tpu.features.plan import fold_enabled
+    budget = train_conf.get("pack_budget")
+    if str(budget).lower() == "auto":
+        # measured-occupancy pool sizing (features/analyze.py); pass the
+        # raw override through so a CLI `--pack_budget auto` resolves
+        # even when the conf pins an integer
+        budget = resolve_pack_budget(config, train_conf.get("train_data"),
+                                     raw=budget)
+    # Pallas range-scatter backward for big tables (ops/scatter.py).
+    # Single-device meshes: one plan per big group.  Multi-device meshes
+    # with the explicit exchange: one plan PER TABLE SHARD
+    # (parallel/exchange.planned_sharded_gather) — requires a host that
+    # sees the global batch's id stream (single-process, or the input
+    # service).  GSPMD-lookup multi-device meshes keep XLA's collectives
+    # path (a pallas_call cannot be auto-partitioned by GSPMD).
+    single_host_input = n_procs == 1 or global_batch_input
+    # auto = explicit on multi-device meshes; on a single device there
+    # is nothing to exchange — keep the plain gather (and its
+    # fused_gather_split Pallas backward) instead.  'dedup' is the
+    # host-assisted unique-row all-to-all variant for high-duplication
+    # workloads (parallel/exchange.dedup_sharded_gather).
+    lookup = config.distribution.get("sharded_lookup") or "auto"
+    dedup_lookup = n_dev > 1 and lookup == "dedup" and single_host_input
+    explicit_lookup = n_dev > 1 and (
+        lookup in ("explicit", "auto") or dedup_lookup)
+    want_pallas = (
+        str(train_conf.get("scatter_mode") or "pallas") == "pallas")
+    pallas_scatter = want_pallas and (
+        n_dev == 1
+        or (explicit_lookup and not dedup_lookup and single_host_input))
+    scatter_shards = (n_dev if (n_dev > 1
+                                and (pallas_scatter or dedup_lookup))
+                      else 1)
+    plan = FeaturePlan(
+        config, multivalue=train_conf["multivalue"],
+        fold=fold_enabled(config, model_type),
+        pack_budget=budget if budget not in (None, "") else None,
+        pallas_scatter=pallas_scatter,
+        scatter_shards=scatter_shards,
+        shard_threshold=train_conf.get("shard_threshold"),
+        shard_kind="dedup" if dedup_lookup else "scatter",
+        # fused touched-rows optimizer for huge tables: batches carry
+        # compact dedup plans (ops/scatter.make_compact_plan) consumed
+        # by optim/sparse.apply_compact_update
+        sparse_opt=bool(train_conf.get("sparse_optimizer")))
+    return plan, explicit_lookup, dedup_lookup
+
+
 class Trainer:
     def __init__(self, config: Optional[Config] = None,
                  model_type: Optional[str] = None,
@@ -79,55 +147,16 @@ class Trainer:
 
         self.mesh = mesh if mesh is not None else mesh_lib.mesh_from_config(
             self.config)
-        from wide_deep_tpu.features.analyze import resolve_pack_budget
-        from wide_deep_tpu.features.plan import fold_enabled
-        budget = self.train_conf.get("pack_budget")
-        if str(budget).lower() == "auto":
-            # measured-occupancy pool sizing (features/analyze.py); pass the
-            # raw override through so a CLI `--pack_budget auto` resolves
-            # even when the conf pins an integer
-            budget = resolve_pack_budget(self.config,
-                                         self.train_conf.get("train_data"),
-                                         raw=budget)
-        # Pallas range-scatter backward for big tables (ops/scatter.py).
-        # Single-device meshes: one plan per big group.  Multi-device meshes
-        # with the explicit exchange: one plan PER TABLE SHARD
-        # (parallel/exchange.planned_sharded_gather) — requires a
-        # single-process mesh because the plans cover the global batch's id
-        # stream.  GSPMD-lookup multi-device meshes keep XLA's collectives
-        # path (a pallas_call cannot be auto-partitioned by GSPMD).
         n_dev = self.mesh.devices.size
-        # auto = explicit on multi-device meshes; on a single device there
-        # is nothing to exchange — keep the plain gather (and its
-        # fused_gather_split Pallas backward) instead.  'dedup' is the
-        # host-assisted unique-row all-to-all variant for high-duplication
-        # workloads (parallel/exchange.dedup_sharded_gather).
-        lookup = self.config.distribution.get("sharded_lookup") or "auto"
-        dedup_lookup = (n_dev > 1 and lookup == "dedup"
-                        and jax.process_count() == 1)
-        explicit_lookup = n_dev > 1 and (
-            lookup in ("explicit", "auto") or dedup_lookup)
-        want_pallas = (
-            str(self.train_conf.get("scatter_mode") or "pallas") == "pallas")
-        pallas_scatter = want_pallas and (
-            n_dev == 1
-            or (explicit_lookup and not dedup_lookup
-                and jax.process_count() == 1))
-        scatter_shards = (n_dev if (n_dev > 1
-                                    and (pallas_scatter or dedup_lookup))
-                          else 1)
-        self.plan = FeaturePlan(
-            self.config, multivalue=self.train_conf["multivalue"],
-            fold=fold_enabled(self.config, self.model_type),
-            pack_budget=budget if budget not in (None, "") else None,
-            pallas_scatter=pallas_scatter,
-            scatter_shards=scatter_shards,
-            shard_threshold=self.train_conf.get("shard_threshold"),
-            shard_kind="dedup" if dedup_lookup else "scatter",
-            # fused touched-rows optimizer for huge tables: batches carry
-            # compact dedup plans (ops/scatter.make_compact_plan) consumed
-            # by optim/sparse.apply_compact_update
-            sparse_opt=bool(self.train_conf.get("sparse_optimizer")))
+        # multi-host input service (features/input_service.py): a loader
+        # process sees the GLOBAL batch and emits the per-shard kernel
+        # plans multi-process meshes cannot build from per-host row shards
+        self.input_service = (
+            self.config.distribution.get("input_service") or None)
+        self.plan, explicit_lookup, dedup_lookup = build_training_plan(
+            self.config, self.train_conf, self.model_type, n_dev,
+            n_procs=jax.process_count(),
+            global_batch_input=bool(self.input_service))
         self.model: WideDeep = build_model(
             self.config, plan=self.plan, model_type=self.model_type,
             n_classes=n_classes, dtype=dtype)
@@ -254,6 +283,18 @@ class Trainer:
         return self.train_conf.get("image_eval_data")
 
     def _dataset(self, path: str, mode: str, epoch_seed: int = 0):
+        if self.input_service and mode == "train":
+            # multi-host input service: the loader host sees the GLOBAL
+            # batch and emits the per-shard kernel plans per-host row
+            # sharding cannot (features/input_service.py); also gives a
+            # deterministic global data order across epochs
+            from wide_deep_tpu.features.input_service import (
+                RemoteInputDataset)
+            return RemoteInputDataset(
+                self.plan, self.input_service, path, mode,
+                global_batch=self.batch_size,
+                proc=jax.process_index(), n_procs=jax.process_count(),
+                epoch_seed=epoch_seed, n_classes=self.n_classes)
         # per-worker row sharding (reference dataset.shard semantics,
         # dataset.py:173-174), driven by the live process topology
         num_shards = jax.process_count()
@@ -284,8 +325,13 @@ class Trainer:
         (CsvDataset already row-shards by process); assemble the global
         array from per-process local data."""
         if jax.process_count() > 1:
-            bsh = mesh_lib.batch_sharding(self.mesh)
-            return {k: jax.make_array_from_process_local_data(bsh, v)
+            # per-key shardings: plan arrays (leading n_shards axis, served
+            # as each process's device block by the input service) assemble
+            # over the whole mesh; everything else over 'data'
+            plan_sharded = self.plan.scatter_shards > 1
+            return {k: jax.make_array_from_process_local_data(
+                        mesh_lib.batch_key_sharding(
+                            self.mesh, k, v, plan_sharded=plan_sharded), v)
                     for k, v in batch.items()}
         return {k: jax.device_put(
                     v, mesh_lib.batch_key_sharding(self.mesh, k, v))
@@ -322,7 +368,10 @@ class Trainer:
                 return
             if batch is None:
                 if pad is None:
-                    spec = self.plan.batch_spec(
+                    # remote datasets carry their own per-host contract
+                    # (plan arrays slice on the shard axis, not batch)
+                    spec = getattr(dataset, "local_spec",
+                                   None) or self.plan.batch_spec(
                         self.per_host_batch, self.n_classes,
                         with_image=self.model.has_cnn, mode=mode)
                     pad = {k: np.zeros(shape, dt)
