@@ -87,3 +87,78 @@ loss9 = trainer3.train_file(uneven)
 res9 = trainer3.evaluate(uneven)
 print(f"RESULT2 p{proc_id} loss9={loss9:.6f} eval9={res9['loss']:.6f}",
       flush=True)
+
+# ---- multi-host input service (round-3) -----------------------------------
+# One loader (a thread on proc 0 here; tools/input_server.py in production)
+# sees the GLOBAL batch and emits the per-shard kernel plans that per-host
+# row sharding cannot — the sharded Pallas scatter path must survive a REAL
+# multi-process mesh, bit-identically across processes.
+svc_port = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+if svc_port:
+    import shutil
+
+    from wide_deep_tpu.features.plan import FeaturePlan
+
+    # tiny batches never clear the volume gates; keep the structure
+    FeaturePlan.scatter_group = (
+        lambda self, g, b: bool(self.pallas_scatter
+                                and g.rows % max(self.scatter_shards, 1)
+                                == 0))
+
+    conf_svc = os.path.join(shared_dir, "conf_svc")
+    if proc_id == 0:
+        shutil.copytree(conf_dir, conf_svc + ".tmp")
+        with open(os.path.join(conf_svc + ".tmp", "train.yaml"), "a") as f:
+            f.write("\ndistribution:\n  sharded_lookup: explicit\n"
+                    f"  input_service: 127.0.0.1:{svc_port}\n")
+        os.replace(conf_svc + ".tmp", conf_svc)
+    multihost_utils.sync_global_devices("svc_conf_ready")
+
+    overrides = dict(train_data=FIXTURE, eval_data=FIXTURE,
+                     test_data=FIXTURE, keep_train=True, batch_size=16,
+                     shard_threshold=64)
+    server = None
+    if proc_id == 0:
+        from wide_deep_tpu.features.input_service import InputServer
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.training.loop import build_training_plan
+        cfg = Config(conf_svc)
+        train_conf = dict(cfg.train)
+        train_conf.update(overrides)
+        splan, _, _ = build_training_plan(
+            cfg, train_conf, "wide_deep", n_dev=jax.device_count(),
+            n_procs=num_procs, global_batch_input=True)
+        assert splan.scatter_shards == jax.device_count()
+        seed = int(cfg.runconfig.get("tf_random_seed") or 123)
+
+        def factory(path, mode, epoch_seed, _p=splan, _s=seed):
+            return CsvDataset(
+                plan=_p, data_path=path, mode=mode, batch_size=16,
+                shuffle_buffer=int(train_conf["num_examples"]),
+                seed=_s + int(epoch_seed))
+
+        server = InputServer(factory, n_procs=num_procs,
+                             scatter_shards=splan.scatter_shards,
+                             port=svc_port)
+        server.start()
+    multihost_utils.sync_global_devices("svc_server_up")
+
+    trainer4 = Trainer(
+        Config(conf_svc), model_type="wide_deep",
+        model_dir=os.path.join(shared_dir, "svc_model"),
+        overrides=overrides)
+    assert trainer4.plan.scatter_shards == jax.device_count()
+    assert trainer4.input_service
+    spec = trainer4.plan.batch_spec(16)
+    assert any(k.startswith("scat_ok_") for k in spec), "no sharded plans"
+    from wide_deep_tpu.features.input_service import RemoteInputDataset
+    assert isinstance(trainer4._dataset(FIXTURE, "train"),
+                      RemoteInputDataset)
+    trainer4.ensure_initialized(restore=False)
+    loss_svc = trainer4.train_file(FIXTURE)
+    res_svc = trainer4.evaluate(FIXTURE)
+    print(f"RESULT3 p{proc_id} loss_svc={loss_svc:.6f} "
+          f"eval_svc={res_svc['loss']:.6f}", flush=True)
+    multihost_utils.sync_global_devices("svc_done")
+    if server is not None:
+        server.stop()

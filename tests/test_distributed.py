@@ -28,6 +28,7 @@ def _free_port():
 @pytest.mark.slow
 def test_two_process_training(small_conf_dir, tmp_path):
     port = str(_free_port())
+    svc_port = str(_free_port())
     shared_model_dir = str(tmp_path / "shared_model")
     env = dict(os.environ,
                PALLAS_AXON_POOL_IPS="",
@@ -36,7 +37,7 @@ def test_two_process_training(small_conf_dir, tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "distributed_worker.py"),
-             str(i), "2", port, small_conf_dir, shared_model_dir],
+             str(i), "2", port, small_conf_dir, shared_model_dir, svc_port],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for i in range(2)
@@ -67,3 +68,12 @@ def test_two_process_training(small_conf_dir, tmp_path):
         assert m, out[-2000:]
         uneven.append((float(m.group(1)), float(m.group(2))))
     assert uneven[0][1] == uneven[1][1], uneven
+    # input-service run: one loader fed both processes the per-shard
+    # kernel plans; synchronous SPMD must still agree bit-for-bit
+    svc = []
+    for out in outs:
+        m = re.search(r"RESULT3 p\d+ loss_svc=([\d.]+) eval_svc=([\d.]+)",
+                      out)
+        assert m, out[-2000:]
+        svc.append((float(m.group(1)), float(m.group(2))))
+    assert svc[0] == svc[1], svc

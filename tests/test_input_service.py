@@ -1,0 +1,231 @@
+"""Multi-host input service (features/input_service.py): slicing logic,
+stream lockstep, server/client round-trip fidelity, and a full Trainer
+driven through the service matching the direct data path bit-for-bit."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+FIXTURE = "/root/reference/data/test/test2"
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    from wide_deep_tpu.parallel import mesh as mesh_lib
+    return mesh_lib.make_mesh(4, 2, jax.devices()[:8])
+
+
+class TestSliceLogic:
+    def test_key_axis(self):
+        from wide_deep_tpu.features.input_service import key_axis
+        assert key_axis("label", 8) == "batch"
+        assert key_axis("emb_ids_d8", 8) == "batch"
+        assert key_axis("dscat_slots_d8", 8) == "batch"
+        assert key_axis("scat_ids_d8", 8) == "shard"
+        assert key_axis("wscat_live_d16", 8) == "shard"
+        assert key_axis("sopt_uids_d32", 8) == "shard"
+        assert key_axis("dscat_uids_d8", 8) == "shard"
+        # single-device plans lead with the id/batch axis, never shards
+        assert key_axis("scat_ids_d8", 1) == "batch"
+
+    def test_slice_for_proc_roundtrip(self):
+        from wide_deep_tpu.features.input_service import slice_for_proc
+        arr = np.arange(8 * 3).reshape(8, 3)
+        parts = [slice_for_proc("scat_ids_d8", arr, p, 2, 8)
+                 for p in range(2)]
+        np.testing.assert_array_equal(np.concatenate(parts), arr)
+        with pytest.raises(ValueError, match="n_procs"):
+            slice_for_proc("x", np.zeros((9, 2)), 0, 2, 8)
+
+    def test_local_batch_spec_divides_leading_axes(self, small_config):
+        from wide_deep_tpu.features.input_service import local_batch_spec
+        from wide_deep_tpu.features.plan import FeaturePlan
+        plan = FeaturePlan(small_config, pallas_scatter=True,
+                           scatter_shards=8, shard_threshold=1)
+        spec = plan.batch_spec(16)
+        local = local_batch_spec(plan, 16, 2)
+        assert set(local) == set(spec)
+        for k, (shape, _) in spec.items():
+            assert local[k][0][0] == shape[0] // 2, k
+            assert local[k][0][1:] == tuple(shape[1:]), k
+
+
+class TestStream:
+    def test_lockstep_and_eviction(self):
+        from wide_deep_tpu.features.input_service import _Stream
+        st = _Stream(iter([{"a": np.arange(4)}, {"a": np.arange(4) + 10}]),
+                     n_procs=2)
+        b0 = st.get(0, 0)
+        assert b0["a"][0] == 0
+        assert 0 in st.cache          # proc 1 has not taken seq 0 yet
+        assert st.get(1, 0)["a"][0] == 0
+        assert 0 not in st.cache      # evicted after both took it
+        assert st.get(0, 1)["a"][0] == 10
+        assert st.get(1, 1)["a"][0] == 10
+        assert st.get(0, 2) is None and st.get(1, 2) is None
+
+    def test_out_of_lockstep_rejected(self):
+        from wide_deep_tpu.features.input_service import _Stream
+        st = _Stream(iter([{"a": np.zeros(1)}]), n_procs=1)
+        st.get(0, 0)  # evicted immediately (single proc)
+        with pytest.raises(ValueError, match="lockstep"):
+            st.get(0, 0)
+
+
+class TestServerClient:
+    def test_two_proc_roundtrip_reassembles(self, small_config):
+        """Two clients' slices concatenate back to the loader's global
+        batches: batch-axis keys along rows, shard-axis keys along the
+        n_shards axis."""
+        from wide_deep_tpu.features.input_service import (InputServer,
+                                                          RemoteInputDataset,
+                                                          key_axis)
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.features.plan import FeaturePlan
+        import wide_deep_tpu.features.plan as plan_mod
+        orig = plan_mod.FeaturePlan.scatter_group
+        plan_mod.FeaturePlan.scatter_group = (
+            lambda self, g, b: bool(self.pallas_scatter
+                                    and g.rows % self.scatter_shards == 0))
+        try:
+            plan = FeaturePlan(small_config, pallas_scatter=True,
+                               scatter_shards=8, shard_threshold=1)
+            B = 16
+
+            def factory(path, mode, epoch_seed):
+                return CsvDataset(plan, path, mode, B, seed=7 + epoch_seed)
+
+            direct = list(CsvDataset(plan, FIXTURE, "train", B, seed=7))
+            assert any(k.startswith("scat_ok_") for k in direct[0]), \
+                "fixture batches carry no sharded plans"
+            server = InputServer(factory, n_procs=2,
+                                 scatter_shards=plan.scatter_shards, port=0)
+            server.start()
+            try:
+                results = {}
+
+                def run(proc):
+                    ds = RemoteInputDataset(
+                        plan, f"127.0.0.1:{server.port}", FIXTURE, "train",
+                        global_batch=B, proc=proc, n_procs=2, epoch_seed=0)
+                    results[proc] = list(ds)
+
+                ts = [threading.Thread(target=run, args=(p,))
+                      for p in range(2)]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join(timeout=120)
+                assert len(results[0]) == len(results[1]) == len(direct)
+                for b0, b1, ref in zip(results[0], results[1], direct):
+                    assert set(b0) == set(ref)
+                    for k in ref:
+                        merged = np.concatenate([b0[k], b1[k]], axis=0)
+                        np.testing.assert_array_equal(merged, ref[k], err_msg=k)
+                        if key_axis(k, plan.scatter_shards) == "shard":
+                            assert b0[k].shape[0] == ref[k].shape[0] // 2
+            finally:
+                server.stop()
+        finally:
+            plan_mod.FeaturePlan.scatter_group = orig
+
+    def test_topology_mismatch_rejected(self, small_config):
+        from wide_deep_tpu.features.input_service import (InputServer,
+                                                          RemoteInputDataset)
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.features.plan import FeaturePlan
+        plan = FeaturePlan(small_config)
+        server = InputServer(
+            lambda p, m, e: CsvDataset(plan, p, m, 16), n_procs=2,
+            scatter_shards=1, port=0)
+        server.start()
+        try:
+            ds = RemoteInputDataset(plan, f"127.0.0.1:{server.port}",
+                                    FIXTURE, "train", global_batch=16,
+                                    proc=0, n_procs=4)
+            with pytest.raises(IOError, match="topology"):
+                next(iter(ds))
+        finally:
+            server.stop()
+
+
+class TestTrainerViaService:
+    def test_trainer_matches_direct_path(self, small_config, tmp_path,
+                                         mesh8, monkeypatch):
+        """A Trainer fed by the input service must produce the exact loss
+        trajectory of the direct CsvDataset path (same seeds, same plans,
+        same compiled step) — with the sharded kernel plans ACTIVE."""
+        import shutil
+
+        from wide_deep_tpu.config import Config
+        from wide_deep_tpu.features.input_service import InputServer
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.features.plan import FeaturePlan
+        from wide_deep_tpu.training.loop import Trainer, build_training_plan
+
+        # tiny batches never clear the volume gates; keep the structure
+        monkeypatch.setattr(
+            FeaturePlan, "scatter_group",
+            lambda self, g, b: bool(
+                self.pallas_scatter
+                and g.rows % max(self.scatter_shards, 1) == 0))
+
+        conf2 = tmp_path / "conf_svc"
+        shutil.copytree(small_config.conf_dir, conf2)
+        with open(conf2 / "train.yaml", "a") as f:
+            f.write("\ndistribution:\n  sharded_lookup: explicit\n"
+                    "  mesh: {data: 4, model: 2}\n")
+        cfg = Config(str(conf2))
+        overrides = dict(train_data=FIXTURE, eval_data=FIXTURE,
+                         test_data=FIXTURE, keep_train=True, batch_size=16,
+                         shard_threshold=64)
+
+        # the loader side: the IDENTICAL plan via build_training_plan
+        train_conf = dict(cfg.train)
+        train_conf.update(overrides)
+        splan, _, _ = build_training_plan(cfg, train_conf, "wide_deep",
+                                          n_dev=8, n_procs=1,
+                                          global_batch_input=True)
+        assert splan.scatter_shards == 8 and splan.pallas_scatter
+        seed = int(cfg.runconfig.get("tf_random_seed") or 123)
+
+        def factory(path, mode, epoch_seed):
+            return CsvDataset(plan=splan, data_path=path, mode=mode,
+                              batch_size=16,
+                              shuffle_buffer=int(train_conf["num_examples"]),
+                              seed=seed + int(epoch_seed))
+
+        server = InputServer(factory, n_procs=1, scatter_shards=8, port=0)
+        server.start()
+        try:
+            conf3 = tmp_path / "conf_svc_on"
+            shutil.copytree(conf2, conf3)
+            with open(conf3 / "train.yaml") as f:
+                text = f.read()
+            with open(conf3 / "train.yaml", "w") as f:
+                f.write(text + f"  input_service: 127.0.0.1:{server.port}\n")
+
+            losses = {}
+            for tag, c in (("direct", cfg), ("service", Config(str(conf3)))):
+                tr = Trainer(c, model_type="wide_deep",
+                             model_dir=str(tmp_path / f"svc_{tag}"),
+                             mesh=mesh8, overrides=overrides)
+                assert tr.plan.scatter_shards == 8
+                if tag == "service":
+                    assert tr.input_service
+                    ds = tr._dataset(FIXTURE, "train")
+                    from wide_deep_tpu.features.input_service import (
+                        RemoteInputDataset)
+                    assert isinstance(ds, RemoteInputDataset)
+                tr.ensure_initialized(restore=False)
+                traj = [tr.train_file(FIXTURE, epoch_seed=i)
+                        for i in range(2)]
+                traj.append(tr.evaluate(FIXTURE)["loss"])
+                losses[tag] = traj
+            # same plans, same data order, same compiled program -> exact
+            assert losses["service"] == losses["direct"], losses
+        finally:
+            server.stop()

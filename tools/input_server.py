@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Multi-host input-service loader (features/input_service.py).
+
+Runs on a loader host: iterates the training data at the GLOBAL batch
+size, emits every per-batch kernel plan with the C++ loader, and serves
+each jax.distributed training process its slice over framed TCP.  Point
+the trainers at it via train.yaml ``distribution.input_service:
+"loader:port"`` — the per-shard Pallas scatter/window/sparse-optimizer
+plans then survive multi-process meshes (training/loop.py's gate).
+
+The plan here MUST match the trainers' bit-for-bit: both sides build it
+through training/loop.build_training_plan from the same conf directory;
+--n_devices/--n_procs describe the TRAINING topology (the loader host
+needs no accelerators — set JAX_PLATFORMS=cpu).
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from wide_deep_tpu.config import Config
+    config = Config(os.environ.get("WIDE_DEEP_CONF_DIR"))
+    train_conf = dict(config.train)
+    p = argparse.ArgumentParser(description="wide_deep_tpu input service")
+    p.add_argument("--port", type=int, default=8600)
+    p.add_argument("--n_devices", type=int, required=True,
+                   help="TOTAL devices of the training mesh")
+    p.add_argument("--n_procs", type=int, required=True,
+                   help="jax.distributed process count of the trainers")
+    p.add_argument("--model_type", default=train_conf["model_type"])
+    p.add_argument("--batch_size", type=int,
+                   default=train_conf["batch_size"],
+                   help="GLOBAL batch size (must match the trainers')")
+    p.add_argument("--train_data", default=train_conf.get("train_data"))
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    train_conf["batch_size"] = args.batch_size
+    if args.train_data:
+        train_conf["train_data"] = args.train_data
+
+    from wide_deep_tpu.features.input_service import InputServer
+    from wide_deep_tpu.features.pipeline import (CsvDataset,
+                                                 default_transformer)
+    from wide_deep_tpu.training.loop import build_training_plan
+
+    plan, _, _ = build_training_plan(
+        config, train_conf, args.model_type, args.n_devices,
+        n_procs=args.n_procs, global_batch_input=True)
+    seed = int(config.runconfig.get("tf_random_seed") or 123)
+    transformer = default_transformer(
+        plan, pos_weight=train_conf.get("pos_sample_loss_weight"),
+        neg_weight=train_conf.get("neg_sample_loss_weight"),
+        num_parallel_calls=train_conf.get("num_parallel_calls"))
+
+    def dataset_factory(path, mode, epoch_seed):
+        # mirrors Trainer._dataset with num_shards=1: the SERVICE is the
+        # one host that sees the global batch
+        return CsvDataset(
+            plan, path, mode, args.batch_size,
+            pos_weight=train_conf.get("pos_sample_loss_weight"),
+            neg_weight=train_conf.get("neg_sample_loss_weight"),
+            shuffle_buffer=int(train_conf["num_examples"]),
+            seed=seed + int(epoch_seed), transformer=transformer)
+
+    server = InputServer(dataset_factory, n_procs=args.n_procs,
+                         scatter_shards=plan.scatter_shards, port=args.port)
+    server.start()
+    print(f"input service on :{server.port} "
+          f"({args.n_procs} procs, {plan.scatter_shards} table shards)",
+          flush=True)
+    try:
+        import threading
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()
