@@ -301,10 +301,10 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
   Reader r{buf, buf + len};
   if (len < 12 || std::memcmp(buf, "WDTP", 4) != 0) return nullptr;
   r.p += 4;
-  // version 11: per-shard live counts in the sharded range/window plan
-  // output layout; the check keeps stale libs from silently mis-reading
-  // the call
-  if (r.i64() != 11) return nullptr;
+  // version 12: per-shard live counts in the sharded range/window/compact
+  // plan output layouts; the check keeps stale libs from silently
+  // mis-reading the call
+  if (r.i64() != 12) return nullptr;
   auto plan = new Plan();
   plan->scatter_shards = std::max<int64_t>(r.i64(), 1);
   plan->n_columns = r.i64();
@@ -619,7 +619,8 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 //                  sentinel-padded unique rows)
 //                scatter_shards == S > 1: uids [S, cap], ids [S, cap],
 //                  perm [S, cap], tiles [S, 4, n_tiles_for(cap, cap)],
-//                  ok [S] (ops/scatter.make_sharded_compact_plan layout)
+//                  ok [S], live [S]
+//                  (ops/scatter.make_sharded_compact_plan layout)
 //              then per dedup_mask group (ascending): uids [S, dcap],
 //                slots [B, P] (ops/scatter.make_dedup_plan layout:
 //                per-shard unique LOCAL ids sentinel-padded with
@@ -678,7 +679,10 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                                      : nullptr;
     wscats.push_back(s);
   }
-  struct SoptOut { int64_t group; int32_t *uids, *ids, *perm, *tiles, *ok; };
+  struct SoptOut {
+    int64_t group;
+    int32_t *uids, *ids, *perm, *tiles, *ok, *live;
+  };
   std::vector<SoptOut> sopts;
   for (size_t g = 0; g < plan.group_dims.size(); ++g) {
     if (!(sopt_mask >> g & 1)) continue;
@@ -690,6 +694,8 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     s.tiles = static_cast<int32_t*>(outs[idx++]);
     s.ok = plan.scatter_shards > 1 ? static_cast<int32_t*>(outs[idx++])
                                    : nullptr;
+    s.live = plan.scatter_shards > 1 ? static_cast<int32_t*>(outs[idx++])
+                                     : nullptr;
     sopts.push_back(s);
   }
   struct DedupOut { int64_t group; int32_t *uids, *slots; };
@@ -998,6 +1004,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                                     static_cast<int32_t>(bnd))
                    - gsort.begin();
       const int64_t cnt = hi - lo;
+      s.live[sh] = static_cast<int32_t>(cnt);
       if (cnt > cap) { lo = hi; continue; }  // ok stays 0
       s.ok[sh] = 1;
       if (cnt == 0) { lo = hi; continue; }  // valid empty plan

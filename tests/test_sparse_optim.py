@@ -307,6 +307,88 @@ class TestShardedFused:
                                        err_msg=dim_key)
 
 
+class TestShardedLiveCap:
+    """Per-shard live-cap in the sharded fused optimizer (plan ABI v12):
+    both the compacted branch (all shards under shard_live_cap) and the
+    full-width branch (a shard skewed past it but under the 2x cap) must
+    reproduce the single-device fused update exactly."""
+
+    def _run_pair(self, ids, rows, d, seed):
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import wide_deep_tpu.optim.sparse as sparse_lib
+        from wide_deep_tpu.ops.rowdma import FUSED_WIDTH
+        from wide_deep_tpu.ops.scatter import (make_compact_plan,
+                                               make_sharded_compact_plan)
+        from wide_deep_tpu.parallel import mesh as mesh_lib
+
+        mesh8 = mesh_lib.make_mesh(4, 2, jax.devices()[:8])
+        rng = np.random.default_rng(seed)
+        fused = rng.normal(size=(rows, FUSED_WIDTH)).astype(np.float32)
+        fused[:, d:2 * d] = 0.1  # Adagrad accum init
+        rg = rng.normal(size=(ids.size, d)).astype(np.float32)
+        table = sparse_lib.SparseTable(
+            name="t", path=("t",), ids_key="ids",
+            spec={"name": "Adagrad", "initial_accumulator_value": 0.1},
+            lr=0.1, dim=d, fused=True)
+        state = {"count": jnp.zeros([], jnp.int32)}
+
+        single, _ = sparse_lib.apply_fused_update(
+            table, jnp.asarray(fused), jnp.asarray(rg),
+            {k: jnp.asarray(v) for k, v in
+             make_compact_plan(ids.reshape(-1), rows).items()},
+            dict(state), interpret=True)
+
+        sp = make_sharded_compact_plan(ids.reshape(-1), rows, 8)
+        sall = NamedSharding(mesh8, P(("data", "model")))
+        plan_dev = {k: jax.device_put(jnp.asarray(v), sall)
+                    for k, v in sp.items()}
+        fused_dev = jax.device_put(jnp.asarray(fused), sall)
+        rg_dev = jax.device_put(jnp.asarray(rg),
+                                NamedSharding(mesh8, P("data")))
+        ids_dev = jax.device_put(jnp.asarray(ids),
+                                 NamedSharding(mesh8, P("data")))
+
+        @functools.partial(jax.jit, static_argnums=())
+        def run(f, g, i, plan):
+            out, _ = sparse_lib.apply_fused_sharded_update(
+                table, f, g, i, plan, dict(state), mesh8, interpret=True)
+            return out
+
+        sharded = run(fused_dev, rg_dev, ids_dev, plan_dev)
+        return np.asarray(single), np.asarray(sharded), sp
+
+    def test_compact_branch_matches_single(self):
+        from wide_deep_tpu.ops.scatter import shard_cap, shard_live_cap
+        rows, d, B, P = 512, 8, 256, 16
+        n = B * P
+        small, cap = shard_live_cap(n, 8), shard_cap(n, 8)
+        assert small < cap
+        rng = np.random.default_rng(41)
+        ids = rng.integers(0, rows, (B, P)).astype(np.int32)
+        single, sharded, sp = self._run_pair(ids, rows, d, seed=42)
+        assert sp["ok"].all() and (sp["live"] <= small).all(), (
+            sp["live"], small)
+        np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=1e-6)
+
+    def test_live_overflow_takes_full_branch(self):
+        from wide_deep_tpu.ops.scatter import shard_cap, shard_live_cap
+        rows, d, B, P = 512, 8, 256, 16
+        n = B * P
+        small, cap = shard_live_cap(n, 8), shard_cap(n, 8)
+        shard_rows = rows // 8
+        rng = np.random.default_rng(43)
+        hot = (small + cap) // 2
+        flat = rng.integers(shard_rows, rows, n).astype(np.int32)
+        flat[:hot] = rng.integers(0, shard_rows, hot)
+        ids = rng.permutation(flat).reshape(B, P).astype(np.int32)
+        single, sharded, sp = self._run_pair(ids, rows, d, seed=44)
+        assert sp["ok"].all()
+        assert small < sp["live"][0] <= cap, (sp["live"], small, cap)
+        np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=1e-6)
+
+
 class TestEndToEnd:
     def test_step_with_sparse_table_matches_dense(self, small_config,
                                                   small_plan, fixture_rows):

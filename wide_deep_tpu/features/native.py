@@ -45,9 +45,10 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
     added native sharded-window and compact/sopt plan emission
     (wdt_transform gained the sopt_mask argument); v10 added native
     dedup-exchange plans (wdt_transform gained the dedup_mask argument) —
-    every per-batch plan kind now emits inside the C++ loader; v11 added
-    per-shard live counts to the sharded range and window plans (a trailing
-    [n_shards] int32 array each — the consumer's live-cap compaction).
+    every per-batch plan kind now emits inside the C++ loader; v11/v12
+    added per-shard live counts to the sharded range/window (v11) and
+    compact/sopt (v12) plans (a trailing [n_shards] int32 array each —
+    the consumers' live-cap compaction).
 
     All ints int64 LE, floats f64 LE, strings length-prefixed.  Must stay in
     lockstep with cpp/fastdata.cc::parse_plan.
@@ -67,7 +68,7 @@ def serialize_plan(plan: FeaturePlan) -> bytes:
         w(b)
 
     w(b"WDTP")
-    i64(11)  # version (v11: per-shard live counts in sharded plans)
+    i64(12)  # version (v12: live counts in ALL sharded plan layouts)
     group_index = {g.dim: gi for gi, g in enumerate(plan.groups)}
     i64(int(getattr(plan, "scatter_shards", 1)))
     i64(len(plan.columns), int(plan.multivalue), int(plan.pack_budget),
@@ -253,7 +254,7 @@ class NativeTransformer:
                             n_ids, plan.scatter_shards)
                         if plan.scatter_shards > 1
                         else compact_plan_spec(n_ids))
-                for key in ("uids", "ids", "perm", "tiles", "ok"):
+                for key in ("uids", "ids", "perm", "tiles", "ok", "live"):
                     if key not in spec:
                         continue
                     shape, dt = spec[key]

@@ -575,7 +575,8 @@ def sharded_compact_plan_spec(n_ids: int, n_shards: int):
             "ids": ((n_shards, cap), np.int32),
             "perm": ((n_shards, cap), np.int32),
             "tiles": ((n_shards, 4, nt), np.int32),
-            "ok": ((n_shards,), np.int32)}
+            "ok": ((n_shards,), np.int32),
+            "live": ((n_shards,), np.int32)}
 
 
 def make_sharded_compact_plan(ids_flat: np.ndarray, rows: int,
@@ -587,8 +588,10 @@ def make_sharded_compact_plan(ids_flat: np.ndarray, rows: int,
     mapping into the GLOBAL flat stream (each device gathers its grad rows
     from the all-gathered cotangent).  ``ok[s]`` is 0 when the shard's
     stream overflows the static cap (consumer falls back to the serial
-    per-row update for that shard).  Single-process meshes (the host sees
-    the global batch), like the other sharded plans."""
+    per-row update for that shard); ``live[s]`` is the shard's entry count
+    (live-cap compaction, shard_live_cap).  Global-batch hosts only
+    (single-process meshes or the input service), like the other sharded
+    plans."""
     n = int(ids_flat.shape[0])
     if rows % n_shards:
         raise ValueError(f"rows {rows} % n_shards {n_shards} != 0")
@@ -610,6 +613,7 @@ def make_sharded_compact_plan(ids_flat: np.ndarray, rows: int,
     for s in range(n_shards):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         cnt = hi - lo
+        out["live"][s] = cnt
         if cnt > cap:
             continue  # ok stays 0
         out["ok"][s] = 1

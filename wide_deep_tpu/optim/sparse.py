@@ -386,6 +386,13 @@ def apply_fused_sharded_update(table: SparseTable, fused: jnp.ndarray,
     write-back into the LOCAL shard.  A shard whose stream overflowed the
     static cap (ok=0) falls back to an exact serial-scatter update driven
     by the raw batch ids.
+
+    When the plan carries per-shard ``live`` counts, a shard whose entry
+    count fits the static shard_live_cap runs the whole update on the
+    compacted stream prefix — perm gather, kernel stream, unique-row
+    gather AND the row-DMA write-back all shrink from the 2x-slack cap to
+    ~1.25x the even split (unique counts <= entry counts, so the slice is
+    always sound); over-cap shards take the full-width branch.
     """
     import functools as _ft
 
@@ -396,7 +403,8 @@ def apply_fused_sharded_update(table: SparseTable, fused: jnp.ndarray,
         from jax.experimental.shard_map import shard_map
 
     from wide_deep_tpu.ops.rowdma import rowdma_scatter_rows
-    from wide_deep_tpu.ops.scatter import range_scatter_add
+    from wide_deep_tpu.ops.scatter import (n_tiles_for, range_scatter_add,
+                                           shard_live_cap)
 
     count = state["count"]
     lr = _lr_at(table.lr, count)
@@ -407,13 +415,25 @@ def apply_fused_sharded_update(table: SparseTable, fused: jnp.ndarray,
     shard_rows = rows // n_total
     sall = ("data", "model")
     spec = table.spec
+    plan_live = plan_arrays.get("live")
+    cap = plan_arrays["ids"].shape[-1]
+    small = shard_live_cap(ids.size, n_total)
+    with_live = plan_live is not None and small < cap
+
+    in_specs = [P(sall, None), P("data", None), P("data", None),
+                P(sall, None), P(sall, None), P(sall, None),
+                P(sall, None, None), P(sall)]
+    args = [fused, row_grads, ids.reshape(ids.shape[0], -1),
+            plan_arrays["uids"], plan_arrays["ids"], plan_arrays["perm"],
+            plan_arrays["tiles"], plan_arrays["ok"]]
+    if with_live:
+        in_specs.append(P(sall))
+        args.append(plan_live)
 
     @_ft.partial(shard_map, mesh=mesh, check_vma=False,
-                 in_specs=(P(sall, None), P("data", None), P("data", None),
-                           P(sall, None), P(sall, None), P(sall, None),
-                           P(sall, None, None), P(sall)),
-                 out_specs=P(sall, None))
-    def upd(fused_l, g_local, ids_local, suids, sids, sperm, stiles, sok):
+                 in_specs=tuple(in_specs), out_specs=P(sall, None))
+    def upd(fused_l, g_local, ids_local, suids, sids, sperm, stiles, sok,
+            *slive):
         shard = (jax.lax.axis_index("data") * model_size
                  + jax.lax.axis_index("model"))
         # collectives hoisted out of the cond (branch divergence across
@@ -426,19 +446,31 @@ def apply_fused_sharded_update(table: SparseTable, fused: jnp.ndarray,
                                      tiled=True).reshape(-1)
         local_all = ids_all - shard * shard_rows
 
-        def kernel_path(_):
-            gs = jnp.take(g_all, sperm[0], axis=0)
-            t = stiles[0]
-            cap = sids.shape[-1]
-            g_unique = range_scatter_add(sids[0], gs, t[0], t[1], t[2],
-                                         t[3], cap, out_dtype=jnp.float32,
-                                         interpret=interpret)
-            uids_l = suids[0]
-            safe = jnp.clip(uids_l, 0, shard_rows - 1)
+        def run(uids_s, ids_s, perm_s, tiles_s):
+            gs = jnp.take(g_all, perm_s, axis=0)
+            # rows=cap in BOTH branches: tile row_los were built against
+            # the full compact space (build_scatter_tiles clamps slabs to
+            # rows_pad(cap)); the live prefix is sliced from the output
+            g_unique = range_scatter_add(
+                ids_s, gs, tiles_s[0], tiles_s[1], tiles_s[2], tiles_s[3],
+                cap, out_dtype=jnp.float32,
+                interpret=interpret)[:uids_s.shape[0]]
+            safe = jnp.clip(uids_s, 0, shard_rows - 1)
             full = jnp.take(fused_l, safe, axis=0)
             new_full = _fused_rows_formula(spec, lr, full, g_unique, d)
-            return rowdma_scatter_rows(fused_l, uids_l, new_full,
+            return rowdma_scatter_rows(fused_l, uids_s, new_full,
                                        interpret=interpret)
+
+        def kernel_path(_):
+            t = stiles[0]
+            if not with_live:
+                return run(suids[0], sids[0], sperm[0], t)
+            nt_small = n_tiles_for(small, cap)
+            return jax.lax.cond(
+                slive[0][0] <= small,
+                lambda _: run(suids[0][:small], sids[0][:small],
+                              sperm[0][:small], t[:, :nt_small]),
+                lambda _: run(suids[0], sids[0], sperm[0], t), 0)
 
         def xla_path(_):
             # exact fallback (duplicates compute identical rows from the
@@ -458,8 +490,5 @@ def apply_fused_sharded_update(table: SparseTable, fused: jnp.ndarray,
 
         return jax.lax.cond(sok[0] > 0, kernel_path, xla_path, 0)
 
-    fused = upd(fused, row_grads, ids.reshape(ids.shape[0], -1),
-                plan_arrays["uids"], plan_arrays["ids"],
-                plan_arrays["perm"], plan_arrays["tiles"],
-                plan_arrays["ok"])
+    fused = upd(*args)
     return fused, dict(state, count=count + 1)

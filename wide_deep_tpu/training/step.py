@@ -100,7 +100,9 @@ def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
                             f"table and the mesh (make_train_step(mesh=))")
                         plan_arrays = {
                             k: batch[f"sopt_{k}_{dim_key}"]
-                            for k in ("uids", "ids", "perm", "tiles", "ok")}
+                            for k in ("uids", "ids", "perm", "tiles", "ok",
+                                      "live")
+                            if f"sopt_{k}_{dim_key}" in batch}
                         param, sp_state[name] = (
                             sparse_lib.apply_fused_sharded_update(
                                 table, param,
