@@ -114,31 +114,69 @@ def _decode_batch(payload: bytes) -> Dict[str, np.ndarray]:
 
 class _Stream:
     """One (path, mode, epoch_seed) batch stream shared by n_procs clients:
-    sequential production, per-seq caching, eviction when all procs took
-    the seq."""
+    background production (the parse runs OFF every client's critical
+    path, up to ``prefetch`` batches ahead of the slowest consumer),
+    per-seq caching, eviction when all procs took the seq."""
 
-    def __init__(self, it: Iterator[Dict[str, np.ndarray]], n_procs: int):
+    def __init__(self, it: Iterator[Dict[str, np.ndarray]], n_procs: int,
+                 prefetch: int = 2):
         self.it = it
         self.n_procs = n_procs
-        self.lock = threading.Lock()
+        self.prefetch = max(int(prefetch), 0)
+        self.cv = threading.Condition()
         self.cache: Dict[int, Optional[Dict[str, np.ndarray]]] = {}
         self.taken: Dict[int, set] = {}
-        self.next_seq = 0
+        self.next_seq = 0       # next seq the producer will publish
+        self.evicted = 0        # seqs [0, evicted) fully served + dropped
+        self.end_seq: Optional[int] = None
+        self.stopped = False
+        self._producer = threading.Thread(target=self._produce, daemon=True)
+        self._producer.start()
+
+    def _produce(self):
+        while True:
+            with self.cv:
+                while (not self.stopped
+                       and self.next_seq - self.evicted > self.prefetch):
+                    self.cv.wait()
+                if self.stopped:
+                    return
+                seq = self.next_seq
+            batch = next(self.it, None)  # the slow part — outside the lock
+            with self.cv:
+                self.cache[seq] = batch
+                self.taken[seq] = set()
+                self.next_seq = seq + 1
+                if batch is None:
+                    self.end_seq = seq  # stays cached for every consumer
+                self.cv.notify_all()
+                if batch is None:
+                    return
+
+    def stop(self):
+        with self.cv:
+            self.stopped = True
+            self.cv.notify_all()
 
     def get(self, proc: int, seq: int) -> Optional[Dict[str, np.ndarray]]:
         """-> the GLOBAL batch for ``seq`` (None = end of data)."""
-        with self.lock:
-            if seq < self.next_seq and seq not in self.cache:
+        with self.cv:
+            if seq < self.evicted:
                 raise ValueError(
                     f"seq {seq} already evicted (procs out of lockstep)")
-            while seq >= self.next_seq:
-                self.cache[self.next_seq] = next(self.it, None)
-                self.taken[self.next_seq] = set()
-                self.next_seq += 1
+            while seq not in self.cache:
+                if self.stopped:
+                    raise ValueError("stream stopped")
+                if self.end_seq is not None and seq > self.end_seq:
+                    raise ValueError(f"seq {seq} past end of data "
+                                     f"({self.end_seq})")
+                self.cv.wait(timeout=1.0)
             batch = self.cache[seq]
             self.taken[seq].add(proc)
-            if len(self.taken[seq]) >= self.n_procs:
+            if batch is not None and len(self.taken[seq]) >= self.n_procs:
                 del self.cache[seq], self.taken[seq]
+                self.evicted = seq + 1
+                self.cv.notify_all()  # production space freed
             return batch
 
 
@@ -179,6 +217,9 @@ class InputServer:
 
     def stop(self):
         self._stop.set()
+        with self._streams_lock:
+            for st in self._streams.values():
+                st.stop()
         try:
             self._sock.close()
         except OSError:
