@@ -86,22 +86,39 @@ def synthetic_batch(plan, batch_size, rng):
             cur += occ
         batch[f"emb_ids_d{g.dim}"], batch[f"emb_wts_d{g.dim}"] = ids, wts
         batch[f"emb_seg_d{g.dim}"] = seg
+        # plan emission mirrors features/pipeline.py (single-stream forms on
+        # one device, per-table-shard forms on multi-device meshes)
+        S = plan.scatter_shards
         if plan.scatter_group(g, batch_size):
-            from wide_deep_tpu.ops.scatter import make_scatter_plan
-            sp = make_scatter_plan(ids.reshape(-1), g.rows, wts.reshape(-1))
+            from wide_deep_tpu.ops.scatter import (make_scatter_plan,
+                                                   make_sharded_scatter_plan)
+            sp = (make_sharded_scatter_plan(ids.reshape(-1), g.rows, S,
+                                            wts.reshape(-1))
+                  if S > 1
+                  else make_scatter_plan(ids.reshape(-1), g.rows,
+                                         wts.reshape(-1)))
             for key, arr in sp.items():
                 batch[f"scat_{key}_d{g.dim}"] = arr
         if plan.window_group(g, batch_size):
-            from wide_deep_tpu.ops.scatter import make_window_plan
-            wp = make_window_plan(ids.reshape(-1), g.rows, wts.reshape(-1))
+            from wide_deep_tpu.ops.scatter import (make_sharded_window_plan,
+                                                   make_window_plan)
+            wp = (make_sharded_window_plan(ids.reshape(-1), g.rows, S,
+                                           wts.reshape(-1))
+                  if S > 1
+                  else make_window_plan(ids.reshape(-1), g.rows,
+                                        wts.reshape(-1)))
             for key, arr in wp.items():
                 batch[f"wscat_{key}_d{g.dim}"] = arr
+        if plan.dedup_group(g, batch_size):
+            from wide_deep_tpu.ops.scatter import make_dedup_plan
+            dp = make_dedup_plan(ids, g.rows, S)
+            for key, arr in dp.items():
+                batch[f"dscat_{key}_d{g.dim}"] = arr
         if plan.sparse_opt_group(g, batch_size):
             from wide_deep_tpu.ops.scatter import (
                 make_compact_plan, make_sharded_compact_plan)
-            cp = (make_sharded_compact_plan(ids.reshape(-1), g.rows,
-                                            plan.scatter_shards)
-                  if plan.scatter_shards > 1
+            cp = (make_sharded_compact_plan(ids.reshape(-1), g.rows, S)
+                  if S > 1
                   else make_compact_plan(ids.reshape(-1), g.rows))
             for key, arr in cp.items():
                 batch[f"sopt_{key}_d{g.dim}"] = arr
@@ -130,7 +147,6 @@ def main():
     enable_compilation_cache()
 
     from wide_deep_tpu.config import Config
-    from wide_deep_tpu.features.plan import FeaturePlan
     from wide_deep_tpu.models.joint import build_model
     from wide_deep_tpu.optim import build_joint_optimizer
     from wide_deep_tpu.parallel import mesh as mesh_lib
@@ -141,14 +157,29 @@ def main():
     mesh = mesh_lib.make_mesh(n_chips, 1)
 
     config = Config()
-    # BENCH_SCATTER=xla disables the Pallas range-scatter backward;
+    # the plan comes from the SAME logic the Trainer uses
+    # (training/loop.build_training_plan), so a multi-chip bench exercises
+    # the explicit exchange + per-shard kernel plans + sharded fused
+    # optimizer instead of silently degrading to GSPMD collectives.
+    # BENCH_SCATTER=xla disables every Pallas scatter backward;
     # BENCH_SPARSE=0 disables the fused touched-rows optimizer (compact
     # dedup plans + apply_compact_update, on by default like train.yaml)
-    plan = FeaturePlan(
-        config,
-        pallas_scatter=(n_chips == 1
-                        and os.environ.get("BENCH_SCATTER") != "xla"),
-        sparse_opt=os.environ.get("BENCH_SPARSE") != "0")
+    from wide_deep_tpu.training.loop import build_training_plan
+    train_conf = dict(config.train)
+    train_conf["batch_size"] = BATCH_SIZE
+    # pack_budget pinned to the structural default, NOT train.yaml's
+    # `auto`: auto sizes pools from the p95 occupancy of the (tiny,
+    # synthetic) bundled sample data, which is not what production pools
+    # look like and would make the benchmark's id volume an artifact of
+    # the sample (measured: auto grows d8's pool 40 -> 52 and the step
+    # 31.8 -> 42.9 ms).  BENCH_PACK_BUDGET overrides (incl. "auto").
+    train_conf["pack_budget"] = os.environ.get("BENCH_PACK_BUDGET") or None
+    if os.environ.get("BENCH_SCATTER") == "xla":
+        train_conf["scatter_mode"] = "xla"
+    if os.environ.get("BENCH_SPARSE") == "0":
+        train_conf["sparse_optimizer"] = False
+    plan, explicit_lookup, _ = build_training_plan(
+        config, train_conf, "wide_deep", n_dev=n_chips, n_procs=1)
     # BENCH_DENSE_DTYPE=bfloat16 measures the MLP-in-bf16 knob (model.yaml
     # dense_dtype) without editing the conf
     dtype_env = os.environ.get("BENCH_DENSE_DTYPE")
@@ -158,6 +189,11 @@ def main():
         dtype = jnp.bfloat16 if dtype_env == "bfloat16" else jnp.float32
     model = build_model(config, plan=plan, model_type="wide_deep",
                         dtype=dtype)
+    if explicit_lookup:
+        from wide_deep_tpu.parallel.exchange import enable_explicit_lookup
+        enable_explicit_lookup(model, mesh,
+                               size_threshold=train_conf.get(
+                                   "shard_threshold"))
     log(plan.describe())
 
     rng = np.random.default_rng(0)
@@ -197,8 +233,12 @@ def main():
 
     step = make_train_step(model, tx, sparse_tables=sparse_tables,
                            mesh=mesh)
-    bsh = mesh_lib.batch_sharding(mesh)
-    dbatch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    # per-key shardings: per-table-shard plan arrays place one plan row on
+    # each device; everything else batch-shards over 'data'
+    dbatch = {k: jax.device_put(
+                  v, mesh_lib.batch_key_sharding(
+                      mesh, k, v, plan_sharded=plan.scatter_shards > 1))
+              for k, v in batch.items()}
     key = jax.random.PRNGKey(0)
 
     t0 = time.time()

@@ -476,8 +476,8 @@ class FeaturePlan:
     def sparse_opt_group(self, g: "DimGroup", batch_size: int = 0) -> bool:
         """Whether this dim group carries the fused touched-rows optimizer
         (optim/sparse.apply_fused_update): huge tables, unfolded (a folded
-        table's wide column belongs to the linear optimizer), single-shard
-        plans only (the multi-device compact path is future work).
+        table's wide column belongs to the linear optimizer); divisible
+        row counts on multi-device plans.
 
         DELIBERATELY batch-size independent (``batch_size`` kept for API
         compat): the decision also fixes the PARAM LAYOUT — sparse tables
