@@ -152,6 +152,61 @@ class TestServerClient:
             server.stop()
 
 
+class TestServerCli:
+    def test_input_server_cli_serves_batches(self, small_conf_dir):
+        """tools/input_server.py end-to-end: starts from a conf dir,
+        builds the training plan, serves a RemoteInputDataset client."""
+        import os
+        import socket
+        import subprocess
+        import sys
+        import time
+
+        from wide_deep_tpu.config import Config
+        from wide_deep_tpu.features.input_service import RemoteInputDataset
+        from wide_deep_tpu.training.loop import build_training_plan
+
+        s = socket.socket()
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+        s.close()
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, WIDE_DEEP_CONF_DIR=small_conf_dir,
+                   WDT_TEST_REEXEC="1", PALLAS_AXON_POOL_IPS="",
+                   JAX_PLATFORMS="cpu")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(root, "tools", "input_server.py"),
+             "--port", str(port), "--n_devices", "8", "--n_procs", "1",
+             "--batch_size", "16", "--train_data", FIXTURE],
+            env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        try:
+            deadline = time.time() + 120
+            line = ""
+            while time.time() < deadline:
+                line = proc.stdout.readline()
+                if "input service on" in line:
+                    break
+                assert proc.poll() is None, proc.stdout.read()
+            assert "input service on" in line, line
+            cfg = Config(small_conf_dir)
+            train_conf = dict(cfg.train)
+            train_conf["batch_size"] = 16
+            train_conf["train_data"] = FIXTURE
+            plan, _, _ = build_training_plan(cfg, train_conf, "wide_deep",
+                                             n_dev=8, n_procs=1,
+                                             global_batch_input=True)
+            ds = RemoteInputDataset(plan, f"127.0.0.1:{port}", FIXTURE,
+                                    "train", global_batch=16, proc=0,
+                                    n_procs=1)
+            batches = list(ds)
+            assert batches and all("label" in b for b in batches)
+            assert batches[0]["label"].shape == (16,)
+        finally:
+            proc.kill()
+            proc.wait(timeout=10)
+
+
 class TestTrainerViaService:
     def test_trainer_matches_direct_path(self, small_config, tmp_path,
                                          mesh8, monkeypatch):
