@@ -317,6 +317,20 @@ class TestPlannedGatherLiveCap:
         np.testing.assert_allclose(g, self._ref(table, ids, cot),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_live_cap_engages_at_production_shapes(self):
+        """At the production batch (25600) and pool widths, the compact
+        cap must be strictly under the full shard cap for 2-64 device
+        meshes — otherwise ALIGN rounding silently turns the compaction
+        into a no-op."""
+        from wide_deep_tpu.ops.scatter import shard_cap, shard_live_cap
+        for pool in (1, 4, 26, 40):          # production d32/d16/d4/d8
+            n = 25600 * pool
+            for s in (2, 4, 8, 16, 32, 64):
+                small, cap = shard_live_cap(n, s), shard_cap(n, s)
+                assert small < cap, (pool, s, small, cap)
+                # and it buys a real reduction, not a rounding sliver
+                assert small <= 0.7 * cap, (pool, s, small, cap)
+
     def test_window_mode_compact_branch(self, mesh8):
         """Window-mode sharded plans carry live counts too: the sliced
         stream with full-cap-derived window caps stays exact."""

@@ -297,7 +297,16 @@ class RemoteInputDataset:
     """Client side: iterate this process's slices of the service's global
     batches.  Drop-in for pipeline.CsvDataset in the Trainer's train loop
     (same per-host batch shapes; ``local_spec`` gives the pad-batch
-    contract for the synced-batch protocol)."""
+    contract for the synced-batch protocol).
+
+    Failure model: a dropped loader connection ends the training run (the
+    server evicts a batch once every process took it, so a mid-stream
+    reconnect could not replay it consistently).  Recovery is the
+    checkpoint-resume path: streams are keyed by (path, mode, epoch_seed)
+    and the loader's shuffle is deterministic in them, so a restarted run
+    re-reads the same global order and resumes from the last checkpoint —
+    the same guarantee the reference's PS workers had (SURVEY.md §2.16
+    elasticity row), minus the silent async drift."""
 
     def __init__(self, plan, address: str, path: str, mode: str,
                  global_batch: int, proc: int, n_procs: int,
