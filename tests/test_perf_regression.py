@@ -61,6 +61,7 @@ class TestBuckets:
         assert bucket_of("gather.44") == "gather"
         assert bucket_of("scatter.1") == "scatter"
         assert bucket_of("convolution.2") == "conv"
+        assert bucket_of("convert.9") == "data-movement"  # not "conv"
         assert bucket_of("dot.17") == "matmul"
         assert bucket_of("copy.3") == "data-movement"
         assert bucket_of("rsqrt.1") == "other"

@@ -43,7 +43,8 @@ BUCKET_RULES = [
     ("collective", ("all-reduce", "all-gather", "reduce-scatter",
                     "collective-permute", "all-to-all")),
     ("kernel", ("custom-call", "tpu_custom_call", "pallas")),
-    ("conv", ("convolution", "conv")),
+    ("conv", ("convolution", "conv2d")),  # NOT bare "conv": "convert" ops
+                                          # are data movement
     ("matmul", ("dot", "einsum")),
     ("scatter", ("scatter",)),
     ("gather", ("gather",)),
