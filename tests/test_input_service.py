@@ -132,6 +132,38 @@ class TestServerClient:
         finally:
             plan_mod.FeaturePlan.scatter_group = orig
 
+    def test_run_token_reopens_fresh_stream(self, small_config):
+        """A checkpoint-resumed run replays the same (path, epoch_seed):
+        a NEW run_token must get a fresh deterministic stream from the
+        still-running loader; reusing the OLD token on the consumed
+        stream must fail loudly, never silently serve nothing."""
+        from wide_deep_tpu.features.input_service import (InputServer,
+                                                          RemoteInputDataset)
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.features.plan import FeaturePlan
+        plan = FeaturePlan(small_config)
+        server = InputServer(
+            lambda p, m, e: CsvDataset(plan, p, m, 16, seed=11 + e),
+            n_procs=1, scatter_shards=1, port=0)
+        server.start()
+        try:
+            def fetch(token):
+                return list(RemoteInputDataset(
+                    plan, f"127.0.0.1:{server.port}", FIXTURE, "train",
+                    global_batch=16, proc=0, n_procs=1, run_token=token))
+
+            first = fetch(0)
+            assert first
+            again = fetch(100)  # resumed run: fresh stream, same order
+            assert len(again) == len(first)
+            for a, b in zip(first, again):
+                for k in a:
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            with pytest.raises(IOError, match="evicted|end of data"):
+                fetch(0)  # the consumed stream must not silently replay
+        finally:
+            server.stop()
+
     def test_topology_mismatch_rejected(self, small_config):
         from wide_deep_tpu.features.input_service import (InputServer,
                                                           RemoteInputDataset)

@@ -241,8 +241,14 @@ class InputServer:
             self._threads.append(t)
 
     # ------------------------------------------------------------- serving
-    def _stream_for(self, path: str, mode: str, epoch_seed: int) -> _Stream:
-        key = (path, mode, int(epoch_seed))
+    def _stream_for(self, path: str, mode: str, epoch_seed: int,
+                    run: int) -> _Stream:
+        # ``run`` distinguishes training RUNS that replay the same
+        # (path, mode, epoch_seed) — e.g. a checkpoint-resumed restart —
+        # so the restarted run gets a FRESH deterministic stream instead
+        # of the consumed one.  The Trainer sends its global_step at
+        # dataset-open time, which every process agrees on after restore.
+        key = (path, mode, int(epoch_seed), int(run))
         with self._streams_lock:
             st = self._streams.get(key)
             if st is None:
@@ -268,29 +274,33 @@ class InputServer:
                     ).encode())
                     return
                 st = self._stream_for(hello["path"], hello["mode"],
-                                      hello.get("epoch_seed", 0))
+                                      hello.get("epoch_seed", 0),
+                                      hello.get("run", 0))
                 send_frame(conn, KIND_BATCH)  # hello ack
                 while not self._stop.is_set():
                     req = json.loads(recv_frame(conn).decode("utf-8"))
                     if req.get("op") == "close":
                         return
                     seq = int(req["seq"])
-                    batch = st.get(proc, seq)
-                    if batch is None:
-                        send_frame(conn, KIND_END)
-                        continue  # client may re-ask (idempotent end)
-                    sliced = {
-                        k: slice_for_proc(k, v, proc, n_procs,
-                                          self.scatter_shards)
-                        for k, v in batch.items()}
+                    try:
+                        batch = st.get(proc, seq)
+                        if batch is None:
+                            send_frame(conn, KIND_END)
+                            continue  # client may re-ask (idempotent end)
+                        sliced = {
+                            k: slice_for_proc(k, v, proc, n_procs,
+                                              self.scatter_shards)
+                            for k, v in batch.items()}
+                    except ValueError as e:
+                        # lockstep/shape violations must reach the client
+                        # as an ERR frame while the socket is still open
+                        log.warning("input-service request failed: %s", e)
+                        send_frame(conn, KIND_ERR + str(e).encode())
+                        return
                     send_frame(conn, KIND_BATCH + _encode_batch(sliced))
         except (IOError, json.JSONDecodeError, ValueError) as e:
             if not self._stop.is_set():
                 log.warning("input-service connection ended: %s", e)
-                try:
-                    send_frame(conn, KIND_ERR + str(e).encode())
-                except OSError:
-                    pass
 
 
 class RemoteInputDataset:
@@ -302,16 +312,17 @@ class RemoteInputDataset:
     Failure model: a dropped loader connection ends the training run (the
     server evicts a batch once every process took it, so a mid-stream
     reconnect could not replay it consistently).  Recovery is the
-    checkpoint-resume path: streams are keyed by (path, mode, epoch_seed)
-    and the loader's shuffle is deterministic in them, so a restarted run
-    re-reads the same global order and resumes from the last checkpoint —
+    checkpoint-resume path: the restarted run's ``run_token`` (its
+    restored global step, identical on every process) keys a FRESH
+    deterministic stream on the still-running loader, so it re-reads the
+    same epoch-seeded global order and resumes from the last checkpoint —
     the same guarantee the reference's PS workers had (SURVEY.md §2.16
     elasticity row), minus the silent async drift."""
 
     def __init__(self, plan, address: str, path: str, mode: str,
                  global_batch: int, proc: int, n_procs: int,
                  epoch_seed: int = 0, n_classes: int = 2,
-                 timeout: float = 300.0):
+                 timeout: float = 300.0, run_token: int = 0):
         host, _, port = address.rpartition(":")
         self.plan = plan
         self.mode = mode
@@ -321,6 +332,10 @@ class RemoteInputDataset:
         self.n_procs = int(n_procs)
         self.epoch_seed = int(epoch_seed)
         self.timeout = timeout
+        # distinguishes replays of the same (path, epoch_seed) across
+        # training runs; every process must send the same value (the
+        # Trainer uses its restored global_step)
+        self.run_token = int(run_token)
         self.local_spec = local_batch_spec(plan, global_batch, n_procs,
                                            n_classes, mode=mode)
 
@@ -330,7 +345,8 @@ class RemoteInputDataset:
             send_frame(sock, json.dumps({
                 "op": "hello", "proc": self.proc, "n_procs": self.n_procs,
                 "path": self.path, "mode": self.mode,
-                "epoch_seed": self.epoch_seed}).encode("utf-8"))
+                "epoch_seed": self.epoch_seed,
+                "run": self.run_token}).encode("utf-8"))
             ack = recv_frame(sock)
             if ack[:4] != KIND_BATCH:
                 raise IOError(f"input service rejected hello: "

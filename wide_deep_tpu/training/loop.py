@@ -294,7 +294,11 @@ class Trainer:
                 self.plan, self.input_service, path, mode,
                 global_batch=self.batch_size,
                 proc=jax.process_index(), n_procs=jax.process_count(),
-                epoch_seed=epoch_seed, n_classes=self.n_classes)
+                epoch_seed=epoch_seed, n_classes=self.n_classes,
+                # resumed runs replay (path, epoch_seed) — the step count
+                # (identical on every process after restore) keys a fresh
+                # deterministic stream on the loader
+                run_token=self.global_step)
         # per-worker row sharding (reference dataset.shard semantics,
         # dataset.py:173-174), driven by the live process topology
         num_shards = jax.process_count()
