@@ -105,6 +105,26 @@ class TestCompare:
         assert findings[0]["bucket"] == "collective"
 
 
+class TestCommittedBudget:
+    def test_budget_file_schema(self):
+        """The committed perf_budget.json must stay loadable by `check`:
+        known bucket names, positive totals, recorded capture params."""
+        import perf_regression as pr
+        path = os.path.join(os.path.dirname(TOOLS), "perf_budget.json")
+        with open(path) as f:
+            meta = json.load(f)
+        assert meta["steps"] >= 1
+        assert meta["line_filter"]
+        buckets = meta["buckets_ms_per_step"]
+        assert buckets["total"] > 0
+        known = {name for name, _ in pr.BUCKET_RULES} | {"other", "total",
+                                                         "async-dma"}
+        assert set(buckets) <= known, set(buckets) - known
+        # a self-check against itself must pass
+        ok, findings = pr.compare(buckets, buckets, tolerance=0.15)
+        assert ok and not findings
+
+
 class TestXplaneWalker:
     def _write(self, tmp_path, plane="TPU:0 (chip)", line="XLA Ops"):
         blob = _xspace(plane, line,  # durations in ps: 2.0 / 1.0 / 0.5 ms
