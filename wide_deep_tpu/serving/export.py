@@ -60,10 +60,14 @@ def export_savedmodel(config: Config, export_dir: str,
     model = build_model(config, plan=plan, model_type=model_type,
                         n_classes=n_classes)
 
-    # initialize abstract target then restore trained values
+    # abstract param tree only (shapes/dtypes for the fused-table slimming
+    # below): eval_shape instead of a real init — materializing the ~8 GB
+    # production param set on device just to read its shapes risks a
+    # deferred OOM on a busy chip
     spec = plan.batch_spec(1, n_classes, with_image=model.has_cnn)
     sample = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
-    params, mstate = model.init(jax.random.PRNGKey(0), sample)
+    params, mstate = jax.eval_shape(
+        lambda r: model.init(r, sample), jax.random.PRNGKey(0))
 
     # Resolve the checkpoint: an explicit checkpoint_path pins the exact step
     # it names (orbax layout <model_dir>/<step>/); otherwise latest under the
@@ -191,7 +195,9 @@ def load_bundle(version_dir: str, config: Optional[Config] = None
                         n_classes=bundle["n_classes"])
     spec = plan.batch_spec(1, bundle["n_classes"], with_image=model.has_cnn)
     sample = {k: np.zeros(shape, dt) for k, (shape, dt) in spec.items()}
-    params, mstate = model.init(jax.random.PRNGKey(0), sample)
+    # abstract restore target: never materialize an untrained param set
+    params, mstate = jax.eval_shape(
+        lambda r: model.init(r, sample), jax.random.PRNGKey(0))
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
                             {"params": params, "mstate": mstate})
