@@ -396,6 +396,37 @@ class TestTLS:
             srv.stop()
             model.close()
 
+    def test_tls_survives_hot_reload(self, bundle_dir, certs, tmp_path):
+        """A version hot-reload swaps the model, not the transports — the
+        TLS endpoints must keep serving the new version."""
+        import shutil
+        import time
+        from wide_deep_tpu.serving.client import PredictorClient
+        from wide_deep_tpu.serving.server import PredictorServer, ServingModel
+        cert, key = certs
+        base = tmp_path / "versions"
+        shutil.copytree(bundle_dir, base / "1")
+        model = ServingModel(str(base / "1"), max_batch_size=16)
+        srv = PredictorServer(model, port=_free_port(),
+                              tcp_port=_free_port(), tls_cert=cert,
+                              tls_key=key, model_base_path=str(base),
+                              reload_interval_s=0.3)
+        srv.start()
+        try:
+            rows = _rows(FIXTURE, 2)
+            c = PredictorClient(port=srv.port, timeout=15.0, tls_ca=cert)
+            assert c.predict(rows)["model_version"] == "1"
+            shutil.copytree(base / "1", base / "2")
+            deadline = time.time() + 20
+            while time.time() < deadline and srv.model.version != "2":
+                time.sleep(0.3)
+            assert srv.model.version == "2"
+            assert c.predict(rows)["model_version"] == "2"
+            c.close()
+        finally:
+            srv.stop()
+            srv.model.close()
+
     def test_mutual_tls_requires_client_cert(self, bundle_dir, certs):
         """With tls_ca set, only clients presenting a cert the CA signed
         score (the self-signed cert is its own CA); cert-less TLS clients

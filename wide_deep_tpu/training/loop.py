@@ -288,6 +288,12 @@ class Trainer:
             # batch and emits the per-shard kernel plans per-host row
             # sharding cannot (features/input_service.py); also gives a
             # deterministic global data order across epochs
+            if self.model.has_cnn:
+                raise NotImplementedError(
+                    "distribution.input_service serves tabular batches "
+                    "only — CNN image streams are not routed through the "
+                    "loader; use per-host input (unset input_service) for "
+                    "joint CNN training")
             from wide_deep_tpu.features.input_service import (
                 RemoteInputDataset)
             return RemoteInputDataset(
