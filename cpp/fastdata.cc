@@ -186,24 +186,13 @@ inline int64_t window_cap(int64_t n_ids, int64_t rows) {
   return std::max<int64_t>(kAlignIds, std::min(cap, kTIds));
 }
 
-// dedup-exchange cap (ops/scatter.dedup_cap parity): DEDUP_SLACK x the
-// expected unique count of n_ids uniform draws over rows, per shard
-constexpr double kDedupSlack = 1.5;
-
-inline int64_t dedup_cap(int64_t n_ids, int64_t rows, int64_t n_shards) {
-  const int64_t shard_rows = rows / n_shards;
-  const double lam = static_cast<double>(n_ids) / static_cast<double>(rows);
-  const double e_unique = static_cast<double>(rows) * (1.0 - std::exp(-lam));
-  int64_t cap = static_cast<int64_t>(
-                    std::ceil(kDedupSlack * e_unique
-                              / static_cast<double>(n_shards)
-                              / static_cast<double>(kAlignIds)))
-                * kAlignIds;
-  const int64_t safe =
-      (shard_rows + kAlignIds - 1) / kAlignIds * kAlignIds;
-  return std::max<int64_t>(kAlignIds,
-                           std::min(cap, std::min(safe, n_ids)));
-}
+// dedup-exchange caps are NOT recomputed here: ops/scatter.dedup_cap uses
+// np.exp, and a 1-ulp libm divergence from std::exp at a ceil boundary
+// would make this side index buffers the Python side allocated one
+// kAlignIds step differently — heap corruption.  The caller passes the
+// Python-computed cap per group through wdt_transform's dedup_caps (the
+// other caps — shard, live, window — are integer/IEEE-exact math and stay
+// mirrored).
 
 // stable LSB radix argsort of non-negative int32 ids (16-bit digits: two
 // passes cover the full range, one when ids < 65536); fills perm/sorted.
@@ -628,13 +617,18 @@ void wdt_plan_free(void* plan) { delete static_cast<Plan*>(plan); }
 // scat_mask / window_mask / sopt_mask / dedup_mask: bit g set = emit that
 // plan kind for group g (range and window are mutually exclusive per
 // group; sopt/dedup may coexist; ops/scatter.py contract, caller sizes
-// buffers).  Returns -4 when a dedup shard's unique count exceeds its
-// static cap (the Python builder raises in the same case).
+// buffers).  dedup_caps: [n_groups] int64, the caller-computed
+// ops/scatter.dedup_cap per group (only dedup_mask entries read) — the
+// SAME value that sized the uids buffers, so the two sides cannot diverge
+// on the transcendental cap math.  Returns -4 when a dedup shard's unique
+// count exceeds its static cap (the Python builder raises in the same
+// case).
 int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                       int64_t capacity, int has_label, int multiclass,
                       double pos_w, double neg_w, int weighted, int n_threads,
                       int64_t scat_mask, int64_t window_mask,
-                      int64_t sopt_mask, int64_t dedup_mask, void** outs) {
+                      int64_t sopt_mask, int64_t dedup_mask,
+                      const int64_t* dedup_caps, void** outs) {
   const Plan& plan = *static_cast<Plan*>(plan_ptr);
   Outs o;
   int idx = 0;
@@ -698,12 +692,14 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                                      : nullptr;
     sopts.push_back(s);
   }
-  struct DedupOut { int64_t group; int32_t *uids, *slots; };
+  struct DedupOut { int64_t group; int64_t cap; int32_t *uids, *slots; };
   std::vector<DedupOut> dedups;
   for (size_t g = 0; g < plan.group_dims.size(); ++g) {
     if (!(dedup_mask >> g & 1)) continue;
     DedupOut s;
     s.group = static_cast<int64_t>(g);
+    s.cap = dedup_caps ? dedup_caps[g] : 0;
+    if (s.cap <= 0) return -2;  // caller must pass the sizing cap
     s.uids = static_cast<int32_t*>(outs[idx++]);
     s.slots = static_cast<int32_t*>(outs[idx++]);
     dedups.push_back(s);
@@ -1038,7 +1034,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     const int64_t n_shards = std::max<int64_t>(plan.scatter_shards, 1);
     if (rows % n_shards) return -4;
     const int64_t shard_rows = rows / n_shards;
-    const int64_t cap = dedup_cap(n, rows, n_shards);
+    const int64_t cap = s.cap;  // caller-computed (ops/scatter.dedup_cap)
     for (int64_t i = 0; i < n_shards * cap; ++i)
       s.uids[i] = static_cast<int32_t>(shard_rows);  // sentinel prefill
     std::vector<int32_t> gperm(n), gsort(n);

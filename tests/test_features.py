@@ -252,3 +252,83 @@ class TestRemoteFilesystems:
     def test_unregistered_scheme_fails_loudly(self):
         with pytest.raises(ValueError, match="no filesystem registered"):
             list_files("unknownfs://x/y")
+
+
+class TestHadoopFs:
+    """HadoopFs against a fake ``hadoop`` CLI: one -ls call per directory
+    scan (no per-entry -test -f JVMs), and -cat exit status surfaces as an
+    IOError instead of a silently short file."""
+
+    @pytest.fixture()
+    def fake_hadoop(self, tmp_path, monkeypatch):
+        log = tmp_path / "calls.log"
+        script = tmp_path / "hadoop"
+        script.write_text(
+            '#!/bin/sh\n'
+            'echo "$@" >> "$FAKE_LOG"\n'
+            'shift\n'            # drop "fs"
+            'cmd=$1; shift\n'
+            'case "$cmd" in\n'
+            '  -test)\n'
+            '    flag=$1; path=$2\n'
+            '    case "$path" in\n'
+            '      *dir) [ "$flag" = "-d" ]; exit $? ;;\n'
+            '      *)    [ "$flag" = "-f" ]; exit $? ;;\n'
+            '    esac ;;\n'
+            '  -ls)\n'
+            '    path=$1\n'
+            '    echo "Found 3 items"\n'
+            '    echo "-rw-r--r--   3 u g   12 2026-08-19 12:00 '
+            '$path/part-0"\n'
+            '    echo "-rw-r--r--   3 u g   12 2026-08-19 12:00 '
+            '$path/part-1"\n'
+            '    echo "drwxr-xr-x   - u g    0 2026-08-19 12:00 '
+            '$path/subdir"\n'
+            '    ;;\n'
+            '  -cat)\n'
+            '    printf "r1\\nr2\\n"\n'
+            '    exit "${FAKE_CAT_RC:-0}"\n'
+            '    ;;\n'
+            'esac\n')
+        script.chmod(0o755)
+        monkeypatch.setenv("FAKE_LOG", str(log))
+        from wide_deep_tpu.features import fs
+        hadoop_fs = fs.HadoopFs(hadoop=str(script))
+        fs.register_filesystem("fakehdfs", hadoop_fs)
+        yield hadoop_fs, log
+        fs._HANDLERS.pop("fakehdfs", None)
+
+    def test_listdir_entries_parses_ls(self, fake_hadoop):
+        hfs, _ = fake_hadoop
+        entries = hfs.listdir_entries("fakehdfs://nn/datadir")
+        assert entries == [("fakehdfs://nn/datadir/part-0", True),
+                           ("fakehdfs://nn/datadir/part-1", True),
+                           ("fakehdfs://nn/datadir/subdir", False)]
+
+    def test_list_files_one_ls_no_per_entry_test(self, fake_hadoop):
+        hfs, log = fake_hadoop
+        got = list_files("fakehdfs://nn/datadir")
+        assert got == ["fakehdfs://nn/datadir/part-0",
+                       "fakehdfs://nn/datadir/part-1"]
+        calls = log.read_text().splitlines()
+        assert sum("-ls" in c for c in calls) == 1
+        assert not any("-test -f" in c for c in calls)
+
+    def test_cat_failure_raises_not_short_file(self, fake_hadoop,
+                                               monkeypatch):
+        hfs, _ = fake_hadoop
+        monkeypatch.setenv("FAKE_CAT_RC", "3")
+        with pytest.raises(IOError, match="exited 3"):
+            hfs.open_bytes("fakehdfs://nn/datadir/part-0").read()
+        # and line iteration through open_text fails too, after the
+        # successfully streamed prefix
+        f = hfs.open_text("fakehdfs://nn/datadir/part-0")
+        with pytest.raises(IOError):
+            list(f)
+
+    def test_cat_success_reads_and_reaps(self, fake_hadoop, monkeypatch):
+        hfs, _ = fake_hadoop
+        monkeypatch.setenv("FAKE_CAT_RC", "0")
+        stream = hfs.open_bytes("fakehdfs://nn/datadir/part-0")
+        assert stream.read() == b"r1\nr2\n"
+        stream.close()

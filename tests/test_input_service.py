@@ -74,6 +74,21 @@ class TestStream:
         with pytest.raises(ValueError, match="lockstep"):
             st.get(0, 0)
 
+    def test_producer_exception_surfaces(self):
+        """A loader-side iterator failure must reach blocked consumers as
+        an error carrying the real cause, not leave them waiting on a
+        silently dead producer thread until their socket timeout."""
+        from wide_deep_tpu.features.input_service import _Stream
+
+        def boom():
+            yield {"a": np.zeros(1)}
+            raise RuntimeError("disk on fire")
+
+        st = _Stream(boom(), n_procs=1)
+        assert st.get(0, 0)["a"].shape == (1,)
+        with pytest.raises(ValueError, match="disk on fire"):
+            st.get(0, 1)
+
 
 class TestServerClient:
     def test_two_proc_roundtrip_reassembles(self, small_config):
@@ -161,6 +176,36 @@ class TestServerClient:
                     np.testing.assert_array_equal(a[k], b[k], err_msg=k)
             with pytest.raises(IOError, match="evicted|end of data"):
                 fetch(0)  # the consumed stream must not silently replay
+        finally:
+            server.stop()
+
+    def test_loader_failure_reaches_client_as_err(self, small_config):
+        """A dataset-factory iterator that fails mid-stream must surface
+        to the remote client as an IOError carrying the cause (via the
+        in-band ERR frame), not hang it until the socket timeout."""
+        from wide_deep_tpu.features.input_service import (InputServer,
+                                                          RemoteInputDataset)
+        from wide_deep_tpu.features.plan import FeaturePlan
+        plan = FeaturePlan(small_config)
+        spec = plan.batch_spec(16)
+
+        def factory(path, mode, epoch_seed):
+            def gen():
+                yield {k: np.zeros(shape, dt)
+                       for k, (shape, dt) in spec.items()}
+                raise RuntimeError("loader host lost the data volume")
+            return gen()
+
+        server = InputServer(factory, n_procs=1, scatter_shards=1, port=0)
+        server.start()
+        try:
+            ds = RemoteInputDataset(
+                plan, f"127.0.0.1:{server.port}", FIXTURE, "train",
+                global_batch=16, proc=0, n_procs=1, timeout=30.0)
+            it = iter(ds)
+            next(it)  # the good batch
+            with pytest.raises(IOError, match="lost the data volume"):
+                next(it)
         finally:
             server.stop()
 

@@ -396,6 +396,50 @@ class TestTLS:
             srv.stop()
             model.close()
 
+    def test_tls_proxy_fronts_plaintext_clients(self, bundle_dir, certs):
+        """tools/tls_proxy.py: plaintext clients (the native C++ client
+        has no TLS — no OpenSSL headers in this image) score against a
+        TLS-only server through the local terminating proxy."""
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        from tls_proxy import TlsProxy
+        from wide_deep_tpu.serving.client import TcpPredictorClient
+        from wide_deep_tpu.serving.server import PredictorServer, ServingModel
+        cert, key = certs
+        model = ServingModel(bundle_dir, max_batch_size=16)
+        srv = PredictorServer(model, port=_free_port(),
+                              tcp_port=_free_port(), tls_cert=cert,
+                              tls_key=key)
+        srv.start()
+        proxy = TlsProxy("localhost", srv.tcp_port, listen_port=0,
+                         tls_ca=cert)
+        proxy.start()
+        try:
+            rows = _rows(FIXTURE, 3)
+            # the TLS-only port rejects this client directly
+            # (test_tls_both_transports); through the proxy it scores
+            plain = TcpPredictorClient(port=proxy.port, timeout=15.0)
+            via_proxy = plain.predict(rows)
+            assert all(via_proxy["valid"])
+            plain.close()
+            direct = TcpPredictorClient(port=srv.tcp_port, tls_ca=cert)
+            np.testing.assert_allclose(via_proxy["scores"],
+                                       direct.predict(rows)["scores"])
+            direct.close()
+            if os.path.exists(CPP_CLIENT):
+                out = subprocess.run(
+                    [CPP_CLIENT, f"--data_file={FIXTURE}", "--num_rows=2",
+                     "--server_host=localhost",
+                     f"--server_port={proxy.port}"],
+                    capture_output=True, text=True, timeout=60)
+                assert out.returncode == 0, out.stderr
+                assert "probability:" in out.stdout
+        finally:
+            proxy.stop()
+            srv.stop()
+            model.close()
+
     def test_tls_survives_hot_reload(self, bundle_dir, certs, tmp_path):
         """A version hot-reload swaps the model, not the transports — the
         TLS endpoints must keep serving the new version."""

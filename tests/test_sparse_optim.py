@@ -133,6 +133,58 @@ class TestSelection:
         assert tables == {}
 
 
+class TestTopologyGate:
+    """build_training_plan must enable the fused sparse optimizer ONLY
+    where its plans are valid: single device, or a multi-device mesh with
+    PER-TABLE-SHARD plans built from the global id stream.  Without the
+    gate, a multi-process mesh without the input service concatenates
+    per-host compact plans (host-local perm/uids) into garbage, and a
+    GSPMD-lookup multi-device mesh hands a row-sharded table to an
+    unpartitionable pallas_call (see training/loop.build_training_plan)."""
+
+    def _plan(self, config, n_dev, n_procs=1, svc=False, **conf_overrides):
+        from wide_deep_tpu.training.loop import build_training_plan
+        train_conf = dict(config.train)
+        train_conf["sparse_optimizer"] = True
+        train_conf["pack_budget"] = 3
+        train_conf.update(conf_overrides)
+        plan, _, _ = build_training_plan(config, train_conf, "wide_deep",
+                                         n_dev, n_procs=n_procs,
+                                         global_batch_input=svc)
+        return plan
+
+    def test_single_device_on(self, config):
+        plan = self._plan(config, n_dev=1)
+        assert plan.sparse_opt and plan.scatter_shards == 1
+
+    def test_scatter_mode_xla_disables(self, config):
+        # the fused path runs Pallas kernels (range_scatter_add + rowdma);
+        # scatter_mode: xla must turn it off with the scatter kernels
+        plan = self._plan(config, n_dev=1, scatter_mode="xla")
+        assert not plan.sparse_opt
+
+    def test_multiprocess_without_input_service_off(self, config):
+        plan = self._plan(config, n_dev=8, n_procs=2, svc=False)
+        assert not plan.sparse_opt
+        assert plan.scatter_shards == 1  # no per-host kernel plans either
+
+    def test_multiprocess_with_input_service_sharded(self, config):
+        plan = self._plan(config, n_dev=8, n_procs=2, svc=True)
+        assert plan.sparse_opt and plan.scatter_shards == 8
+
+    def test_single_process_multidevice_explicit_sharded(self, config):
+        # production conf: sharded_lookup auto -> explicit exchange
+        plan = self._plan(config, n_dev=8)
+        assert plan.sparse_opt and plan.scatter_shards == 8
+
+    def test_gspmd_lookup_multidevice_off(self, small_config):
+        # the small test conf pins sharded_lookup: gspmd (testing.py):
+        # no per-shard plans exist there, so the fused path must not run
+        assert small_config.distribution.get("sharded_lookup") == "gspmd"
+        plan = self._plan(small_config, n_dev=8)
+        assert not plan.sparse_opt and plan.scatter_shards == 1
+
+
 class TestCompactPath:
     """Fused touched-rows path (apply_compact_update): per-entry compact
     cotangents + dedup plan must reproduce the dense-grad sparse path (and

@@ -36,6 +36,9 @@ def main():
     p.add_argument("--batch_size", type=int,
                    default=train_conf["batch_size"],
                    help="GLOBAL batch size (must match the trainers')")
+    p.add_argument("--n_classes", type=int, default=2,
+                   help="label cardinality (must match the trainers'; "
+                        "multiclass labels encode differently)")
     p.add_argument("--train_data", default=train_conf.get("train_data"))
     args = p.parse_args()
 
@@ -54,7 +57,8 @@ def main():
         n_procs=args.n_procs, global_batch_input=True)
     seed = int(config.runconfig.get("tf_random_seed") or 123)
     transformer = default_transformer(
-        plan, pos_weight=train_conf.get("pos_sample_loss_weight"),
+        plan, args.n_classes,
+        pos_weight=train_conf.get("pos_sample_loss_weight"),
         neg_weight=train_conf.get("neg_sample_loss_weight"),
         num_parallel_calls=train_conf.get("num_parallel_calls"))
 
@@ -63,6 +67,7 @@ def main():
         # one host that sees the global batch
         return CsvDataset(
             plan, path, mode, args.batch_size,
+            n_classes=args.n_classes,
             pos_weight=train_conf.get("pos_sample_loss_weight"),
             neg_weight=train_conf.get("neg_sample_loss_weight"),
             shuffle_buffer=int(train_conf["num_examples"]),

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Client-side TLS-terminating proxy for plaintext clients.
+
+The native serving client (cpp/serving_client.cc) speaks the framed-TCP
+protocol in plaintext — this image has no OpenSSL headers to link it
+against (ROADMAP).  This proxy closes that gap operationally: it listens
+on a local plaintext port and forwards each connection over TLS (with
+optional mutual TLS) to the scoring server's ssl-wrapped TCP port
+(serving/server.py --tls_cert/--tls_key), so
+
+    ./cpp/serving_client --server_port=<local> ...
+
+scores against a TLS-only deployment.  Protocol-agnostic byte pump — it
+also fronts the gRPC port if ever needed.
+
+Usage:
+    python tools/tls_proxy.py --listen_port 18601 \
+        --target_host scoring.prod --target_port 18501 \
+        --tls_ca ca.pem [--tls_cert client.pem --tls_key client.key]
+
+The reference's C++ client talked plaintext gRPC to tensorflow_model_server
+(/root/reference/python/tensorflow_serving/client.cc); TLS termination in a
+sidecar is the standard pairing for clients without TLS support.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import socket
+import ssl
+import sys
+import threading
+
+log = logging.getLogger("wide_deep_tpu.tls_proxy")
+
+
+def make_client_context(tls_ca: str | None, tls_cert: str | None = None,
+                        tls_key: str | None = None) -> ssl.SSLContext:
+    ctx = ssl.create_default_context(ssl.Purpose.SERVER_AUTH, cafile=tls_ca)
+    if tls_ca is None:
+        ctx.load_default_certs()
+    if tls_cert:
+        ctx.load_cert_chain(tls_cert, tls_key)
+    return ctx
+
+
+def _pump(src: socket.socket, dst: socket.socket) -> None:
+    """One direction of the byte pump; a closed side shuts the other's
+    write half so in-flight responses still drain."""
+    try:
+        while True:
+            data = src.recv(65536)
+            if not data:
+                break
+            dst.sendall(data)
+    except OSError:
+        pass
+    finally:
+        try:
+            dst.shutdown(socket.SHUT_WR)
+        except OSError:
+            pass
+
+
+class TlsProxy:
+    """Plaintext listener -> TLS upstream, one thread pair per connection."""
+
+    def __init__(self, target_host: str, target_port: int,
+                 listen_port: int = 0, listen_host: str = "127.0.0.1",
+                 tls_ca: str | None = None, tls_cert: str | None = None,
+                 tls_key: str | None = None, server_hostname: str | None = None):
+        self.target = (target_host, int(target_port))
+        self.server_hostname = server_hostname or target_host
+        self.ctx = make_client_context(tls_ca, tls_cert, tls_key)
+        self._stop = threading.Event()
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((listen_host, int(listen_port)))
+        self.port = self._sock.getsockname()[1]
+        self._sock.listen(64)
+        self._sock.settimeout(0.5)
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+        log.info("tls proxy: plaintext :%d -> tls %s:%d", self.port,
+                 self.target[0], self.target[1])
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        if self._thread:
+            self._thread.join(timeout=2.0)
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, peer = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(conn, peer),
+                             daemon=True).start()
+
+    def _serve(self, conn: socket.socket, peer) -> None:
+        try:
+            raw = socket.create_connection(self.target, timeout=30.0)
+            up = self.ctx.wrap_socket(raw,
+                                      server_hostname=self.server_hostname)
+        except (OSError, ssl.SSLError) as e:
+            log.warning("upstream connect failed for %s: %s", peer, e)
+            conn.close()
+            return
+        t = threading.Thread(target=_pump, args=(up, conn), daemon=True)
+        t.start()
+        _pump(conn, up)
+        t.join()
+        for s in (conn, up):
+            try:
+                s.close()
+            except OSError:
+                pass
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--listen_port", type=int, default=18601)
+    p.add_argument("--listen_host", default="127.0.0.1",
+                   help="bind address for the PLAINTEXT side (keep it "
+                        "loopback: traffic to this port is unencrypted)")
+    p.add_argument("--target_host", required=True)
+    p.add_argument("--target_port", type=int, required=True)
+    p.add_argument("--tls_ca", help="CA bundle to verify the server "
+                                    "(default: system store)")
+    p.add_argument("--tls_cert", help="client certificate (mutual TLS)")
+    p.add_argument("--tls_key", help="client private key (mutual TLS)")
+    p.add_argument("--server_hostname",
+                   help="SNI/verification name if it differs from "
+                        "--target_host")
+    args = p.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    proxy = TlsProxy(args.target_host, args.target_port,
+                     listen_port=args.listen_port,
+                     listen_host=args.listen_host, tls_ca=args.tls_ca,
+                     tls_cert=args.tls_cert, tls_key=args.tls_key,
+                     server_hostname=args.server_hostname)
+    proxy.start()
+    print(f"tls proxy on :{proxy.port} -> "
+          f"{args.target_host}:{args.target_port}", flush=True)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        proxy.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,8 +31,10 @@ def register_filesystem(scheme: str, fs) -> None:
 
     ``fs`` must provide: ``isdir(path) -> bool``, ``isfile(path) -> bool``,
     ``listdir(path) -> List[str]`` (full paths of directory entries), and
-    ``open_text(path) -> TextIO`` (line-iterable).  ``open_bytes(path)`` is
-    optional (record readers fall back to reading open_text raw)."""
+    ``open_text(path) -> TextIO`` (line-iterable).  Optional:
+    ``open_bytes(path)`` (record readers fall back to reading open_text
+    raw) and ``listdir_entries(path) -> [(path, is_file)]`` (directory
+    scans then need one call instead of a per-entry isfile)."""
     _HANDLERS[scheme] = fs
 
 
@@ -75,6 +77,21 @@ def listdir(path: str) -> List[str]:
     return list(fs.listdir(path))
 
 
+def listdir_entries(path: str):
+    """[(full path, is_file)] per directory entry.
+
+    One remote call when the handler implements ``listdir_entries``
+    (HadoopFs does — the -ls long form carries the file/dir bit);
+    otherwise falls back to a per-entry isfile."""
+    fs = _handler(path)
+    if fs is None:
+        return [(p, os.path.isfile(p)) for p in
+                (os.path.join(path, f) for f in os.listdir(path))]
+    if hasattr(fs, "listdir_entries"):
+        return list(fs.listdir_entries(path))
+    return [(p, fs.isfile(p)) for p in fs.listdir(path)]
+
+
 def open_text(path: str, errors: str = "replace") -> IO[str]:
     fs = _handler(path)
     if fs is None:
@@ -113,17 +130,69 @@ class HadoopFs:
         return self._run("-test", "-f", path).returncode == 0
 
     def listdir(self, path: str) -> List[str]:
-        res = self._run("-ls", "-C", path)
+        return [p for p, _ in self.listdir_entries(path)]
+
+    def listdir_entries(self, path: str):
+        """[(full path, is_file)] from ONE ``-ls`` call.
+
+        The long listing already distinguishes files from directories
+        (permission column), so directory scans avoid a per-entry
+        ``-test -f`` JVM launch (~1-3 s each on a 200-shard date dir)."""
+        res = self._run("-ls", path)
         if res.returncode != 0:
             raise FileNotFoundError(
                 f"hadoop fs -ls {path} failed: {res.stderr.strip()}")
-        return [line for line in res.stdout.splitlines() if line.strip()]
+        out = []
+        for line in res.stdout.splitlines():
+            parts = line.split(None, 7)  # perms repl owner group size d t name
+            if len(parts) == 8 and parts[0][:1] in "-d":
+                out.append((parts[7], not parts[0].startswith("d")))
+        return out
 
     def open_bytes(self, path: str) -> IO[bytes]:
         proc = subprocess.Popen([self.hadoop, "fs", "-cat", path],
                                 stdout=subprocess.PIPE)
         assert proc.stdout is not None
-        return proc.stdout
+        return io.BufferedReader(_CatStream(proc, path))
 
     def open_text(self, path: str) -> IO[str]:
         return io.TextIOWrapper(self.open_bytes(path), errors="replace")
+
+
+class _CatStream(io.RawIOBase):
+    """``hadoop fs -cat`` stdout with exit-status checking at EOF.
+
+    A bare pipe would read a failed or mid-stream-aborted -cat (deleted
+    file, transient HDFS error) as a legitimately short file — silently
+    dropping rows — and leave an un-reaped child per open.  Here EOF
+    waits on the child and raises on a non-zero exit; close() reaps it."""
+
+    def __init__(self, proc: subprocess.Popen, path: str):
+        super().__init__()
+        self._proc = proc
+        self._path = path
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        n = self._proc.stdout.readinto(b)
+        if n:
+            return n
+        rc = self._proc.wait()  # reaps the child
+        if rc != 0:
+            raise IOError(
+                f"hadoop fs -cat {self._path} exited {rc} — treating the "
+                f"stream as truncated, not as end of file")
+        return 0
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        try:
+            if self._proc.poll() is None:  # abandoned early: stop the cat
+                self._proc.kill()
+            self._proc.wait()
+            self._proc.stdout.close()
+        finally:
+            super().close()

@@ -130,6 +130,7 @@ class _Stream:
         self.evicted = 0        # seqs [0, evicted) fully served + dropped
         self.end_seq: Optional[int] = None
         self.stopped = False
+        self.error: Optional[str] = None   # producer failure, for consumers
         self._producer = threading.Thread(target=self._produce, daemon=True)
         self._producer.start()
 
@@ -142,7 +143,17 @@ class _Stream:
                 if self.stopped:
                     return
                 seq = self.next_seq
-            batch = next(self.it, None)  # the slow part — outside the lock
+            try:
+                batch = next(self.it, None)  # the slow part — off the lock
+            except Exception as e:  # noqa: BLE001 — any loader-side failure
+                # must reach every blocked consumer as an ERR, not a silent
+                # dead thread they wait on until their socket timeout
+                log.exception("input-service stream producer failed")
+                with self.cv:
+                    self.error = f"loader stream failed: {e!r}"
+                    self.stopped = True
+                    self.cv.notify_all()
+                return
             with self.cv:
                 self.cache[seq] = batch
                 self.taken[seq] = set()
@@ -166,7 +177,7 @@ class _Stream:
                     f"seq {seq} already evicted (procs out of lockstep)")
             while seq not in self.cache:
                 if self.stopped:
-                    raise ValueError("stream stopped")
+                    raise ValueError(self.error or "stream stopped")
                 if self.end_seq is not None and seq > self.end_seq:
                     raise ValueError(f"seq {seq} past end of data "
                                      f"({self.end_seq})")

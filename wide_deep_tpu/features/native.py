@@ -156,6 +156,7 @@ class NativeTransformer:
             ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_void_p)]
         blob = serialize_plan(plan)
         self._plan_handle = self._lib.wdt_plan_create(blob, len(blob))
@@ -207,6 +208,7 @@ class NativeTransformer:
         window_mask = 0
         sopt_mask = 0
         dedup_mask = 0
+        dedup_caps = [0] * len(plan.groups)
         if mode == "train":
             from wide_deep_tpu.ops.scatter import (
                 compact_plan_spec, dedup_batch_spec, scatter_batch_spec,
@@ -268,6 +270,11 @@ class NativeTransformer:
                 P = plan.group_packed_len[g.dim]
                 spec = dedup_batch_spec(B * P, g.rows,
                                         plan.scatter_shards, (B, P))
+                # the uids buffer's trailing dim IS the dedup cap; C++
+                # receives it via dedup_caps instead of recomputing the
+                # transcendental (np.exp vs std::exp could differ by an
+                # ulp at a ceil boundary and mis-size the indexing)
+                dedup_caps[gi] = spec["uids"][0][1]
                 for key in ("uids", "slots"):
                     shape, dt = spec[key]
                     arr = np.zeros(shape, dt)
@@ -277,12 +284,13 @@ class NativeTransformer:
         ptrs = (ctypes.c_void_p * len(ptr_order))(
             *[a.ctypes.data_as(ctypes.c_void_p).value for a in ptr_order])
         has_label = 0 if mode == "pred" else 1
+        caps_arr = (ctypes.c_int64 * len(plan.groups))(*dedup_caps)
         n = self._lib.wdt_transform(
             self._plan_handle, text, len(text), B, has_label,
             1 if self.n_classes > 2 else 0,
             float(self.pos_weight or 1.0), float(self.neg_weight or 1.0),
             1 if self.weighted else 0, self.n_threads, scat_mask,
-            window_mask, sopt_mask, dedup_mask, ptrs)
+            window_mask, sopt_mask, dedup_mask, caps_arr, ptrs)
         if n == -4:
             raise ValueError(
                 "dedup exchange: a table shard's unique-id count exceeded "

@@ -47,9 +47,11 @@ def list_files(path: str) -> List[str]:
     if fs.scheme_of(path) is None and not os.path.exists(path):
         raise FileNotFoundError(f"no data at {path}")
     if fs.isdir(path):
+        # listdir_entries: one remote call for the file/dir bit instead of
+        # a per-entry isfile round-trip (one JVM launch each on hdfs://)
         return sorted(
-            p for p in fs.listdir(path)
-            if not os.path.basename(p).startswith(".") and fs.isfile(p))
+            p for p, is_file in fs.listdir_entries(path)
+            if not os.path.basename(p).startswith(".") and is_file)
     if fs.isfile(path):
         return [path]
     raise FileNotFoundError(f"no data at {path}")

@@ -152,12 +152,23 @@ def _open_loop_worker(kind: str, host: str, port: int, model_name: str,
     import concurrent.futures as futures
 
     cls = TcpPredictorClient if kind == "tcp" else PredictorClient
+    # gRPC channels are thread-safe; the framed-TCP transport is
+    # one-request-per-connection-at-a-time, so each pool THREAD gets its
+    # own connection (a fixed modulo pool would let two in-flight requests
+    # share — and corrupt — one socket under overload, exactly the regime
+    # an open-loop harness exists to measure)
     client = cls(host=host, port=port, model_name=model_name)
-    if kind == "tcp":
-        # the framed-TCP transport is one-request-per-connection-at-a-time;
-        # give each in-flight slot its own connection
-        clients = [cls(host=host, port=port, model_name=model_name)
-                   for _ in range(32)]
+    tls = threading.local()
+
+    def _client():
+        if kind != "tcp":
+            return client
+        c = getattr(tls, "client", None)
+        if c is None:
+            c = cls(host=host, port=port, model_name=model_name)
+            tls.client = c
+        return c
+
     pool = futures.ThreadPoolExecutor(max_workers=64)
     pending = []
     t0 = time.time()
@@ -174,7 +185,7 @@ def _open_loop_worker(kind: str, host: str, port: int, model_name: str,
         def fire(idx=i):
             start = idx * rows_per_request % n_rows
             chunk = rows[start:start + rows_per_request]
-            c = clients[idx % len(clients)] if kind == "tcp" else client
+            c = _client()
             t_send = time.time()
             try:
                 c.predict(chunk)

@@ -109,6 +109,20 @@ def build_training_plan(config: Config, train_conf: Dict[str, Any],
     scatter_shards = (n_dev if (n_dev > 1
                                 and (pallas_scatter or dedup_lookup))
                       else 1)
+    # The fused touched-rows optimizer (optim/sparse.apply_fused_update /
+    # apply_fused_sharded_update) is valid only where its plans are:
+    # single-device, or a multi-device mesh whose plans are PER TABLE
+    # SHARD (scatter_shards == n_dev) built from the GLOBAL id stream.
+    # Without this gate a multi-process mesh without the input service
+    # would concatenate per-host compact plans (host-local perm/uids) into
+    # garbage, and a GSPMD-lookup multi-device mesh would hand a
+    # row-sharded table to an unpartitionable pallas_call.  It also uses
+    # Pallas kernels (range_scatter_add + rowdma), so scatter_mode: xla
+    # disables it alongside the scatter kernels.
+    sparse_opt = (bool(train_conf.get("sparse_optimizer"))
+                  and want_pallas
+                  and (n_dev == 1
+                       or (scatter_shards == n_dev and single_host_input)))
     plan = FeaturePlan(
         config, multivalue=train_conf["multivalue"],
         fold=fold_enabled(config, model_type),
@@ -119,8 +133,8 @@ def build_training_plan(config: Config, train_conf: Dict[str, Any],
         shard_kind="dedup" if dedup_lookup else "scatter",
         # fused touched-rows optimizer for huge tables: batches carry
         # compact dedup plans (ops/scatter.make_compact_plan) consumed
-        # by optim/sparse.apply_compact_update
-        sparse_opt=bool(train_conf.get("sparse_optimizer")))
+        # by optim/sparse.apply_compact_update — topology-gated above
+        sparse_opt=sparse_opt)
     return plan, explicit_lookup, dedup_lookup
 
 
