@@ -191,6 +191,77 @@ class TestHotReload:
             srv.stop()
 
 
+class TestMultiModel:
+    """Several named models behind one server (TF-Serving
+    --model_config_file analog): requests route by model_name, each model
+    hot-reloads from its own base path independently."""
+
+    def test_routing_and_per_model_reload(self, bundle_dir, tmp_path):
+        import time
+
+        from wide_deep_tpu.serving.client import (PredictorClient,
+                                                  TcpPredictorClient)
+        from wide_deep_tpu.serving.server import PredictorServer, ServingModel
+        base_a, base_b = tmp_path / "a", tmp_path / "b"
+        base_a.mkdir(); base_b.mkdir()
+        os.symlink(bundle_dir, base_a / "1")
+        os.symlink(bundle_dir, base_b / "1")
+        alpha = ServingModel(str(base_a / "1"), 16, model_name="alpha")
+        beta = ServingModel(str(base_b / "1"), 16, model_name="beta")
+        srv = PredictorServer(
+            [alpha, beta], port=_free_port(), tcp_port=_free_port(),
+            model_base_paths={"alpha": str(base_a), "beta": str(base_b)},
+            reload_interval_s=0.3)
+        srv.start()
+        try:
+            rows = _rows(FIXTURE, 2)
+            # routing on both transports; the response names its model
+            for name in ("alpha", "beta"):
+                c = PredictorClient(port=srv.port, model_name=name)
+                resp = c.predict(rows)
+                assert resp["model_name"] == name and all(resp["valid"])
+                c.close()
+            t = TcpPredictorClient(port=srv.tcp_port, model_name="beta")
+            assert t.predict(rows)["model_name"] == "beta"
+            t.close()
+            # empty model_name -> the default (first listed)
+            c = PredictorClient(port=srv.port, model_name="")
+            assert c.predict(rows)["model_name"] == "alpha"
+            c.close()
+            # unserved name -> clean error listing what IS served
+            c = PredictorClient(port=srv.port, model_name="gamma")
+            with pytest.raises(RuntimeError, match="unknown model"):
+                c.predict(rows)
+            c.close()
+            # a new version under beta's base reloads beta ONLY
+            os.symlink(bundle_dir, base_b / "2")
+            deadline = time.time() + 20
+            while (time.time() < deadline
+                   and srv.models["beta"].version != "2"):
+                time.sleep(0.3)
+            assert srv.models["beta"].version == "2"
+            assert srv.models["alpha"].version == "1"
+            c = PredictorClient(port=srv.port, model_name="beta")
+            assert c.predict(rows)["model_version"] == "2"
+            c.close()
+        finally:
+            srv.stop()
+            for m in srv.models.values():
+                m.close()
+
+    def test_duplicate_names_rejected(self, bundle_dir):
+        from wide_deep_tpu.serving.server import PredictorServer, ServingModel
+        m1 = ServingModel(bundle_dir, 16, model_name="same")
+        m2 = ServingModel(bundle_dir, 16, model_name="same")
+        try:
+            with pytest.raises(ValueError, match="duplicate model names"):
+                PredictorServer([m1, m2], port=_free_port(),
+                                tcp_port=_free_port())
+        finally:
+            m1.close()
+            m2.close()
+
+
 class TestTransports:
     def test_grpc_client(self, server):
         from wide_deep_tpu.serving.client import PredictorClient

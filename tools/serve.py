@@ -19,6 +19,13 @@ def main():
                    help="bundle root containing versioned subdirs")
     p.add_argument("--model_version", type=int, default=None,
                    help="explicit version (default: latest)")
+    p.add_argument("--model_config", default=None,
+                   help="YAML file serving MULTIPLE models (TF-Serving "
+                        "--model_config_file analog): a `models:` list of "
+                        "{name, base_path, version?, max_batch_size?}; "
+                        "requests route by model_name, unpinned models "
+                        "hot-reload independently.  Overrides "
+                        "--model_base_path/--model_name/--model_version")
     p.add_argument("--port", type=int, default=server_conf["port"])
     p.add_argument("--model_name", default=server_conf["model_name"])
     p.add_argument("--max_batch_size", type=int,
@@ -43,23 +50,43 @@ def main():
     logging.basicConfig(level=logging.INFO)
     from wide_deep_tpu.serving.export import latest_version_dir
     from wide_deep_tpu.serving.server import PredictorServer, ServingModel
-    if args.model_version is not None:
-        version_dir = os.path.join(args.model_base_path,
-                                   str(args.model_version))
+
+    if args.model_config:
+        import yaml
+        with open(args.model_config) as f:
+            spec = yaml.safe_load(f)
+        entries = spec["models"] if isinstance(spec, dict) else spec
+        if not entries:
+            raise SystemExit(f"{args.model_config}: no models listed")
     else:
-        version_dir = latest_version_dir(args.model_base_path)
-    model = ServingModel(version_dir, args.max_batch_size, args.model_name,
+        entries = [{"name": args.model_name,
+                    "base_path": args.model_base_path,
+                    "version": args.model_version}]
+
+    models, watch, served = [], {}, []
+    for e in entries:
+        if e.get("version") is not None:
+            version_dir = os.path.join(e["base_path"], str(e["version"]))
+        else:
+            version_dir = latest_version_dir(e["base_path"])
+            # watch for new versions unless one was pinned explicitly
+            watch[e["name"]] = e["base_path"]
+        m = ServingModel(version_dir,
+                         int(e.get("max_batch_size", args.max_batch_size)),
+                         e["name"],
                          batch_timeout_micros=args.batch_timeout_micros)
-    model.warmup()
-    # watch for new versions unless one was pinned explicitly
-    watch = None if args.model_version is not None else args.model_base_path
-    server = PredictorServer(model, port=args.port, model_base_path=watch,
+        m.warmup()
+        models.append(m)
+        served.append(f"{e['name']} from {version_dir}")
+
+    server = PredictorServer(models, port=args.port,
+                             model_base_paths=watch,
                              auth_token=args.auth_token or None,
                              tls_cert=args.tls_cert or None,
                              tls_key=args.tls_key or None,
                              tls_ca=args.tls_ca or None)
     server.start()
-    print(f"serving {args.model_name} from {version_dir} "
+    print(f"serving {'; '.join(served)} "
           f"(grpc :{args.port}, tcp :{args.port + 1})", flush=True)
     server.wait()
 

@@ -1,9 +1,12 @@
-"""Scoring server: gRPC + raw-TCP transports over one compiled model.
+"""Scoring server: gRPC + raw-TCP transports over compiled models.
 
 Replaces ``tensorflow_model_server`` (reference scripts/run_serving.sh:60-70)
-with a wide_deep_tpu-native server: an export bundle is loaded once, the
+with a wide_deep_tpu-native server: export bundles are loaded once, each
 predict function is jit-compiled for a fixed max batch, and requests (TSV
 rows) run through the same native feature transformer as training.
+Multiple named models serve side by side (requests route by
+``model_name``; tools/serve.py --model_config is the TF-Serving
+``--model_config_file`` analog), each with its own version hot-reload.
 
 Transports (see serving/protocol.py): gRPC generic method for the Python
 client / load harness, and a length-prefixed TCP endpoint for the native C++
@@ -268,21 +271,29 @@ class ServingModel:
 
 
 class PredictorServer:
-    """Runs gRPC and TCP endpoints for one ServingModel.
+    """Runs gRPC and TCP endpoints for one or more ServingModels.
 
-    With ``model_base_path`` set, a background poller hot-reloads the model
-    when a newer version directory appears (TF-Serving version-watch parity):
-    the new bundle is loaded and warmed before the atomic swap, so in-flight
-    requests never see a cold model."""
+    ``model`` may be a single ServingModel or a list — requests route by
+    their ``model_name`` (the first model is the default for requests that
+    omit it), the tensorflow_model_server ``--model_config_file`` analog
+    (reference scripts/run_serving.sh served one model; TF-Serving itself
+    served many).
 
-    def __init__(self, model: ServingModel, port: int = 8500,
+    With ``model_base_path`` set (or ``model_base_paths``, a
+    {model_name: base_path} map for multi-model), a background poller
+    hot-reloads a model when a newer version directory appears (TF-Serving
+    version-watch parity): the new bundle is loaded and warmed before the
+    atomic swap, so in-flight requests never see a cold model."""
+
+    def __init__(self, model, port: int = 8500,
                  tcp_port: Optional[int] = None, workers: int = 8,
                  model_base_path: Optional[str] = None,
                  reload_interval_s: float = 10.0,
                  auth_token: Optional[str] = None,
                  tls_cert: Optional[str] = None,
                  tls_key: Optional[str] = None,
-                 tls_ca: Optional[str] = None):
+                 tls_ca: Optional[str] = None,
+                 model_base_paths: Optional[Dict[str, str]] = None):
         # auth_token: shared-secret request auth on BOTH transports (the
         # reference's tensorflow_model_server shipped unauthenticated;
         # serving.yaml server.auth_token enables this)
@@ -307,11 +318,26 @@ class PredictorServer:
                 ctx.load_verify_locations(self.tls_ca)
                 ctx.verify_mode = ssl.CERT_REQUIRED
             self._ssl_ctx = ctx
-        self.model = model
+        ms = list(model) if isinstance(model, (list, tuple)) else [model]
+        if not ms:
+            raise ValueError("PredictorServer needs at least one model")
+        self.models: Dict[str, ServingModel] = {m.model_name: m for m in ms}
+        if len(self.models) != len(ms):
+            raise ValueError(
+                f"duplicate model names: {[m.model_name for m in ms]}")
+        self._default_name = ms[0].model_name
         self.port = port
         self.tcp_port = tcp_port if tcp_port is not None else port + 1
         self.workers = workers
         self.model_base_path = model_base_path
+        # name -> watched bundle root; single-model model_base_path folds in
+        self._watch: Dict[str, str] = dict(model_base_paths or {})
+        if model_base_path:
+            self._watch[self._default_name] = model_base_path
+        unknown = set(self._watch) - set(self.models)
+        if unknown:
+            raise ValueError(f"model_base_paths for unserved models: "
+                             f"{sorted(unknown)}")
         self.reload_interval_s = reload_interval_s
         self._grpc_server = None
         self._tcp_sock = None
@@ -319,29 +345,54 @@ class PredictorServer:
         self._reload_thread = None
         self._stop = threading.Event()
 
+    @property
+    def model(self) -> ServingModel:
+        """The default model (single-model back-compat accessor)."""
+        return self.models[self._default_name]
+
+    # ----------------------------------------------------------------- route
+    def _handle(self, payload: bytes) -> bytes:
+        """Route a request to its model by ``model_name`` (empty/omitted ->
+        the default model), then defer to the model's handler (which also
+        does the auth check)."""
+        if len(self.models) == 1:
+            return self.model.handle_request(payload, self.auth_token)
+        try:
+            name = protocol.decode_request(payload).get("model_name")
+        except Exception as e:  # noqa: BLE001 — serving boundary
+            return protocol.encode_response({"error": str(e)})
+        m = self.models.get(name or self._default_name)
+        if m is None:
+            return protocol.encode_response(
+                {"error": f"unknown model {name!r} (serving: "
+                          f"{sorted(self.models)})"})
+        return m.handle_request(payload, self.auth_token)
+
     # ------------------------------------------------------------ hot reload
     def _reload_loop(self):
         from wide_deep_tpu.serving.export import latest_version_dir
         while not self._stop.wait(self.reload_interval_s):
-            try:
-                latest = latest_version_dir(self.model_base_path)
-            except (FileNotFoundError, OSError):
-                continue
-            if os.path.basename(latest.rstrip("/")) == self.model.version:
-                continue
-            try:
-                log.info("loading new model version from %s", latest)
-                new_model = ServingModel(
-                    latest, self.model.max_batch_size, self.model.model_name,
-                    batch_timeout_micros=self.model.batcher.timeout_s * 1e6)
-                new_model.warmup()
-                old = self.model
-                self.model = new_model  # atomic reference swap
-                log.info("now serving version %s", new_model.version)
-                old.close()  # in-flight batches finish first (close joins)
-            except Exception:  # noqa: BLE001 — keep serving the old version
-                log.exception("hot reload failed; keeping version %s",
-                              self.model.version)
+            for name, base in self._watch.items():
+                cur = self.models[name]
+                try:
+                    latest = latest_version_dir(base)
+                except (FileNotFoundError, OSError):
+                    continue
+                if os.path.basename(latest.rstrip("/")) == cur.version:
+                    continue
+                try:
+                    log.info("loading new %s version from %s", name, latest)
+                    new_model = ServingModel(
+                        latest, cur.max_batch_size, name,
+                        batch_timeout_micros=cur.batcher.timeout_s * 1e6)
+                    new_model.warmup()
+                    self.models[name] = new_model  # atomic reference swap
+                    log.info("now serving %s version %s", name,
+                             new_model.version)
+                    cur.close()  # in-flight batches finish first
+                except Exception:  # noqa: BLE001 — keep the old version
+                    log.exception("hot reload failed; keeping %s version %s",
+                                  name, cur.version)
 
     # ------------------------------------------------------------------ gRPC
     def _build_grpc(self):
@@ -354,8 +405,7 @@ class PredictorServer:
                 if handler_call_details.method != protocol.GRPC_METHOD:
                     return None
                 return grpc.unary_unary_rpc_method_handler(
-                    lambda req, ctx: outer.model.handle_request(
-                        req, outer.auth_token),
+                    lambda req, ctx: outer._handle(req),
                     request_deserializer=lambda b: b,
                     response_serializer=lambda b: b)
 
@@ -416,9 +466,7 @@ class PredictorServer:
                         payload = protocol.recv_frame(conn)
                     except IOError:
                         return
-                    protocol.send_frame(
-                        conn,
-                        self.model.handle_request(payload, self.auth_token))
+                    protocol.send_frame(conn, self._handle(payload))
         except Exception:  # noqa: BLE001
             log.exception("tcp connection error")
 
@@ -429,13 +477,14 @@ class PredictorServer:
         self._tcp_thread = threading.Thread(target=self._tcp_loop,
                                             daemon=True)
         self._tcp_thread.start()
-        if self.model_base_path:
+        if self._watch:
             self._reload_thread = threading.Thread(target=self._reload_loop,
                                                    daemon=True)
             self._reload_thread.start()
-        log.info("serving %s (version %s): grpc :%d, tcp :%d",
-                 self.model.model_name, self.model.version, self.port,
-                 self.tcp_port)
+        log.info("serving %s: grpc :%d, tcp :%d",
+                 ", ".join(f"{m.model_name} (version {m.version})"
+                           for m in self.models.values()),
+                 self.port, self.tcp_port)
 
     def wait(self):
         self._grpc_server.wait_for_termination()
