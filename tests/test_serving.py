@@ -233,6 +233,11 @@ class TestMultiModel:
             with pytest.raises(RuntimeError, match="unknown model"):
                 c.predict(rows)
             c.close()
+            # status lists every served model
+            c = PredictorClient(port=srv.port)
+            st = c.status()["models"]
+            assert sorted(m["name"] for m in st) == ["alpha", "beta"]
+            c.close()
             # a new version under beta's base reloads beta ONLY
             os.symlink(bundle_dir, base_b / "2")
             deadline = time.time() + 20
@@ -269,6 +274,21 @@ class TestTransports:
         resp = client.predict(_rows(FIXTURE, 4))
         assert len(resp["scores"]) == 4
         client.close()
+
+    def test_status_both_transports(self, server):
+        """{"op": "status"} answers the served-model snapshot without
+        scoring (TF-Serving GetModelStatus analog)."""
+        from wide_deep_tpu.serving.client import (PredictorClient,
+                                                  TcpPredictorClient)
+        c = PredictorClient(port=server.port)
+        st = c.status()["models"]
+        assert [m["name"] for m in st] == ["wide_deep"]
+        assert st[0]["state"] == "AVAILABLE"
+        assert st[0]["version"] == server.model.version
+        c.close()
+        t = TcpPredictorClient(port=server.tcp_port)
+        assert t.status()["models"][0]["n_classes"] == 2
+        t.close()
 
     def test_tcp_client(self, server):
         from wide_deep_tpu.serving.client import TcpPredictorClient
@@ -390,6 +410,14 @@ class TestAuth:
             c = PredictorClient(port=srv.port, auth_token="s3cret")
             res = c.predict(rows)
             assert all(res["valid"])
+            c.close()
+            # status is auth-gated like scoring
+            c = PredictorClient(port=srv.port)
+            with pytest.raises(RuntimeError, match="unauthorized"):
+                c.status()
+            c.close()
+            c = PredictorClient(port=srv.port, auth_token="s3cret")
+            assert c.status()["models"]
             c.close()
             # TCP: wrong token -> unauthorized; right token -> scores
             t = TcpPredictorClient(port=srv.tcp_port, auth_token="nope")

@@ -15,7 +15,10 @@ def main():
     p.add_argument("--server_port", type=int, default=8500)
     p.add_argument("--transport", choices=["grpc", "tcp"], default="grpc")
     p.add_argument("--model_name", default="wide_deep")
-    p.add_argument("--data_file", required=True)
+    p.add_argument("--status", action="store_true",
+                   help="print served models + versions and exit "
+                        "(TF-Serving GetModelStatus analog)")
+    p.add_argument("--data_file", default=None)
     p.add_argument("--num_rows", type=int, default=10)
     p.add_argument("--load_test", action="store_true",
                    help="run the concurrency load harness instead")
@@ -32,9 +35,13 @@ def main():
     from wide_deep_tpu.serving.client import (PredictorClient,
                                               TcpPredictorClient,
                                               do_inference)
-    with open(args.data_file) as f:
-        rows = [line.rstrip("\n") for line in f if line.strip()]
-    rows = rows[:max(args.num_rows, 1)] if not args.load_test else rows
+    rows = []
+    if not args.status:
+        if not args.data_file:
+            p.error("--data_file is required unless --status")
+        with open(args.data_file) as f:
+            rows = [line.rstrip("\n") for line in f if line.strip()]
+        rows = rows[:max(args.num_rows, 1)] if not args.load_test else rows
 
     tls = dict(tls_ca=args.tls_ca, tls_cert=args.tls_cert,
                tls_key=args.tls_key)
@@ -44,7 +51,10 @@ def main():
     else:
         client = TcpPredictorClient(args.server_host, args.server_port,
                                     args.model_name, **tls)
-    if args.load_test:
+    if args.status:
+        for m in client.status()["models"]:
+            print("\t".join(f"{k}: {v}" for k, v in sorted(m.items())))
+    elif args.load_test:
         stats = do_inference(client, rows, args.num_requests,
                              args.concurrency)
         for k, v in sorted(stats.items()):

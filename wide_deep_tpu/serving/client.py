@@ -58,6 +58,15 @@ class PredictorClient:
             raise RuntimeError(f"server error: {resp['error']}")
         return resp
 
+    def status(self) -> Dict:
+        """Served models + versions (TF-Serving GetModelStatus analog)."""
+        resp = protocol.decode_response(self._call(
+            protocol.encode_status_request(self.auth_token),
+            timeout=self.timeout))
+        if "error" in resp:
+            raise RuntimeError(f"server error: {resp['error']}")
+        return resp
+
     def close(self):
         self._channel.close()
 
@@ -89,6 +98,15 @@ class TcpPredictorClient:
         protocol.send_frame(
             self._sock, protocol.encode_request(
                 rows, self.model_name, auth_token=self.auth_token))
+        resp = protocol.decode_response(protocol.recv_frame(self._sock))
+        if "error" in resp:
+            raise RuntimeError(f"server error: {resp['error']}")
+        return resp
+
+    def status(self) -> Dict:
+        """Served models + versions (TF-Serving GetModelStatus analog)."""
+        protocol.send_frame(self._sock,
+                            protocol.encode_status_request(self.auth_token))
         resp = protocol.decode_response(protocol.recv_frame(self._sock))
         if "error" in resp:
             raise RuntimeError(f"server error: {resp['error']}")

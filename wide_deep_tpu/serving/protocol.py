@@ -37,6 +37,15 @@ def encode_request(rows: List[str], model_name: str = "wide_deep",
     return json.dumps(req).encode("utf-8")
 
 
+def encode_status_request(auth_token: str = None) -> bytes:
+    """Model-status query (TF-Serving GetModelStatus analog): the server
+    answers {"models": [{name, version, state, ...}]} without scoring."""
+    req: Dict[str, Any] = {"op": "status"}
+    if auth_token:
+        req["auth_token"] = auth_token
+    return json.dumps(req).encode("utf-8")
+
+
 def decode_request(payload: bytes) -> Dict[str, Any]:
     return json.loads(payload.decode("utf-8"))
 

@@ -354,7 +354,18 @@ class PredictorServer:
     def _handle(self, payload: bytes) -> bytes:
         """Route a request to its model by ``model_name`` (empty/omitted ->
         the default model), then defer to the model's handler (which also
-        does the auth check)."""
+        does the auth check).  ``{"op": "status"}`` requests (TF-Serving
+        GetModelStatus analog) answer without scoring."""
+        # status sniff: status requests are tiny, so large predict payloads
+        # are never scanned or double-decoded; a small predict row that
+        # happens to contain '"op"' just pays one extra JSON decode
+        if len(payload) < 4096 and b'"op"' in payload:
+            try:
+                req = protocol.decode_request(payload)
+            except Exception as e:  # noqa: BLE001 — serving boundary
+                return protocol.encode_response({"error": str(e)})
+            if req.get("op") == "status":
+                return self._status(req)
         if len(self.models) == 1:
             return self.model.handle_request(payload, self.auth_token)
         try:
@@ -367,6 +378,21 @@ class PredictorServer:
                 {"error": f"unknown model {name!r} (serving: "
                           f"{sorted(self.models)})"})
         return m.handle_request(payload, self.auth_token)
+
+    def _status(self, req: Dict) -> bytes:
+        """Serve-state snapshot per model (name, version, batching limits,
+        device-call count).  Auth applies like scoring."""
+        if self.auth_token:
+            import hmac
+            given = str(req.get("auth_token") or "")
+            if not hmac.compare_digest(given, self.auth_token):
+                return protocol.encode_response({"error": "unauthorized"})
+        return protocol.encode_response({"models": [
+            {"name": m.model_name, "version": m.version,
+             "state": "AVAILABLE", "max_batch_size": m.max_batch_size,
+             "n_classes": m.bundle["n_classes"],
+             "device_calls": m.batcher.device_calls}
+            for m in self.models.values()]})
 
     # ------------------------------------------------------------ hot reload
     def _reload_loop(self):
