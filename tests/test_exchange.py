@@ -429,6 +429,15 @@ class TestDedupGather:
         if dedup_cap(wide.size, rows, S) < rows // S:
             with pytest.raises(ValueError, match="dedup exchange"):
                 make_dedup_plan(wide, rows, S)
+        # out-of-range ids (a miswired feature) must raise, not produce
+        # garbage slots — uninitialized pos entries would route gradients
+        # into arbitrary unique-row slots silently
+        bad_hi = ids.copy(); bad_hi[0, 0] = rows
+        with pytest.raises(ValueError, match="out of range"):
+            make_dedup_plan(bad_hi, rows, S)
+        bad_lo = ids.copy(); bad_lo[0, 0] = -1
+        with pytest.raises(ValueError, match="out of range"):
+            make_dedup_plan(bad_lo, rows, S)
 
     def test_bf16(self, mesh8):
         rows, D, B, Pw = 256, 8, 16, 3

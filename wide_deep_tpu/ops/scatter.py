@@ -685,6 +685,15 @@ def make_dedup_plan(ids: np.ndarray, rows: int, n_shards: int):
     shard_rows = rows // n_shards
     cap = dedup_cap(n, rows, n_shards)
     uniq, inverse = np.unique(flat, return_inverse=True)
+    if len(uniq) and (uniq[0] < 0 or uniq[-1] >= rows):
+        # an out-of-range id would fall outside every shard's bounds and
+        # leave its pos entry unassigned — garbage slots, silently wrong
+        # gathers.  Fail loudly like the C++ emitter (fastdata.cc -2) and
+        # the other plan builders' sentinels/asserts.
+        raise ValueError(
+            f"dedup plan: ids out of range [0, {rows}): "
+            f"min={int(uniq[0])}, max={int(uniq[-1])} — miswired feature "
+            f"or wrong table rows")
     bounds = np.searchsorted(
         uniq, np.arange(n_shards + 1, dtype=np.int64) * shard_rows,
         side="left")

@@ -394,13 +394,7 @@ def apply_fused_sharded_update(table: SparseTable, fused: jnp.ndarray,
     ~1.25x the even split (unique counts <= entry counts, so the slice is
     always sound); over-cap shards take the full-width branch.
     """
-    import functools as _ft
-
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover — older jax
-        from jax.experimental.shard_map import shard_map
 
     from wide_deep_tpu.ops.rowdma import rowdma_scatter_rows
     from wide_deep_tpu.ops.scatter import (n_tiles_for, range_scatter_add,
@@ -430,8 +424,9 @@ def apply_fused_sharded_update(table: SparseTable, fused: jnp.ndarray,
         in_specs.append(P(sall))
         args.append(plan_live)
 
-    @_ft.partial(shard_map, mesh=mesh, check_vma=False,
-                 in_specs=tuple(in_specs), out_specs=P(sall, None))
+    from wide_deep_tpu.parallel.mesh import shard_map_nocheck
+
+    @shard_map_nocheck(mesh, tuple(in_specs), P(sall, None))
     def upd(fused_l, g_local, ids_local, suids, sids, sperm, stiles, sok,
             *slive):
         shard = (jax.lax.axis_index("data") * model_size

@@ -42,6 +42,8 @@ try:  # jax>=0.4.35 moved shard_map out of experimental
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from wide_deep_tpu.parallel import mesh as mesh_lib
+
 
 def explicit_sharded_gather(table: jnp.ndarray, ids: jnp.ndarray,
                             mesh: Mesh) -> jnp.ndarray:
@@ -169,10 +171,10 @@ def _planned_gather_bwd(ctx, res, ct):
         in_specs.append(P(sall))
         args.append(plan_live)
 
-    # check_vma off: pallas_call's out ShapeDtypeStruct carries no varying
-    # mesh-axes annotation, which the checker (jax>=0.7) rejects otherwise
-    @partial(shard_map, mesh=mesh, check_vma=False,
-             in_specs=tuple(in_specs), out_specs=P(sall, None))
+    # replication check off (mesh_lib.shard_map_nocheck): pallas_call's
+    # out ShapeDtypeStruct carries no varying mesh-axes annotation, which
+    # the checker rejects otherwise
+    @mesh_lib.shard_map_nocheck(mesh, tuple(in_specs), P(sall, None))
     def bwd(ct_local, ids_local, sids, sperm, stiles, sok, *slive):
         shard = (jax.lax.axis_index("data") * model_size
                  + jax.lax.axis_index("model"))
@@ -270,11 +272,11 @@ def _dedup_gather(mesh, table, slots, uids):
     shard_rows = table.shape[0] // n_total
     sall = ("data", "model")
 
-    # check_vma off: the all_gather over both axes makes the rows block
-    # replicated over 'model', which the static checker cannot infer
-    @partial(shard_map, mesh=mesh, check_vma=False,
-             in_specs=(P(sall, None), P("data", None), P(sall, None)),
-             out_specs=P("data", None, None))
+    # replication check off: the all_gather over both axes makes the rows
+    # block replicated over 'model', which the static checker cannot infer
+    @mesh_lib.shard_map_nocheck(
+        mesh, (P(sall, None), P("data", None), P(sall, None)),
+        P("data", None, None))
     def fwd(tbl, slots_local, uids_local):
         u = uids_local[0]
         valid = u < shard_rows  # sentinel-padded tail
@@ -301,10 +303,9 @@ def _dedup_gather_bwd(mesh, res, ct):
     d = table.shape[1]
     sall = ("data", "model")
 
-    @partial(shard_map, mesh=mesh, check_vma=False,
-             in_specs=(P("data", None, None), P("data", None),
-                       P(sall, None)),
-             out_specs=P(sall, None))
+    @mesh_lib.shard_map_nocheck(
+        mesh, (P("data", None, None), P("data", None), P(sall, None)),
+        P(sall, None))
     def bwd(ct_local, slots_local, uids_local):
         g_flat = ct_local.reshape(-1, d).astype(jnp.float32)
         # every model rank holds the same data slice of ct — only rank 0

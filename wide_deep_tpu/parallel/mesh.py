@@ -28,6 +28,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _SHARD_THRESHOLD = 1 << 16
 
 
+def shard_map_nocheck(mesh: Mesh, in_specs, out_specs):
+    """``shard_map`` decorator with the replication check OFF, portable
+    across jax versions (the kwarg is ``check_vma`` on jax >= 0.7,
+    ``check_rep`` before).  The check rejects pallas_call outputs and
+    multi-axis gathers whose variance the tracer cannot express — every
+    kernel-inside-shard_map consumer (parallel/exchange.py,
+    optim/sparse.py) needs it off."""
+    import functools
+    import inspect
+    try:  # jax>=0.4.35 moved shard_map out of experimental
+        from jax import shard_map  # type: ignore[attr-defined]
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
+    kw = ("check_vma"
+          if "check_vma" in inspect.signature(shard_map).parameters
+          else "check_rep")
+    return functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, **{kw: False})
+
+
 def make_mesh(data: int = -1, model: int = 1,
               devices: Optional[list] = None) -> Mesh:
     """Build a 2-axis ('data','model') mesh; -1 = all remaining devices."""
