@@ -517,8 +517,10 @@ class TestTLS:
         try:
             rows = _rows(FIXTURE, 3)
             # the TLS-only port rejects this client directly
-            # (test_tls_both_transports); through the proxy it scores
-            plain = TcpPredictorClient(port=proxy.port, timeout=15.0)
+            # (test_tls_both_transports); through the proxy it scores.
+            # Generous timeout: the first predict pays this model's cold
+            # XLA compile, which can exceed 15 s on a loaded full-suite VM
+            plain = TcpPredictorClient(port=proxy.port, timeout=120.0)
             via_proxy = plain.predict(rows)
             assert all(via_proxy["valid"])
             plain.close()
@@ -537,6 +539,70 @@ class TestTLS:
         finally:
             proxy.stop()
             srv.stop()
+
+    def test_proxy_tunnel_has_no_read_timeout(self, certs):
+        """Regression: create_connection's 30 s connect timeout used to ride
+        on the ESTABLISHED tunnel, so a server response slower than 30 s
+        (a cold-compile first request under load) timed out the upstream
+        pump, which closed the client mid-frame with nothing logged.  The
+        timeout must cover connect+handshake only; a slow upstream must
+        survive."""
+        import socket
+        import ssl
+        import sys
+        import time
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        from tls_proxy import TlsProxy
+        cert, key = certs
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(cert, key)
+        lsock = socket.socket()
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(4)
+        upstream_port = lsock.getsockname()[1]
+
+        def slow_server():
+            c, _ = lsock.accept()
+            c = ctx.wrap_socket(c, server_side=True)
+            c.recv(5)
+            time.sleep(2.0)
+            c.sendall(b"WORLD")
+            c.close()
+
+        t = threading.Thread(target=slow_server, daemon=True)
+        t.start()
+        proxy = TlsProxy("localhost", upstream_port, listen_port=0,
+                         tls_ca=cert)
+
+        # spy on the wrapped upstream sockets: the established tunnel must
+        # be timeout-free (gettimeout() is None), whatever the sleep above
+        class CtxSpy:
+            def __init__(self, inner):
+                self._inner = inner
+                self.sockets = []
+
+            def wrap_socket(self, *a, **kw):
+                s = self._inner.wrap_socket(*a, **kw)
+                self.sockets.append(s)
+                return s
+
+        spy = CtxSpy(proxy.ctx)
+        proxy.ctx = spy
+        proxy.start()
+        try:
+            cl = socket.create_connection(("127.0.0.1", proxy.port),
+                                          timeout=30)
+            cl.settimeout(30)
+            cl.sendall(b"HELLO")
+            assert cl.recv(5) == b"WORLD", "slow upstream was cut"
+            cl.close()
+            assert spy.sockets and all(s.gettimeout() is None
+                                       for s in spy.sockets)
+        finally:
+            proxy.stop()
+            lsock.close()
             model.close()
 
     def test_tls_survives_hot_reload(self, bundle_dir, certs, tmp_path):

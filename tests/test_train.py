@@ -81,6 +81,91 @@ class TestCheckpointing:
         assert any("linear" in k and k.endswith("w") for k in tensors)
 
 
+class TestFusedCompactCheckpoint:
+    """Fused sparse tables ([rows, 128] f32 with in-param optimizer slots,
+    ops/rowdma.py) checkpoint as their LIVE column block only — the row-DMA
+    padding is provably zero and would double the d32 table's checkpoint
+    bytes at production shapes (optim/sparse.compact_fused_ckpt)."""
+
+    def _fused_trainer(self, small_config, model_dir):
+        import jax
+        from wide_deep_tpu.parallel import mesh as mesh_lib
+        from wide_deep_tpu.training.loop import Trainer
+        return Trainer(
+            small_config, model_type="deep", model_dir=str(model_dir),
+            mesh=mesh_lib.make_mesh(1, 1, devices=jax.devices()[:1]),
+            overrides=dict(train_data=FIXTURE, eval_data=FIXTURE,
+                           test_data=FIXTURE, keep_train=True,
+                           batch_size=16, sparse_optimizer=True))
+
+    @pytest.fixture()
+    def force_fused(self, monkeypatch):
+        import wide_deep_tpu.optim.sparse as sparse_lib
+        monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
+
+    def test_compact_roundtrip(self, small_config, tmp_path, force_fused):
+        import jax
+        from wide_deep_tpu.optim.sparse import fused_live_width
+        from wide_deep_tpu.ops.rowdma import FUSED_WIDTH
+        from wide_deep_tpu.training.checkpoint import inspect_checkpoint
+
+        tr = self._fused_trainer(small_config, tmp_path)
+        tr.ensure_initialized(restore=False)
+        assert tr.sparse_tables, "premise: small conf must yield fused tables"
+        tr.train_file(FIXTURE)
+        tr.save()
+
+        # on disk: live columns only (param + Adagrad accum), not 128
+        tensors = inspect_checkpoint(tr.model_dir)
+        for t in tr.sparse_tables.values():
+            leaf = tensors["params/" + "/".join(t.path)]
+            assert leaf.shape[1] == fused_live_width(t.spec, t.dim)
+            assert leaf.shape[1] < FUSED_WIDTH
+            # live table padding is zero, so the slice loses nothing
+            live = np.asarray(_leaf(tr.params, t.path))
+            np.testing.assert_array_equal(live[:, leaf.shape[1]:], 0.0)
+
+        # restore: full-width live layout, bit-identical, training continues
+        tr2 = self._fused_trainer(small_config, tmp_path)
+        tr2.ensure_initialized(restore=True)
+        assert tr2.global_step == tr.global_step
+        for p1, p2 in zip(jax.tree.leaves(tr.params),
+                          jax.tree.leaves(tr2.params)):
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        for s1, s2 in zip(jax.tree.leaves(tr.opt_state),
+                          jax.tree.leaves(tr2.opt_state)):
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        tr2.train_file(FIXTURE)
+        assert tr2.global_step > tr.global_step
+
+    def test_legacy_full_width_restores(self, small_config, tmp_path,
+                                        force_fused, monkeypatch):
+        """Checkpoints written before the compact form (full [rows, 128]
+        leaves) still restore through the fallback path."""
+        import jax
+        import wide_deep_tpu.optim.sparse as sparse_lib
+
+        tr = self._fused_trainer(small_config, tmp_path)
+        tr.ensure_initialized(restore=False)
+        tr.train_file(FIXTURE)
+        with monkeypatch.context() as m:
+            m.setattr(sparse_lib, "compact_fused_ckpt", lambda p, t: p)
+            tr.save()
+
+        tr2 = self._fused_trainer(small_config, tmp_path)
+        tr2.ensure_initialized(restore=True)
+        assert tr2.global_step == tr.global_step
+        for p1, p2 in zip(jax.tree.leaves(tr.params),
+                          jax.tree.leaves(tr2.params)):
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def _leaf(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
 class TestPredict:
     def test_streaming_predictions(self, small_config, tmp_path):
         tr = _trainer(small_config, tmp_path, "wide_deep")

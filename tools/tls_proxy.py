@@ -113,6 +113,12 @@ class TlsProxy:
             raw = socket.create_connection(self.target, timeout=30.0)
             up = self.ctx.wrap_socket(raw,
                                       server_hostname=self.server_hostname)
+            # the 30 s covers connect + TLS handshake only.  It must NOT
+            # ride on the established tunnel: create_connection leaves the
+            # timeout on the socket, so a server response slower than 30 s
+            # (e.g. a cold-compile first request) would time out the
+            # upstream pump, which closes the CLIENT mid-frame with no log
+            up.settimeout(None)
         except (OSError, ssl.SSLError) as e:
             log.warning("upstream connect failed for %s: %s", peer, e)
             conn.close()

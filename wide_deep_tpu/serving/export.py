@@ -102,9 +102,12 @@ def export_savedmodel(config: Config, export_dir: str,
     # the embedding block in the serving dtype — load_bundle builds an
     # unfused model and a fat table would also quadruple the bundle.
     def _slim(init_leaf, leaf):
+        # >=, not >: a checkpoint-compacted fused table with zero optimizer
+        # slots (SGD) is already at the serving width but still f32
+        # (optim/sparse.compact_fused_ckpt) — the cast must still happen
         if (getattr(init_leaf, "ndim", 0) == 2 and getattr(leaf, "ndim", 0) == 2
                 and leaf.shape[0] == init_leaf.shape[0]
-                and leaf.shape[1] > init_leaf.shape[1]):
+                and leaf.shape[1] >= init_leaf.shape[1]):
             return leaf[:, :init_leaf.shape[1]].astype(init_leaf.dtype)
         return leaf
 

@@ -35,6 +35,11 @@ class CheckpointManager:
             keep_time_interval=(datetime.timedelta(hours=keep_hours)
                                 if keep_hours and keep_hours < 10000 else None),
             create=True,
+            # async: save() returns once values are copied to host; the
+            # disk write overlaps training (the next save/restore/close
+            # waits for it).  Matters at production shapes — the d32
+            # fused table is a multi-GB leaf (ARCHITECTURE.md round-3 log)
+            enable_async_checkpointing=True,
         )
         self._mgr = ocp.CheckpointManager(self.model_dir, options=options)
         self._last_save_time = time.time()
@@ -50,18 +55,27 @@ class CheckpointManager:
         return False
 
     def save(self, step: int, tree: Dict[str, Any], force: bool = False):
+        # one async write in flight at a time; the device->host copy is
+        # synchronous inside mgr.save, so mutating the live tree after
+        # return is safe while the previous write commits in background
+        self._mgr.wait_until_finished()
         if step in (self._mgr.all_steps() or []):
             return  # this step is already persisted
         self._mgr.save(step, args=ocp.args.StandardSave(tree),
                        force=force)
-        self._mgr.wait_until_finished()
         self._last_save_time = time.time()
         self._last_save_step = step
 
+    def wait(self):
+        """Block until any in-flight async save has committed."""
+        self._mgr.wait_until_finished()
+
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def all_steps(self):
+        self._mgr.wait_until_finished()
         return list(self._mgr.all_steps() or [])
 
     def restore(self, tree: Dict[str, Any],
@@ -80,10 +94,12 @@ class CheckpointManager:
             return x
 
         abstract = jax.tree.map(_abstract, tree)
+        self._mgr.wait_until_finished()
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract))
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

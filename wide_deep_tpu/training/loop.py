@@ -270,7 +270,7 @@ class Trainer:
             from wide_deep_tpu.features.analyze import save_plan_meta
             save_plan_meta(self.model_dir, self.plan)
         if restore:
-            restored = self._ckpt.restore(self._ckpt_tree())
+            restored = self._restore_tree(self._ckpt)
             if restored is not None:
                 self.params = restored["params"]
                 self.mstate = restored["mstate"]
@@ -279,8 +279,34 @@ class Trainer:
                 log.info("restored checkpoint at step %d", self.global_step)
 
     def _ckpt_tree(self):
-        return {"params": self.params, "mstate": self.mstate,
+        # fused sparse tables checkpoint as their live column block only —
+        # the [rows, 128] row-DMA padding is provably zero and would double
+        # the d32 table's checkpoint bytes (optim/sparse.compact_fused_ckpt)
+        from wide_deep_tpu.optim.sparse import compact_fused_ckpt
+        return {"params": compact_fused_ckpt(self.params, self.sparse_tables),
+                "mstate": self.mstate,
                 "opt_state": self.opt_state, "step": self.global_step}
+
+    def _restore_tree(self, mgr: CheckpointManager,
+                      step: Optional[int] = None):
+        """Restore into the checkpoint layout, then re-expand fused tables
+        to the live [rows, FUSED_WIDTH] layout.  Falls back to the legacy
+        full-width layout for checkpoints written before the compact form
+        existed."""
+        from wide_deep_tpu.optim.sparse import expand_fused_ckpt
+        try:
+            restored = mgr.restore(self._ckpt_tree(), step=step)
+        except Exception:
+            if not any(t.fused for t in self.sparse_tables.values()):
+                raise
+            restored = mgr.restore(
+                {"params": self.params, "mstate": self.mstate,
+                 "opt_state": self.opt_state, "step": self.global_step},
+                step=step)
+        if restored is not None:
+            restored["params"] = expand_fused_ckpt(
+                restored["params"], self.sparse_tables, self.params)
+        return restored
 
     def maybe_wipe_model_dir(self):
         if not self.train_conf["keep_train"] and os.path.isdir(self.model_dir):
@@ -472,6 +498,9 @@ class Trainer:
     def save(self, force: bool = True):
         self.ensure_initialized()
         self._ckpt.save(self.global_step, self._ckpt_tree(), force=force)
+        # explicit saves (end of training, SIGINT handler) must be durable
+        # on return — only the cadenced in-loop saves overlap training
+        self._ckpt.wait()
 
     def _write_summaries(self, loss: float, stats: Dict[str, Any]):
         """Scalar + histogram summaries at save_summary_steps cadence
@@ -506,7 +535,7 @@ class Trainer:
             raise FileNotFoundError(
                 f"no checkpoint at {checkpoint_path!r} "
                 f"(available steps under {mgr_dir}: {steps})")
-        restored = mgr.restore(self._ckpt_tree(), step=step)
+        restored = self._restore_tree(mgr, step=step)
         self.params, self.mstate = restored["params"], restored["mstate"]
         self.global_step = int(restored["step"])
 
