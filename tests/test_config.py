@@ -121,3 +121,37 @@ def test_validation_errors(tmp_path, config):
         "adplan_id: {type: category, transform: hash_bucket, parameter: -5}\n")
     with pytest.raises(ConfigError, match="positive int"):
         Config(str(conf2)).read_feature_conf()
+
+
+def test_explicit_zero_lr_fails_loudly(tmp_path, config):
+    """An explicit 0 learning rate must raise, not silently become 0.05
+    (regression: `or 0.05` swallowed explicit zeros)."""
+    import shutil
+    from wide_deep_tpu.config import Config, ConfigError
+    conf2 = tmp_path / "conf"
+    shutil.copytree(config.conf_dir, conf2)
+    model = (conf2 / "model.yaml").read_text()
+    assert "linear_initial_learning_rate" in model
+    import re
+    patched = re.sub(r"linear_initial_learning_rate:.*",
+                     "linear_initial_learning_rate: 0", model)
+    (conf2 / "model.yaml").write_text(patched)
+    with pytest.raises(ConfigError, match="must be > 0"):
+        Config(str(conf2)).model
+
+
+def test_explicit_zero_fold_max_rows_honored(tmp_path, config):
+    """wide_fold_max_rows: 0 means 'fold no tables', not the default cap."""
+    import shutil
+    from wide_deep_tpu.config import Config
+    from wide_deep_tpu.features.plan import FeaturePlan
+    conf2 = tmp_path / "conf"
+    shutil.copytree(config.conf_dir, conf2)
+    with open(conf2 / "model.yaml", "a") as f:
+        f.write("\nwide_fold_max_rows: 0\n")
+    c = Config(str(conf2))
+    assert c.model["wide_fold_max_rows"] == 0
+    plan = FeaturePlan(c)
+    assert plan.fold_max_rows == 0
+    # unset still falls back to the default cap
+    assert Config(str(config.conf_dir)).model["wide_fold_max_rows"] is None

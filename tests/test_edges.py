@@ -44,6 +44,25 @@ class TestCheckpointCadence:
         assert steps == [3, 4]  # only the 2 most recent kept
         mgr.close()
 
+    def test_forced_save_survives_crash(self, tmp_path):
+        """A forced save must be durable on return: simulate a crash by
+        abandoning the manager (no wait/close) and prove a fresh manager
+        restores the newest step with the right values."""
+        import jax.numpy as jnp
+        from wide_deep_tpu.training.checkpoint import CheckpointManager
+        rc = {"save_checkpoints_steps": 1, "save_checkpoints_secs": None,
+              "keep_checkpoint_max": 2, "keep_checkpoint_every_n_hours": 10000}
+        mgr = CheckpointManager(str(tmp_path), rc)
+        for step in (1, 2, 3):
+            mgr.save(step, {"w": jnp.ones(3) * step}, force=True)
+        # crash: no mgr.wait(), no mgr.close() — drop it on the floor
+        del mgr
+        fresh = CheckpointManager(str(tmp_path), rc)
+        assert fresh.latest_step() == 3
+        restored = fresh.restore({"w": jnp.zeros(3)})
+        np.testing.assert_allclose(np.asarray(restored["w"]), 3.0)
+        fresh.close()
+
 
 class TestDecayIntegration:
     def test_adagrad_lr_decays_across_updates(self):

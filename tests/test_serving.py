@@ -550,6 +550,7 @@ class TestTLS:
         import socket
         import ssl
         import sys
+        import threading
         import time
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))), "tools"))
@@ -603,7 +604,6 @@ class TestTLS:
         finally:
             proxy.stop()
             lsock.close()
-            model.close()
 
     def test_tls_survives_hot_reload(self, bundle_dir, certs, tmp_path):
         """A version hot-reload swaps the model, not the transports — the

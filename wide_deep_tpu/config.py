@@ -333,12 +333,23 @@ class Config:
         where = "model.yaml"
         out: Dict[str, Any] = {}
 
-        lin_lr = _as_number(raw.get("linear_initial_learning_rate", 0.05),
-                            "linear_initial_learning_rate", where) or 0.05
-        dnn_lr = _as_number(raw.get("dnn_initial_learning_rate", 0.05),
-                            "dnn_initial_learning_rate", where) or 0.05
-        cnn_lr = _as_number(raw.get("cnn_initial_learning_rate", 0.05),
-                            "cnn_initial_learning_rate", where) or 0.05
+        def _initial_lr(key: str) -> float:
+            # unset -> 0.05 default; an explicit 0/negative is a config
+            # mistake and must fail loudly, not be silently replaced
+            # (an `or`-default here once turned an explicit 0 into 0.05)
+            v = raw.get(key)
+            if v is None:
+                return 0.05
+            v = _as_number(v, key, where)
+            if v <= 0:
+                raise ConfigError(
+                    f"{where}: {key} must be > 0, got {v!r} "
+                    f"(omit the key for the default 0.05)")
+            return float(v)
+
+        lin_lr = _initial_lr("linear_initial_learning_rate")
+        dnn_lr = _initial_lr("dnn_initial_learning_rate")
+        cnn_lr = _initial_lr("cnn_initial_learning_rate")
         out["linear_initial_learning_rate"] = lin_lr
         out["dnn_initial_learning_rate"] = dnn_lr
         out["cnn_initial_learning_rate"] = cnn_lr
@@ -358,8 +369,17 @@ class Config:
         wf = raw.get("wide_fold")
         out["wide_fold"] = True if wf is None else _as_bool(
             wf, "wide_fold", where)
-        out["wide_fold_max_rows"] = int(raw.get("wide_fold_max_rows") or 0) \
-            or None
+        # unset -> None (plan falls back to its default cap); explicit 0 is
+        # honored and means "fold no tables" (equivalent to wide_fold: false)
+        wfmr = raw.get("wide_fold_max_rows")
+        if wfmr is None:
+            out["wide_fold_max_rows"] = None
+        else:
+            wfmr = int(_as_number(wfmr, "wide_fold_max_rows", where))
+            if wfmr < 0:
+                raise ConfigError(
+                    f"{where}: wide_fold_max_rows must be >= 0, got {wfmr}")
+            out["wide_fold_max_rows"] = wfmr
         for key in ("linear_decay_rate", "dnn_decay_rate", "cnn_decay_rate"):
             v = _as_number(raw.get(key), key, where, allow_none=True)
             out[key] = 1.0 if v in (None, 0) else float(v)

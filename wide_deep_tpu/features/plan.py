@@ -211,9 +211,11 @@ class FeaturePlan:
         if fold is None:
             fold = fold_default(config)
         self.fold = bool(fold)
-        self.fold_max_rows = int(
-            fold_max_rows if fold_max_rows is not None
-            else (config.model.get("wide_fold_max_rows") or FOLD_MAX_ROWS))
+        if fold_max_rows is None:
+            fold_max_rows = config.model.get("wide_fold_max_rows")
+        # explicit 0 means "fold no tables"; only unset falls back
+        self.fold_max_rows = int(FOLD_MAX_ROWS if fold_max_rows is None
+                                 else fold_max_rows)
         # pallas_scatter: batches additionally carry a host-built scatter
         # plan (sorted ids + permutation + range tiles) per big dim group so
         # the backward runs ops/scatter.range_scatter_add instead of XLA's

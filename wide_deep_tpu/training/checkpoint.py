@@ -63,6 +63,16 @@ class CheckpointManager:
             return  # this step is already persisted
         self._mgr.save(step, args=ocp.args.StandardSave(tree),
                        force=force)
+        if force:
+            # Forced saves (end of training, SIGINT, explicit user save)
+            # must be durable on return: block until the write commits and
+            # retention finalizes, so a crash right after save() cannot
+            # lose the newest step.  Only cadenced in-loop saves overlap
+            # training (keep_checkpoint_max then counts the N most recent
+            # *committed* steps — the in-flight one lands as N+1'th and
+            # eviction runs at finalize, matching the reference's
+            # keep-N-completed semantics, conf/train.yaml:94-97).
+            self._mgr.wait_until_finished()
         self._last_save_time = time.time()
         self._last_save_step = step
 
