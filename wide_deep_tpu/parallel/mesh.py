@@ -71,8 +71,23 @@ def mesh_from_config(config) -> Mesh:
     return make_mesh(mesh_conf.get("data", -1), mesh_conf.get("model", 1))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
+def _single_device(mesh: Mesh):
+    """SingleDeviceSharding for 1-device meshes.
+
+    A NamedSharding — even over one device — flips jit into SPMD
+    lowering, and the partitioner pass is pathologically slow on the
+    production step (measured: 48.5 s plain vs 292-711 s with 1-device
+    NamedShardings attached, tools/compile_bisect.py round 4).  Every
+    sharding helper therefore degrades to SingleDeviceSharding when the
+    mesh has one device; multi-device meshes are unaffected."""
+    from jax.sharding import SingleDeviceSharding
+    return SingleDeviceSharding(mesh.devices.flat[0])
+
+
+def batch_sharding(mesh: Mesh):
     """Batches: leading (batch) dim split over the data axis."""
+    if mesh.devices.size == 1:
+        return _single_device(mesh)
     return NamedSharding(mesh, P("data"))
 
 
@@ -105,12 +120,16 @@ def batch_key_sharding(mesh: Mesh, key: str, value,
     return batch_sharding(mesh)
 
 
-def replicated(mesh: Mesh) -> NamedSharding:
+def replicated(mesh: Mesh):
+    if mesh.devices.size == 1:
+        return _single_device(mesh)
     return NamedSharding(mesh, P())
 
 
-def row_sharded(mesh: Mesh) -> NamedSharding:
+def row_sharded(mesh: Mesh):
     """Row-shard a [rows, d] table over every device in the mesh."""
+    if mesh.devices.size == 1:
+        return _single_device(mesh)
     return NamedSharding(mesh, P(("data", "model"), None))
 
 
@@ -147,8 +166,9 @@ def opt_state_shardings(mesh: Mesh, params: Any, param_shards: Any,
     sharded_shapes = set()
     for p_leaf, s_leaf in zip(jax.tree.leaves(params),
                               jax.tree.leaves(param_shards)):
-        if s_leaf.spec != (None,) and s_leaf.spec:  # has a sharded dim
-            if any(ax is not None for ax in s_leaf.spec):
+        spec = getattr(s_leaf, "spec", None)  # SingleDeviceSharding has none
+        if spec and spec != (None,):  # has a sharded dim
+            if any(ax is not None for ax in spec):
                 sharded_shapes.add(p_leaf.shape)
 
     def rule(leaf):
