@@ -40,6 +40,12 @@ def main():
                    help="label cardinality (must match the trainers'; "
                         "multiclass labels encode differently)")
     p.add_argument("--train_data", default=train_conf.get("train_data"))
+    p.add_argument("--image_train_data",
+                   default=train_conf.get("image_train_data"),
+                   help="image TFRecords for joint CNN training: the "
+                        "loader composes them with the CSV stream "
+                        "(features/image.ImageCsvDataset) and each "
+                        "process gets its aligned [b, H, W, C] slice")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -62,16 +68,26 @@ def main():
         neg_weight=train_conf.get("neg_sample_loss_weight"),
         num_parallel_calls=train_conf.get("num_parallel_calls"))
 
+    with_cnn = bool(config.model.get("cnn_use_flag")) and args.image_train_data
+
     def dataset_factory(path, mode, epoch_seed):
         # mirrors Trainer._dataset with num_shards=1: the SERVICE is the
         # one host that sees the global batch
-        return CsvDataset(
-            plan, path, mode, args.batch_size,
+        kwargs = dict(
             n_classes=args.n_classes,
             pos_weight=train_conf.get("pos_sample_loss_weight"),
             neg_weight=train_conf.get("neg_sample_loss_weight"),
             shuffle_buffer=int(train_conf["num_examples"]),
             seed=seed + int(epoch_seed), transformer=transformer)
+        if with_cnn:
+            from wide_deep_tpu.features.image import ImageCsvDataset
+            from wide_deep_tpu.models.cnn import CnnSpec
+            cs = CnnSpec.from_model_conf(config.model)
+            return ImageCsvDataset(
+                plan, path, args.image_train_data, mode, args.batch_size,
+                height=cs.height, width=cs.width, channels=cs.channels,
+                **kwargs)
+        return CsvDataset(plan, path, mode, args.batch_size, **kwargs)
 
     server = InputServer(dataset_factory, n_procs=args.n_procs,
                          scatter_shards=plan.scatter_shards, port=args.port)

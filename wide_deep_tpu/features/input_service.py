@@ -90,10 +90,15 @@ def slice_for_proc(key: str, arr: np.ndarray, proc: int, n_procs: int,
 
 
 def local_batch_spec(plan, global_batch: int, n_procs: int,
-                     n_classes: int = 2, mode: str = "train"):
+                     n_classes: int = 2, mode: str = "train",
+                     with_image: bool = False,
+                     image_shape: Tuple[int, int, int] = (224, 224, 3)):
     """Per-process shape/dtype contract of a served batch: the global
-    plan.batch_spec with each entry's leading axis divided by n_procs."""
-    spec = plan.batch_spec(global_batch, n_classes, mode=mode)
+    plan.batch_spec with each entry's leading axis divided by n_procs.
+    ``with_image``: joint-CNN batches carry an [B, H, W, C] ``image``
+    entry — batch axis, so it slices per process like any feature."""
+    spec = plan.batch_spec(global_batch, n_classes, mode=mode,
+                           with_image=with_image, image_shape=image_shape)
     out = {}
     for key, (shape, dt) in spec.items():
         lead = shape[0] // n_procs
@@ -333,7 +338,9 @@ class RemoteInputDataset:
     def __init__(self, plan, address: str, path: str, mode: str,
                  global_batch: int, proc: int, n_procs: int,
                  epoch_seed: int = 0, n_classes: int = 2,
-                 timeout: float = 300.0, run_token: int = 0):
+                 timeout: float = 300.0, run_token: int = 0,
+                 with_image: bool = False,
+                 image_shape: Tuple[int, int, int] = (224, 224, 3)):
         host, _, port = address.rpartition(":")
         self.plan = plan
         self.mode = mode
@@ -348,7 +355,9 @@ class RemoteInputDataset:
         # Trainer uses its restored global_step)
         self.run_token = int(run_token)
         self.local_spec = local_batch_spec(plan, global_batch, n_procs,
-                                           n_classes, mode=mode)
+                                           n_classes, mode=mode,
+                                           with_image=with_image,
+                                           image_shape=image_shape)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         sock = socket.create_connection(self.address, timeout=self.timeout)

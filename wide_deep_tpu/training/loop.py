@@ -328,19 +328,22 @@ class Trainer:
             # batch and emits the per-shard kernel plans per-host row
             # sharding cannot (features/input_service.py); also gives a
             # deterministic global data order across epochs
-            if self.model.has_cnn:
-                raise NotImplementedError(
-                    "distribution.input_service serves tabular batches "
-                    "only — CNN image streams are not routed through the "
-                    "loader; use per-host input (unset input_service) for "
-                    "joint CNN training")
             from wide_deep_tpu.features.input_service import (
                 RemoteInputDataset)
+            # joint CNN: the loader composes the image TFRecord stream
+            # with the CSV stream (tools/input_server.py --image_train_data
+            # builds ImageCsvDataset) and the [B, H, W, C] image entry
+            # slices per process like any batch-axis feature
+            image_shape = (224, 224, 3)
+            if self.model.has_cnn:
+                cs = self.model.cnn_spec
+                image_shape = (cs.height, cs.width, cs.channels)
             return RemoteInputDataset(
                 self.plan, self.input_service, path, mode,
                 global_batch=self.batch_size,
                 proc=jax.process_index(), n_procs=jax.process_count(),
                 epoch_seed=epoch_seed, n_classes=self.n_classes,
+                with_image=self.model.has_cnn, image_shape=image_shape,
                 # resumed runs replay (path, epoch_seed) — the step count
                 # (identical on every process after restore) keys a fresh
                 # deterministic stream on the loader
