@@ -178,6 +178,12 @@ def main():
         train_conf["scatter_mode"] = "xla"
     if os.environ.get("BENCH_SPARSE") == "0":
         train_conf["sparse_optimizer"] = False
+    # BENCH_ASSUME_OK=1: branchless kernel paths (no device lax.cond on
+    # plan validity/live-cap) — valid because the synthetic plans are
+    # asserted ok below, mirroring the Trainer's host-side dispatch
+    if os.environ.get("BENCH_ASSUME_OK") == "1":
+        from wide_deep_tpu.ops.scatter import set_assume_plans_ok
+        set_assume_plans_ok(True)
     plan, explicit_lookup, _ = build_training_plan(
         config, train_conf, "wide_deep", n_dev=n_chips, n_procs=1)
     # BENCH_DENSE_DTYPE=bfloat16 measures the MLP-in-bf16 knob (model.yaml
@@ -198,6 +204,10 @@ def main():
 
     rng = np.random.default_rng(0)
     batch = synthetic_batch(plan, BATCH_SIZE, rng)
+    if os.environ.get("BENCH_ASSUME_OK") == "1":
+        from wide_deep_tpu.ops.scatter import plans_ok_on_host
+        assert plans_ok_on_host(batch), \
+            "synthetic plans violate the branchless contract"
     t0 = time.time()
     decay_steps = float(config.train["num_examples"]) / BATCH_SIZE
     from wide_deep_tpu.optim.sparse import plan_sparse_tables

@@ -416,6 +416,9 @@ def apply_window_plan(plan_arrays, g_flat: jnp.ndarray, rows: int,
                 .add(jnp.take(g_flat, plan_arrays["perm"], axis=0)
                      .astype(out_dtype), mode="drop"))
 
+    if _ASSUME_PLANS_OK:
+        # host-dispatched branchless program (Trainer checked ok=1)
+        return kernel_path(0)
     return jax.lax.cond(plan_arrays["ok"][0] > 0, kernel_path, xla_path, 0)
 
 
@@ -431,6 +434,45 @@ PALLAS_WINDOW_MIN_IDS = 1 << 16    # window mode (sparse streams) pays
 COMPACT_FRAC = 0.875  # static live-id cap as a fraction of the stream; a
                       # batch whose live count exceeds it takes the full
                       # (uncompacted) branch — never wrong, only unshrunk
+
+# EXPERIMENTAL (default off; measured a LOSS — keep off).  When True, the
+# device programs assume every host plan is kernel-valid (ok=1) and
+# live-cap compact — no lax.cond, one branch compiled.  Motivation was the
+# profile's multi-ms cond spans (round 4); the measurement killed it: the
+# branchless production step did not finish compiling within 900 s on v5e
+# (BENCH_ASSUME_OK=1, vs 46 s with the conds), i.e. the conds are
+# load-bearing for XLA's compile behavior here, and their spans in the
+# profile are operand-wait, not branch cost.  Recorded so it isn't
+# retried; the flag stays for kernel-level A/B on other shapes.
+_ASSUME_PLANS_OK = False
+
+
+def set_assume_plans_ok(value: bool) -> None:
+    global _ASSUME_PLANS_OK
+    _ASSUME_PLANS_OK = bool(value)
+
+
+def assume_plans_ok() -> bool:
+    return _ASSUME_PLANS_OK
+
+
+def plans_ok_on_host(batch) -> bool:
+    """Host-side check that every plan in a (numpy) batch qualifies for
+    the branchless device program: kernel-valid (``*_ok_*`` all 1) and
+    single-stream ``scat_live_*`` counts within the static compact cap.
+    Sharded plans (multi-device) keep their device conds regardless."""
+    import numpy as np
+
+    for k, v in batch.items():
+        if "_ok_" in k and not np.all(np.asarray(v) > 0):
+            return False
+        if k.startswith("scat_live_"):
+            ids = batch.get(k.replace("_live_", "_ids_"))
+            if ids is not None and np.asarray(ids).ndim == 1:
+                cap = live_cap(int(np.asarray(ids).shape[0]))
+                if np.any(np.asarray(v) > cap):
+                    return False
+    return True
 
 
 def live_cap(n_ids: int) -> int:
@@ -505,6 +547,10 @@ def apply_scatter_plan(plan_arrays, g_flat: jnp.ndarray, rows: int,
     if live is None or cap >= n:
         return run(plan_arrays["ids"], plan_arrays["perm"], tiles)
     nt_cap = n_tiles_for(cap, rows)
+    if _ASSUME_PLANS_OK:
+        # host-dispatched branchless program (Trainer checked live <= cap)
+        return run(plan_arrays["ids"][:cap], plan_arrays["perm"][:cap],
+                   tiles[:, :nt_cap])
     return jax.lax.cond(
         live[0] <= cap,
         lambda _: run(plan_arrays["ids"][:cap], plan_arrays["perm"][:cap],
