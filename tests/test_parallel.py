@@ -115,3 +115,27 @@ def test_opt_state_sharding_structure(setup, small_config):
     # every opt leaf has a sharding on the full mesh
     for s in jax.tree.leaves(osh):
         assert s.mesh.devices.size == 8
+
+
+def test_single_device_mesh_avoids_spmd_lowering():
+    """Round-4 cold-compile fix: on a 1-device mesh every sharding helper
+    must return SingleDeviceSharding — a NamedSharding (even over one
+    device) flips jit into the SPMD lowering path, measured 6-25x slower
+    to compile on the production step (ARCHITECTURE.md round 4)."""
+    from jax.sharding import NamedSharding, SingleDeviceSharding
+    mesh1 = mesh_lib.make_mesh(1, 1, jax.devices()[:1])
+    assert isinstance(mesh_lib.replicated(mesh1), SingleDeviceSharding)
+    assert isinstance(mesh_lib.batch_sharding(mesh1), SingleDeviceSharding)
+    assert isinstance(mesh_lib.row_sharded(mesh1), SingleDeviceSharding)
+    assert isinstance(
+        mesh_lib.batch_key_sharding(mesh1, "emb_ids_d8",
+                                    np.zeros((4, 2), np.int32)),
+        SingleDeviceSharding)
+    import jax.numpy as jnp
+    shs = mesh_lib.param_shardings(
+        mesh1, {"embed": {"d8": jnp.zeros((1 << 17, 8))}}, size_threshold=64)
+    assert isinstance(shs["embed"]["d8"], SingleDeviceSharding)
+    # multi-device meshes are unaffected
+    mesh8 = mesh_lib.make_mesh(4, 2)
+    assert isinstance(mesh_lib.replicated(mesh8), NamedSharding)
+    assert isinstance(mesh_lib.row_sharded(mesh8), NamedSharding)

@@ -147,6 +147,10 @@ class ServingModel:
     def __init__(self, version_dir: str, max_batch_size: int = 1024,
                  model_name: str = "wide_deep",
                  batch_timeout_micros: int = 2000):
+        # server restarts and version hot-reloads hit the persistent
+        # compile cache instead of re-paying the scoring-fn XLA compile
+        from wide_deep_tpu.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.model, self.params, self.mstate, self.bundle = load_bundle(
             version_dir)
         self.version = os.path.basename(version_dir.rstrip("/"))
