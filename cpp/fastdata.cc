@@ -11,8 +11,11 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -194,27 +197,42 @@ inline int64_t window_cap(int64_t n_ids, int64_t rows) {
 // other caps — shard, live, window — are integer/IEEE-exact math and stay
 // mirrored).
 
-// stable LSB radix argsort of non-negative int32 ids (16-bit digits: two
-// passes cover the full range, one when ids < 65536); fills perm/sorted.
-void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
-                          int32_t* sorted) {
+// LSD radix passes over pre-materialized keys in `sorted`, digit width
+// adapted to the key range [0, max_key]: <=12 bits one pass, else two
+// passes of ceil(bits/2) (<=4096 buckets — cache-resident counts vs the
+// 512 KB histogram 16-bit digits need; measured 1.6x on the production
+// d8 stream).  Stable; fills perm with the argsort.
+void radix_sort_keys(int64_t n, int32_t* perm, int32_t* sorted,
+                     uint32_t max_key) {
   std::vector<int32_t> tmp_idx(n), tmp_ids(n);
   for (int64_t i = 0; i < n; ++i) perm[i] = static_cast<int32_t>(i);
-  std::memcpy(sorted, ids, n * sizeof(int32_t));
+  int bits = 1;
+  while (bits < 31 && (uint64_t(1) << bits) <= max_key) ++bits;
+  int widths[2], shifts[2];
+  if (bits <= 12) {
+    widths[0] = bits; widths[1] = 0;
+  } else {
+    widths[0] = (bits + 1) / 2; widths[1] = bits - widths[0];
+  }
+  shifts[0] = 0; shifts[1] = widths[0];
   int32_t* src_i = perm;
   int32_t* src_v = sorted;
   int32_t* dst_i = tmp_idx.data();
   int32_t* dst_v = tmp_ids.data();
-  std::vector<int64_t> count(65537);
-  for (int shift = 0; shift < 32; shift += 16) {
-    std::fill(count.begin(), count.end(), 0);
+  std::vector<int64_t> count((int64_t(1) << std::max(widths[0], widths[1]))
+                             + 1);
+  for (int pass = 0; pass < 2 && widths[pass] > 0; ++pass) {
+    const int shift = shifts[pass];
+    const uint32_t mask = (uint32_t(1) << widths[pass]) - 1;
+    const int64_t nb = int64_t(1) << widths[pass];
+    std::fill(count.begin(), count.begin() + nb + 1, 0);
     for (int64_t i = 0; i < n; ++i)
-      ++count[((static_cast<uint32_t>(src_v[i]) >> shift) & 0xFFFF) + 1];
+      ++count[((static_cast<uint32_t>(src_v[i]) >> shift) & mask) + 1];
     if (count[1] == n) continue;  // all keys zero here: identity pass
-    for (int b = 0; b < 65536; ++b) count[b + 1] += count[b];
+    for (int64_t b = 0; b < nb; ++b) count[b + 1] += count[b];
     for (int64_t i = 0; i < n; ++i) {
       int64_t pos =
-          count[(static_cast<uint32_t>(src_v[i]) >> shift) & 0xFFFF]++;
+          count[(static_cast<uint32_t>(src_v[i]) >> shift) & mask]++;
       dst_i[pos] = src_i[i];
       dst_v[pos] = src_v[i];
     }
@@ -225,6 +243,35 @@ void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
     std::memcpy(perm, src_i, n * sizeof(int32_t));
     std::memcpy(sorted, src_v, n * sizeof(int32_t));
   }
+}
+
+// stable radix argsort of non-negative int32 ids; fills perm/sorted.
+// Full int32 range assumed (raw-id callers whose failure semantics need
+// true ordering of any value).
+void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
+                          int32_t* sorted) {
+  std::memcpy(sorted, ids, n * sizeof(int32_t));
+  radix_sort_keys(n, perm, sorted, 0x7FFFFFFFu);
+}
+
+// sentinel-keyed variant fused with the weight-0 padding remap
+// (key_i = wts[i] != 0 ? ids[i] : sentinel): skips the separate remap
+// buffer and sizes the radix digits by the known bound.  Returns false
+// when a live id falls outside [0, sentinel] — the plan contract is
+// broken and the caller must fail loudly (masked digits could otherwise
+// mis-sort the rogue id silently).
+bool stable_radix_argsort_keyed(const int32_t* ids, const float* wts,
+                                int32_t sentinel, int64_t n, int32_t* perm,
+                                int32_t* sorted) {
+  bool ok = true;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t v = wts[i] != 0.0f ? ids[i] : sentinel;
+    ok &= static_cast<uint32_t>(v) <= static_cast<uint32_t>(sentinel);
+    sorted[i] = v;
+  }
+  if (!ok) return false;
+  radix_sort_keys(n, perm, sorted, static_cast<uint32_t>(sentinel));
+  return true;
 }
 
 // tiling of a sorted id stream (ops/scatter.py build_scatter_tiles parity);
@@ -630,6 +677,19 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
                       int64_t sopt_mask, int64_t dedup_mask,
                       const int64_t* dedup_caps, void** outs) {
   const Plan& plan = *static_cast<Plan*>(plan_ptr);
+  // WDT_LOADER_PROF=1: per-call phase times on stderr (ops attribution;
+  // measured round 4 on the production config at B=25600: parse ~72%,
+  // plan post-passes ~28% of a 1-thread transform)
+  const bool prof = std::getenv("WDT_LOADER_PROF") != nullptr;
+  auto tprev = std::chrono::steady_clock::now();
+  auto lap = [&](const char* name) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[wdt_loader] %-8s %7.2f ms\n", name,
+                 std::chrono::duration<double, std::milli>(now - tprev)
+                     .count());
+    tprev = now;
+  };
   Outs o;
   int idx = 0;
   o.label = static_cast<float*>(outs[idx++]);
@@ -774,6 +834,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     }
     for (auto& th : threads) th.join();
   }
+  lap("parse");
 
   // scatter-plan post-pass: stable argsort of each requested group's full
   // (padding included — padded rows hold id 0) id matrix + range tiling
@@ -790,13 +851,12 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
         // weight-0 pool padding -> rows_pad sentinel so it sorts to the
         // stream tail; only the live prefix is tiled
         const int64_t sentinel = rows_pad(rows);
-        std::vector<int32_t> remapped(n);
-        const float* gwts = o.g_wts[g];
-        for (int64_t i = 0; i < n; ++i)
-          remapped[i] = gwts[i] != 0.0f
-                            ? o.g_ids[g][i]
-                            : static_cast<int32_t>(sentinel);
-        stable_radix_argsort(remapped.data(), n, s.perm, s.ids);
+        if (!stable_radix_argsort_keyed(o.g_ids[g], o.g_wts[g],
+                                        static_cast<int32_t>(sentinel), n,
+                                        s.perm, s.ids)) {
+          scat_ok.store(false, std::memory_order_relaxed);  // id > sentinel
+          return;
+        }
         int64_t live = std::lower_bound(s.ids, s.ids + n,
                                         static_cast<int32_t>(sentinel))
                        - s.ids;
@@ -818,13 +878,13 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       // weight-0 padding -> sentinel (ops/scatter.make_sharded_scatter_plan
       // parity): without it every padding entry (id 0) counts against
       // shard 0's cap and overflows it at production occupancies
-      std::vector<int32_t> remapped(n);
-      const float* gwts = o.g_wts[g];
-      for (int64_t i = 0; i < n; ++i)
-        remapped[i] = gwts[i] != 0.0f ? o.g_ids[g][i]
-                                      : static_cast<int32_t>(rows);
       std::vector<int32_t> gperm(n), gsort(n);
-      stable_radix_argsort(remapped.data(), n, gperm.data(), gsort.data());
+      if (!stable_radix_argsort_keyed(o.g_ids[g], o.g_wts[g],
+                                      static_cast<int32_t>(rows), n,
+                                      gperm.data(), gsort.data())) {
+        scat_ok.store(false, std::memory_order_relaxed);  // id >= rows
+        return;
+      }
       const int64_t live = std::lower_bound(gsort.begin(), gsort.end(),
                                             static_cast<int32_t>(rows))
                            - gsort.begin();
@@ -868,6 +928,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     }
     if (!scat_ok.load()) return -2;  // id out of table range: wrong plan
   }
+  lap("scat");
 
   // window-plan post-pass (ops/scatter.make_window_plan /
   // make_sharded_window_plan parity): remap weight-0 pool padding to an
@@ -883,11 +944,10 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     if (n_shards <= 1) {
       int64_t nt_w = window_n_tiles(rows);
       int64_t sentinel = nt_w * kMaxr;
-      std::vector<int32_t> remapped(n);
-      for (int64_t i = 0; i < n; ++i)
-        remapped[i] = gwts[i] != 0.0f ? gids[i]
-                                      : static_cast<int32_t>(sentinel);
-      stable_radix_argsort(remapped.data(), n, s.perm, s.ids);
+      if (!stable_radix_argsort_keyed(gids, gwts,
+                                      static_cast<int32_t>(sentinel), n,
+                                      s.perm, s.ids))
+        return -2;  // id out of table range: wrong plan
       const int64_t cap = window_cap(n, rows);
       int32_t* starts = s.tiles;
       int32_t* offs = s.tiles + nt_w;
@@ -916,11 +976,11 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     const int64_t cap = shard_cap(n, n_shards);
     const int64_t nt_w = window_n_tiles(shard_rows);
     const int64_t wcap = window_cap(cap, shard_rows);
-    std::vector<int32_t> remapped(n);
-    for (int64_t i = 0; i < n; ++i)
-      remapped[i] = gwts[i] != 0.0f ? gids[i] : static_cast<int32_t>(rows);
     std::vector<int32_t> gperm(n), gsort(n);
-    stable_radix_argsort(remapped.data(), n, gperm.data(), gsort.data());
+    if (!stable_radix_argsort_keyed(gids, gwts, static_cast<int32_t>(rows),
+                                    n, gperm.data(), gsort.data()))
+      return -2;  // id out of table range: wrong plan
+
     int64_t lo = 0;
     for (int64_t sh = 0; sh < n_shards; ++sh) {
       const int64_t bnd = (sh + 1) * shard_rows;
@@ -960,6 +1020,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     }
   }
 
+  lap("window");
   // compact (sopt) plan post-pass (ops/scatter.make_compact_plan /
   // make_sharded_compact_plan parity): dedup ranks over the sorted
   // stream + sentinel-padded unique rows + range tiles in compact space
@@ -1024,6 +1085,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
     }
   }
 
+  lap("sopt");
   // dedup-exchange post-pass (ops/scatter.make_dedup_plan parity):
   // per-shard unique LOCAL ids (sentinel shard_rows past the unique
   // count) + each entry's flat slot (shard*cap + unique position)
@@ -1055,6 +1117,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       s.slots[gperm[i]] = cur_slot;
     }
   }
+  lap("dedup");
   return n_rows;
 }
 
