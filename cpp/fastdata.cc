@@ -207,7 +207,7 @@ void radix_sort_keys(int64_t n, int32_t* perm, int32_t* sorted,
   std::vector<int32_t> tmp_idx(n), tmp_ids(n);
   for (int64_t i = 0; i < n; ++i) perm[i] = static_cast<int32_t>(i);
   int bits = 1;
-  while (bits < 31 && (uint64_t(1) << bits) <= max_key) ++bits;
+  while (bits < 32 && (uint64_t(1) << bits) <= max_key) ++bits;
   int widths[2], shifts[2];
   if (bits <= 12) {
     widths[0] = bits; widths[1] = 0;
@@ -245,13 +245,14 @@ void radix_sort_keys(int64_t n, int32_t* perm, int32_t* sorted,
   }
 }
 
-// stable radix argsort of non-negative int32 ids; fills perm/sorted.
-// Full int32 range assumed (raw-id callers whose failure semantics need
-// true ordering of any value).
+// stable radix argsort in FULL uint32 bit order (negative ids sort after
+// all positives, exactly like the legacy 2x16-bit passes) — raw-id
+// callers' out-of-range detection relies on rogue values sorting to the
+// tail, so this path must not mask bit 31.
 void stable_radix_argsort(const int32_t* ids, int64_t n, int32_t* perm,
                           int32_t* sorted) {
   std::memcpy(sorted, ids, n * sizeof(int32_t));
-  radix_sort_keys(n, perm, sorted, 0x7FFFFFFFu);
+  radix_sort_keys(n, perm, sorted, 0xFFFFFFFFu);
 }
 
 // sentinel-keyed variant fused with the weight-0 padding remap
@@ -680,7 +681,8 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
   // WDT_LOADER_PROF=1: per-call phase times on stderr (ops attribution;
   // measured round 4 on the production config at B=25600: parse ~72%,
   // plan post-passes ~28% of a 1-thread transform)
-  const bool prof = std::getenv("WDT_LOADER_PROF") != nullptr;
+  const char* prof_env = std::getenv("WDT_LOADER_PROF");
+  const bool prof = prof_env && prof_env[0] && prof_env[0] != '0';
   auto tprev = std::chrono::steady_clock::now();
   auto lap = [&](const char* name) {
     if (!prof) return;

@@ -155,10 +155,26 @@ def check(path: str = BUDGET_PATH) -> list:
         if allowed is None:
             problems.append(f"new collective kind {op}: "
                             f"{e['total_bytes']}B x{e['count']}")
-        elif e["total_bytes"] > allowed["total_bytes"] * tol:
+            continue
+        if e["total_bytes"] > allowed["total_bytes"] * tol:
             problems.append(
                 f"{op}: {e['total_bytes']}B exceeds budget "
                 f"{allowed['total_bytes']}B x{tol}")
+        # a count explosion at constant bytes is pure launch latency
+        # (the modeled +1us/collective term) — gate it too
+        if e["count"] > allowed["count"] * 2:
+            problems.append(
+                f"{op}: count {e['count']} exceeds 2x budget "
+                f"{allowed['count']}")
+    # a budgeted kind VANISHING is parser/backend drift, not a win —
+    # without this, an emission-form change (e.g. async '-start' names)
+    # could empty the summary and make the gate vacuous
+    for op in budget["per_op"]:
+        if op not in summary:
+            problems.append(
+                f"budgeted collective kind {op} missing from the compiled "
+                f"program — backend/parser drift; re-capture the budget "
+                f"after verifying hlo_stats.COLLECTIVES still matches")
     total = sum(e["total_bytes"] for e in summary.values())
     if total > budget["total_bytes"] * tol:
         problems.append(f"total {total}B exceeds budget "

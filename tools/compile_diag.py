@@ -6,6 +6,12 @@ sparse optimizer) but only LOWERS it — abstract ShapeDtypeStruct inputs, no
 5 GB allocations — then times XLA compilation on the local backend and
 reports HLO size stats so the expensive construct can be located.
 
+NOTE: the canonical, maintained production-step builder is
+tools/collective_budget.py:lower_production_step (shardings attached,
+parameterized n_devices) — this file and tools/compile_bisect.py keep
+their own inline copies only to preserve the exact programs behind the
+round-4 measurements they document.
+
 Usage:
   env WDT_TEST_REEXEC=1 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     python tools/compile_diag.py [--batch_size 25600] [--sparse 1]

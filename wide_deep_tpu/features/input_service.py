@@ -354,6 +354,7 @@ class RemoteInputDataset:
         # training runs; every process must send the same value (the
         # Trainer uses its restored global_step)
         self.run_token = int(run_token)
+        self.with_image = bool(with_image)
         self.local_spec = local_batch_spec(plan, global_batch, n_procs,
                                            n_classes, mode=mode,
                                            with_image=with_image,
@@ -383,6 +384,15 @@ class RemoteInputDataset:
                     raise IOError(f"input service error: "
                                   f"{payload.decode('utf-8', 'replace')}")
                 batch = _decode_batch(payload)
+                if self.with_image and "image" not in batch:
+                    # fail the contract loudly here instead of a bare
+                    # KeyError deep in jit tracing (or an uneven multi-host
+                    # hang): the loader was started without its image side
+                    raise ValueError(
+                        "trainer expects joint-CNN batches but the input "
+                        "service served no 'image' entry — start "
+                        "tools/input_server.py with --image_train_data "
+                        "(or restart a stale loader)")
                 for k, v in batch.items():
                     want = self.local_spec.get(k)
                     if want is not None and tuple(v.shape) != want[0]:

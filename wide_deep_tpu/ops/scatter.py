@@ -461,8 +461,6 @@ def plans_ok_on_host(batch) -> bool:
     the branchless device program: kernel-valid (``*_ok_*`` all 1) and
     single-stream ``scat_live_*`` counts within the static compact cap.
     Sharded plans (multi-device) keep their device conds regardless."""
-    import numpy as np
-
     for k, v in batch.items():
         if "_ok_" in k and not np.all(np.asarray(v) > 0):
             return False

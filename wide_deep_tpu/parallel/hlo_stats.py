@@ -25,8 +25,17 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
                 "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
                 "pred": 1}
 
-COLLECTIVES = ("all-reduce(", "all-gather(", "all-to-all(",
-               "reduce-scatter(", "collective-permute(")
+# sync and async-start forms (async pairs report on the -start op; the
+# -done op carries no payload).  A backend upgrade that switches to async
+# emission must not silently empty the budget (review r4 finding #1).
+COLLECTIVES = ("all-reduce-start(", "all-gather-start(",
+               "collective-permute-start(", "all-reduce(", "all-gather(",
+               "all-to-all(", "reduce-scatter(", "collective-permute(")
+
+
+def _canonical_op(op: str) -> str:
+    """async '-start' variants count under their sync name."""
+    return op[:-6] if op.endswith("-start") else op
 
 _SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s64|u64|s32|u32|s16|u16|s8|u8|pred)"
                        r"\[([\d,]*)\]")
@@ -42,10 +51,11 @@ COLLECTIVE_LATENCY_S = 1e-6
 def collective_ops(hlo_text: str) -> List[Tuple[str, int, str]]:
     """-> [(op_name, result_bytes, line)] for every collective in the HLO.
 
-    result_bytes is the LARGEST shape on the lhs (tuple results list
-    several) — for all-gather that is the gathered buffer, for
-    reduce-scatter the pre-scatter input appears on the rhs so the result
-    (scattered) shape is the conservative per-shard payload.
+    result_bytes SUMS the lhs result shapes — XLA's combiner passes merge
+    many small all-reduces into one op with a tuple result, and every
+    member rides the wire (max() undercounted those, review r4 finding
+    #2).  For all-gather that is the gathered buffer; for reduce-scatter
+    the result (scattered) shape is the conservative per-shard payload.
     """
     out = []
     for line in hlo_text.splitlines():
@@ -60,11 +70,11 @@ def collective_ops(hlo_text: str) -> List[Tuple[str, int, str]]:
         shapes = _SHAPE_RE.findall(lhs[:op_end])
         if not shapes:
             continue
-        nbytes = max(
+        nbytes = sum(
             _DTYPE_BYTES[dt] * int(np.prod([int(x) for x in dims.split(",")
                                             if x] or [1]))
             for dt, dims in shapes)
-        op = next(c[:-1] for c in COLLECTIVES if c in s)
+        op = _canonical_op(next(c[:-1] for c in COLLECTIVES if c in s))
         out.append((op, nbytes, s[:160]))
     return out
 
