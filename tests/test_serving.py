@@ -599,8 +599,12 @@ class TestTLS:
             cl.sendall(b"HELLO")
             assert cl.recv(5) == b"WORLD", "slow upstream was cut"
             cl.close()
-            assert spy.sockets and all(s.gettimeout() is None
-                                       for s in spy.sockets)
+            # no POSITIVE timeout may ride the established tunnel: the
+            # selector pump runs the sockets non-blocking (gettimeout()
+            # 0.0) — blocking-with-None is equally fine; a finite positive
+            # value is the regression this test pins
+            assert spy.sockets and all(
+                s.gettimeout() in (None, 0.0) for s in spy.sockets)
         finally:
             proxy.stop()
             lsock.close()

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import selectors
 import socket
 import ssl
 import sys
@@ -45,22 +46,101 @@ def make_client_context(tls_ca: str | None, tls_cert: str | None = None,
     return ctx
 
 
-def _pump(src: socket.socket, dst: socket.socket) -> None:
-    """One direction of the byte pump; a closed side shuts the other's
-    write half so in-flight responses still drain."""
-    try:
-        while True:
-            data = src.recv(65536)
-            if not data:
-                break
-            dst.sendall(data)
-    except OSError:
-        pass
-    finally:
+def _pump_bidirectional(conn: socket.socket, up: ssl.SSLSocket) -> None:
+    """Single-threaded bidirectional byte pump.
+
+    Both directions MUST run in one thread: Python SSL sockets are not
+    thread-safe for concurrent use (the GIL is released inside OpenSSL, so
+    a recv in one thread racing a send in another corrupts the connection
+    state — observed as intermittently lost request bytes and spurious
+    SSLEOFError under test-suite load; round-4 root cause of the flaky
+    TLS-proxy tests).  Non-blocking sockets + a selector alternate the two
+    directions; a closed side shuts the other's write half so in-flight
+    responses still drain.
+    """
+    conn.setblocking(False)
+    up.setblocking(False)
+    sel = selectors.DefaultSelector()
+    other = {conn: up, up: conn}
+    pending = {conn: b"", up: b""}    # bytes waiting to be SENT to key
+    read_open = {conn: True, up: True}
+    sel.register(conn, selectors.EVENT_READ, None)
+    sel.register(up, selectors.EVENT_READ, None)
+
+    def _interest(s) -> int:
+        ev = selectors.EVENT_READ if read_open[s] else 0
+        if pending[s]:
+            ev |= selectors.EVENT_WRITE
+        return ev
+
+    def _update(s):
+        ev = _interest(s)
         try:
-            dst.shutdown(socket.SHUT_WR)
-        except OSError:
+            if ev:
+                try:
+                    sel.modify(s, ev, None)
+                except KeyError:
+                    sel.register(s, ev, None)  # half-closed side, new data
+            else:
+                sel.unregister(s)
+        except (KeyError, ValueError):
             pass
+
+    def _recv_into(src) -> bool:
+        """Read src -> pending[dst]; False = connection over."""
+        dst = other[src]
+        while True:
+            try:
+                data = src.recv(65536)
+            except (ssl.SSLWantReadError, ssl.SSLWantWriteError,
+                    BlockingIOError):
+                return True
+            except OSError:
+                data = b""
+            if not data:
+                read_open[src] = False
+                try:
+                    if not pending[dst]:
+                        dst.shutdown(socket.SHUT_WR)
+                except OSError:
+                    pass
+                _update(src)
+                return True
+            pending[dst] += data
+            _update(dst)
+            # an SSLSocket can hold decrypted bytes beyond the last fd
+            # readiness — drain them now or they wait for the NEXT record
+            if not (isinstance(src, ssl.SSLSocket) and src.pending()):
+                return True
+
+    try:
+        while (read_open[conn] or read_open[up]
+               or pending[conn] or pending[up]):
+            events = sel.select(timeout=1.0)
+            if not events and not any(pending.values()) \
+                    and not (read_open[conn] or read_open[up]):
+                break
+            for key, mask in events:
+                s = key.fileobj
+                if mask & selectors.EVENT_WRITE and pending[s]:
+                    try:
+                        n = s.send(pending[s])
+                    except (ssl.SSLWantReadError, ssl.SSLWantWriteError,
+                            BlockingIOError):
+                        n = 0
+                    except OSError:
+                        return
+                    pending[s] = pending[s][n:]
+                    if not pending[s] and not read_open[other[s]]:
+                        try:
+                            s.shutdown(socket.SHUT_WR)
+                        except OSError:
+                            pass
+                    _update(s)
+                if mask & selectors.EVENT_READ:
+                    _recv_into(s)
+    finally:
+        sel.close()
 
 
 class TlsProxy:
@@ -123,15 +203,14 @@ class TlsProxy:
             log.warning("upstream connect failed for %s: %s", peer, e)
             conn.close()
             return
-        t = threading.Thread(target=_pump, args=(up, conn), daemon=True)
-        t.start()
-        _pump(conn, up)
-        t.join()
-        for s in (conn, up):
-            try:
-                s.close()
-            except OSError:
-                pass
+        try:
+            _pump_bidirectional(conn, up)
+        finally:
+            for s in (conn, up):
+                try:
+                    s.close()
+                except OSError:
+                    pass
 
 
 def main() -> int:
