@@ -57,6 +57,12 @@ def _pump_bidirectional(conn: socket.socket, up: ssl.SSLSocket) -> None:
     TLS-proxy tests).  Non-blocking sockets + a selector alternate the two
     directions; a closed side shuts the other's write half so in-flight
     responses still drain.
+
+    Backpressure: a side whose peer has >= _MAX_PENDING undelivered bytes
+    stops being read until the backlog drains (the old blocking sendall's
+    throttling, re-expressed for the selector loop).  A send that raises
+    SSLWantReadError parks its WRITE interest until the next successful
+    read on that socket (no busy-spin on an always-writable fd).
     """
     conn.setblocking(False)
     up.setblocking(False)
@@ -64,12 +70,13 @@ def _pump_bidirectional(conn: socket.socket, up: ssl.SSLSocket) -> None:
     other = {conn: up, up: conn}
     pending = {conn: b"", up: b""}    # bytes waiting to be SENT to key
     read_open = {conn: True, up: True}
-    sel.register(conn, selectors.EVENT_READ, None)
-    sel.register(up, selectors.EVENT_READ, None)
+    stalled = {conn: False, up: False}   # send wants a TLS read first
 
     def _interest(s) -> int:
-        ev = selectors.EVENT_READ if read_open[s] else 0
-        if pending[s]:
+        ev = 0
+        if read_open[s] and len(pending[other[s]]) < _MAX_PENDING:
+            ev |= selectors.EVENT_READ
+        if pending[s] and not stalled[s]:
             ev |= selectors.EVENT_WRITE
         return ev
 
@@ -80,21 +87,21 @@ def _pump_bidirectional(conn: socket.socket, up: ssl.SSLSocket) -> None:
                 try:
                     sel.modify(s, ev, None)
                 except KeyError:
-                    sel.register(s, ev, None)  # half-closed side, new data
+                    sel.register(s, ev, None)
             else:
                 sel.unregister(s)
         except (KeyError, ValueError):
             pass
 
-    def _recv_into(src) -> bool:
-        """Read src -> pending[dst]; False = connection over."""
+    def _recv_into(src) -> None:
+        """Drain readable/SSL-buffered bytes from src into pending[dst]."""
         dst = other[src]
-        while True:
+        while read_open[src] and len(pending[dst]) < _MAX_PENDING:
             try:
                 data = src.recv(65536)
             except (ssl.SSLWantReadError, ssl.SSLWantWriteError,
                     BlockingIOError):
-                return True
+                break
             except OSError:
                 data = b""
             if not data:
@@ -104,47 +111,67 @@ def _pump_bidirectional(conn: socket.socket, up: ssl.SSLSocket) -> None:
                         dst.shutdown(socket.SHUT_WR)
                 except OSError:
                     pass
-                _update(src)
-                return True
+                break
+            stalled[src] = False  # a read happened; parked sends may retry
             pending[dst] += data
-            _update(dst)
             # an SSLSocket can hold decrypted bytes beyond the last fd
             # readiness — drain them now or they wait for the NEXT record
             if not (isinstance(src, ssl.SSLSocket) and src.pending()):
-                return True
+                break
+        _update(src)
+        _update(dst)
 
+    def _send_from(s) -> bool:
+        """Flush pending[s]; False = fatal error, close everything."""
+        try:
+            n = s.send(pending[s])
+        except ssl.SSLWantReadError:
+            stalled[s] = True
+            n = 0
+        except (ssl.SSLWantWriteError, BlockingIOError):
+            n = 0
+        except OSError:
+            return False
+        if n:
+            pending[s] = pending[s][n:]
+        if not pending[s] and not read_open[other[s]]:
+            try:
+                s.shutdown(socket.SHUT_WR)
+            except OSError:
+                pass
+        _update(s)
+        _update(other[s])  # draining may resume the peer's read interest
+        return True
+
+    sel.register(conn, selectors.EVENT_READ, None)
+    sel.register(up, selectors.EVENT_READ, None)
     try:
+        # app data decrypted during the blocking handshake (a
+        # server-speaks-first protocol) never makes the fd readable —
+        # drain the SSL buffer before the first select
+        if up.pending():
+            _recv_into(up)
         while (read_open[conn] or read_open[up]
                or pending[conn] or pending[up]):
-            events = sel.select(timeout=1.0)
-            if not events and not any(pending.values()) \
-                    and not (read_open[conn] or read_open[up]):
-                break
-            for key, mask in events:
+            if not sel.get_map():
+                return  # nothing can make progress (e.g. stalled send
+                        # whose peer already hit EOF)
+            for key, mask in sel.select(timeout=1.0):
                 s = key.fileobj
                 if mask & selectors.EVENT_WRITE and pending[s]:
-                    try:
-                        n = s.send(pending[s])
-                    except (ssl.SSLWantReadError, ssl.SSLWantWriteError,
-                            BlockingIOError):
-                        n = 0
-                    except OSError:
+                    if not _send_from(s):
                         return
-                    pending[s] = pending[s][n:]
-                    if not pending[s] and not read_open[other[s]]:
-                        try:
-                            s.shutdown(socket.SHUT_WR)
-                        except OSError:
-                            pass
-                    _update(s)
                 if mask & selectors.EVENT_READ:
                     _recv_into(s)
     finally:
         sel.close()
 
 
+_MAX_PENDING = 1 << 20   # per-direction buffered-bytes cap (backpressure)
+
+
 class TlsProxy:
-    """Plaintext listener -> TLS upstream, one thread pair per connection."""
+    """Plaintext listener -> TLS upstream, one pump thread per connection."""
 
     def __init__(self, target_host: str, target_port: int,
                  listen_port: int = 0, listen_host: str = "127.0.0.1",

@@ -462,8 +462,13 @@ def plans_ok_on_host(batch) -> bool:
     single-stream ``scat_live_*`` counts within the static compact cap.
     Sharded plans (multi-device) keep their device conds regardless."""
     for k, v in batch.items():
-        if "_ok_" in k and not np.all(np.asarray(v) > 0):
-            return False
+        if "_ok_" in k:
+            arr = np.asarray(v)
+            # sharded ok arrays ([S] entries) belong to the exchange path,
+            # which keeps its device cond regardless of the flag — a
+            # legitimate per-shard ok=0 fallback must not veto the batch
+            if arr.size == 1 and not np.all(arr > 0):
+                return False
         if k.startswith("scat_live_"):
             ids = batch.get(k.replace("_live_", "_ids_"))
             if ids is not None and np.asarray(ids).ndim == 1:

@@ -70,12 +70,17 @@ def collective_ops(hlo_text: str) -> List[Tuple[str, int, str]]:
         shapes = _SHAPE_RE.findall(lhs[:op_end])
         if not shapes:
             continue
-        nbytes = sum(
+        raw_op = next(c[:-1] for c in COLLECTIVES if c in s)
+        sizes = [
             _DTYPE_BYTES[dt] * int(np.prod([int(x) for x in dims.split(",")
                                             if x] or [1]))
-            for dt, dims in shapes)
-        op = _canonical_op(next(c[:-1] for c in COLLECTIVES if c in s))
-        out.append((op, nbytes, s[:160]))
+            for dt, dims in shapes]
+        # sync combined ops: the tuple members are independent payloads ->
+        # sum.  async '-start' ops: the result tuple ALSO aliases the
+        # input operand (plus u32 contexts) -> the largest member is the
+        # transferred buffer; summing would double-count
+        nbytes = max(sizes) if raw_op.endswith("-start") else sum(sizes)
+        out.append((_canonical_op(raw_op), nbytes, s[:160]))
     return out
 
 
