@@ -229,6 +229,96 @@ class TestServerClient:
             server.stop()
 
 
+class TestShardedLoaders:
+    """Pod-scale sharded loaders: one InputServer per host group, each
+    running the same deterministic factory and serving a contiguous proc
+    range (ROADMAP "one loader per N hosts")."""
+
+    def test_two_loaders_reassemble_global_stream(self, small_config):
+        """Server A serves proc 0, server B proc 1 (n_procs=2).  Each
+        materializes the identical global stream; the two clients' slices
+        must merge to the direct single-host batches.  Also the eviction
+        regression: a subset server waiting on the GLOBAL proc count
+        would deadlock at the prefetch limit (2) — streaming the whole
+        fixture proves eviction counts only the server's own consumers."""
+        from wide_deep_tpu.features.input_service import (InputServer,
+                                                          RemoteInputDataset)
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.features.plan import FeaturePlan
+        plan = FeaturePlan(small_config)
+        B = 2  # the 10-row fixture -> 5 batches, past the prefetch limit
+
+        def factory(path, mode, epoch_seed):
+            return CsvDataset(plan, path, mode, B, seed=7 + epoch_seed)
+
+        direct = list(CsvDataset(plan, FIXTURE, "train", B, seed=7))
+        assert len(direct) > 3, "need more batches than the prefetch limit"
+        servers = [InputServer(factory, n_procs=2, scatter_shards=1,
+                               port=0, proc_start=p, proc_count=1)
+                   for p in range(2)]
+        for s in servers:
+            s.start()
+        try:
+            results = {}
+
+            def run(proc):
+                ds = RemoteInputDataset(
+                    plan, f"127.0.0.1:{servers[proc].port}", FIXTURE,
+                    "train", global_batch=B, proc=proc, n_procs=2,
+                    epoch_seed=0)
+                results[proc] = list(ds)
+
+            ts = [threading.Thread(target=run, args=(p,)) for p in range(2)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=120)
+            assert len(results[0]) == len(results[1]) == len(direct)
+            for b0, b1, ref in zip(results[0], results[1], direct):
+                assert set(b0) == set(ref)
+                for k in ref:
+                    merged = np.concatenate([b0[k], b1[k]], axis=0)
+                    np.testing.assert_array_equal(merged, ref[k], err_msg=k)
+        finally:
+            for s in servers:
+                s.stop()
+
+    def test_out_of_range_proc_rejected(self, small_config):
+        """A proc pointed at the wrong group's loader must get a clear
+        routing error, not a hang or a wrong slice."""
+        from wide_deep_tpu.features.input_service import (InputServer,
+                                                          RemoteInputDataset)
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.features.plan import FeaturePlan
+        plan = FeaturePlan(small_config)
+        server = InputServer(
+            lambda p, m, e: CsvDataset(plan, p, m, 16), n_procs=2,
+            scatter_shards=1, port=0, proc_start=1, proc_count=1)
+        server.start()
+        try:
+            ds = RemoteInputDataset(plan, f"127.0.0.1:{server.port}",
+                                    FIXTURE, "train", global_batch=16,
+                                    proc=0, n_procs=2)
+            with pytest.raises(IOError, match="own loader"):
+                next(iter(ds))
+        finally:
+            server.stop()
+
+    def test_bad_proc_range_rejected(self):
+        from wide_deep_tpu.features.input_service import InputServer
+        with pytest.raises(ValueError, match="proc range"):
+            InputServer(lambda p, m, e: iter(()), n_procs=2,
+                        scatter_shards=1, port=0, proc_start=1,
+                        proc_count=2)
+
+    def test_trainer_address_routing(self):
+        """Trainer-side group routing: proc i of P over L loader
+        addresses uses addrs[i*L//P] (contiguous even groups)."""
+        addrs = ["a:1", "b:2"]
+        got = [addrs[p * len(addrs) // 4] for p in range(4)]
+        assert got == ["a:1", "a:1", "b:2", "b:2"]
+
+
 class TestServerCli:
     def test_input_server_cli_serves_batches(self, small_conf_dir):
         """tools/input_server.py end-to-end: starts from a conf dir,

@@ -32,6 +32,12 @@ def main():
                    help="TOTAL devices of the training mesh")
     p.add_argument("--n_procs", type=int, required=True,
                    help="jax.distributed process count of the trainers")
+    p.add_argument("--proc_start", type=int, default=0,
+                   help="first GLOBAL proc index this loader serves "
+                        "(pod-scale sharded loaders: run one loader per "
+                        "host group, same conf/seed on each)")
+    p.add_argument("--proc_count", type=int, default=None,
+                   help="how many procs this loader serves (default: all)")
     p.add_argument("--model_type", default=train_conf["model_type"])
     p.add_argument("--batch_size", type=int,
                    default=train_conf["batch_size"],
@@ -90,10 +96,14 @@ def main():
         return CsvDataset(plan, path, mode, args.batch_size, **kwargs)
 
     server = InputServer(dataset_factory, n_procs=args.n_procs,
-                         scatter_shards=plan.scatter_shards, port=args.port)
+                         scatter_shards=plan.scatter_shards, port=args.port,
+                         proc_start=args.proc_start,
+                         proc_count=args.proc_count)
     server.start()
     print(f"input service on :{server.port} "
-          f"({args.n_procs} procs, {plan.scatter_shards} table shards)",
+          f"(procs [{server.proc_start}, "
+          f"{server.proc_start + server.proc_count}) of {args.n_procs}, "
+          f"{plan.scatter_shards} table shards)",
           flush=True)
     try:
         import threading

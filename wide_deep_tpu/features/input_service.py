@@ -33,11 +33,19 @@ batch, which its async parameter servers tolerated; synchronous SPMD with
 host-built plans needs exactly-one-loader semantics instead.
 
 Wire format: serving/protocol.py frames (magic + u32 length); JSON control
-messages; batches as uncompressed ``.npz``.  This is a correctness/rig
-service: one loader saturates at the C++ parser's ~300k rows/s per 2
-cores — production pods run one loader per N hosts and split the file
-list, which this protocol supports by pointing different host groups at
-different servers.
+messages; batches as uncompressed ``.npz``.
+
+Pod scale: one loader saturates at the C++ parser's ~300k rows/s per 2
+cores, so production pods run one loader per HOST GROUP.  Each
+``InputServer`` serves a contiguous proc range (``proc_start`` /
+``proc_count`` of the GLOBAL ``n_procs``); every loader runs the same
+deterministic factory (same file list + seed), so each materializes the
+identical global batch stream and serves only its group's slices —
+trainers stay bit-identical to the single-loader run
+(tests/test_input_service.py::TestShardedLoaders).  A batch is evicted
+once the server's OWN consumers took it (waiting on the global proc
+count would deadlock at the prefetch limit — the other groups' requests
+go to their own loader).
 """
 
 from __future__ import annotations
@@ -118,10 +126,12 @@ def _decode_batch(payload: bytes) -> Dict[str, np.ndarray]:
 
 
 class _Stream:
-    """One (path, mode, epoch_seed) batch stream shared by n_procs clients:
-    background production (the parse runs OFF every client's critical
-    path, up to ``prefetch`` batches ahead of the slowest consumer),
-    per-seq caching, eviction when all procs took the seq."""
+    """One (path, mode, epoch_seed) batch stream shared by ``n_procs``
+    consumer clients (the procs THIS server serves — a subset of the
+    global mesh under pod-scale sharded loaders): background production
+    (the parse runs OFF every client's critical path, up to ``prefetch``
+    batches ahead of the slowest consumer), per-seq caching, eviction
+    when all consumers took the seq."""
 
     def __init__(self, it: Iterator[Dict[str, np.ndarray]], n_procs: int,
                  prefetch: int = 2):
@@ -207,9 +217,22 @@ class InputServer:
 
     def __init__(self, dataset_factory: Callable[[str, str, int], Any],
                  n_procs: int, scatter_shards: int, port: int = 0,
-                 host: str = "0.0.0.0"):
+                 host: str = "0.0.0.0", proc_start: int = 0,
+                 proc_count: Optional[int] = None):
         self.dataset_factory = dataset_factory
         self.n_procs = int(n_procs)
+        # the contiguous proc range THIS loader serves (pod-scale sharded
+        # loaders; defaults to all procs — the single-loader rig)
+        self.proc_start = int(proc_start)
+        self.proc_count = self.n_procs if proc_count is None else int(
+            proc_count)
+        if not (0 <= self.proc_start
+                and self.proc_start + self.proc_count <= self.n_procs
+                and self.proc_count > 0):
+            raise ValueError(
+                f"proc range [{self.proc_start}, "
+                f"{self.proc_start + self.proc_count}) outside "
+                f"n_procs {self.n_procs}")
         self.scatter_shards = int(scatter_shards)
         self._streams: Dict[Tuple[str, str, int], _Stream] = {}
         self._streams_lock = threading.Lock()
@@ -228,8 +251,10 @@ class InputServer:
         self._accept_thread = threading.Thread(target=self._accept_loop,
                                                daemon=True)
         self._accept_thread.start()
-        log.info("input service on :%d for %d procs (%d table shards)",
-                 self.port, self.n_procs, self.scatter_shards)
+        log.info("input service on :%d for procs [%d, %d) of %d "
+                 "(%d table shards)", self.port, self.proc_start,
+                 self.proc_start + self.proc_count, self.n_procs,
+                 self.scatter_shards)
 
     def stop(self):
         self._stop.set()
@@ -270,7 +295,7 @@ class InputServer:
             if st is None:
                 st = _Stream(iter(self.dataset_factory(path, mode,
                                                        epoch_seed)),
-                             self.n_procs)
+                             self.proc_count)
                 self._streams[key] = st
             return st
 
@@ -287,6 +312,15 @@ class InputServer:
                     send_frame(conn, KIND_ERR + (
                         f"topology mismatch: server runs {self.n_procs} "
                         f"procs, hello said proc {proc}/{n_procs}"
+                    ).encode())
+                    return
+                if not (self.proc_start <= proc
+                        < self.proc_start + self.proc_count):
+                    send_frame(conn, KIND_ERR + (
+                        f"proc {proc} outside this loader's range "
+                        f"[{self.proc_start}, "
+                        f"{self.proc_start + self.proc_count}) — point "
+                        f"this host group at its own loader"
                     ).encode())
                     return
                 st = self._stream_for(hello["path"], hello["mode"],

@@ -338,8 +338,21 @@ class Trainer:
             if self.model.has_cnn:
                 cs = self.model.cnn_spec
                 image_shape = (cs.height, cs.width, cs.channels)
+            # pod-scale sharded loaders: "addrA,addrB" splits the procs
+            # into len(addrs) contiguous even groups, group g served by
+            # addrs[g] (loaders started with the matching --proc_start/
+            # --proc_count and the same conf + seed, so every loader
+            # materializes the identical global stream)
+            addrs = [a.strip() for a in self.input_service.split(",")
+                     if a.strip()]
+            n_procs = jax.process_count()
+            if n_procs % len(addrs):
+                raise ValueError(
+                    f"{n_procs} procs cannot split evenly over "
+                    f"{len(addrs)} input-service loaders")
+            address = addrs[jax.process_index() * len(addrs) // n_procs]
             return RemoteInputDataset(
-                self.plan, self.input_service, path, mode,
+                self.plan, address, path, mode,
                 global_batch=self.batch_size,
                 proc=jax.process_index(), n_procs=jax.process_count(),
                 epoch_seed=epoch_seed, n_classes=self.n_classes,
