@@ -251,6 +251,27 @@ def main():
               for k, v in batch.items()}
     key = jax.random.PRNGKey(0)
 
+    # BENCH_PHASE_TIMERS=1: split the warmup into trace / lower /
+    # compile(or cache load) / execute so a warmup regression names its
+    # phase (the remote-compile tunnel and the 2-core host make these
+    # wildly different costs)
+    if os.environ.get("BENCH_PHASE_TIMERS") == "1":
+        t0 = time.time()
+        traced = step.trace(params, mstate, opt_state, dbatch, key, 0)
+        log(f"phase: trace {time.time()-t0:.1f}s")
+        t0 = time.time()
+        lowered = traced.lower()
+        log(f"phase: lower {time.time()-t0:.1f}s")
+        t0 = time.time()
+        compiled = lowered.compile()
+        log(f"phase: compile/cache-load {time.time()-t0:.1f}s")
+        t0 = time.time()
+        out = compiled(params, mstate, opt_state, dbatch, key, 0)
+        jax.block_until_ready(out[3])
+        log(f"phase: first execute {time.time()-t0:.1f}s")
+        # the step donates params/opt_state — carry the outputs forward
+        params, mstate, opt_state, loss = out[:4]
+
     t0 = time.time()
     for i in range(WARMUP_STEPS):
         params, mstate, opt_state, loss = step(params, mstate, opt_state,

@@ -40,6 +40,22 @@ def make_gather(k):
     return fn
 
 
+def make_gather_concat(k):
+    """Concat variant — the form the model's forward would use: K split
+    gathers whose results concatenate back to the [N, D] row block."""
+
+    def fn(table, ids):
+        n = ids.shape[0]
+        part = n // k
+        outs = [jnp.take(table,
+                         jax.lax.dynamic_slice_in_dim(ids, i * part, part),
+                         axis=0) for i in range(k)]
+        rows = jnp.concatenate(outs, axis=0) if k > 1 else outs[0]
+        return rows.astype(jnp.float32).sum()
+
+    return fn
+
+
 def timeit(fn, table, ids, iters=30):
     def body(carry, _):
         s = fn(carry, ids)
@@ -65,8 +81,12 @@ def main():
         dt = timeit(make_gather(k), table, ids)
         if base is None:
             base = dt
-        print(f"k={k}: {dt*1e3:7.3f} ms  ({dt/N_IDS*1e9:5.2f} ns/row)  "
-              f"speedup {base/dt:4.2f}x")
+        print(f"sum    k={k}: {dt*1e3:7.3f} ms  ({dt/N_IDS*1e9:5.2f} ns/row)"
+              f"  speedup {base/dt:4.2f}x")
+    for k in (2, 4):
+        dt = timeit(make_gather_concat(k), table, ids)
+        print(f"concat k={k}: {dt*1e3:7.3f} ms  ({dt/N_IDS*1e9:5.2f} ns/row)"
+              f"  speedup {base/dt:4.2f}x")
 
 
 if __name__ == "__main__":

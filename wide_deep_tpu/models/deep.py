@@ -317,8 +317,14 @@ class PlanConstants:
         self.n_continuous = len(plan.continuous_slots)
         self.group_dims = [g.dim for g in plan.groups]
         self.deep_input_dim = plan.deep_input_dim
-        # static indicator-column -> wide-row map for the dense wide path
-        self.indicator_wide_rows = jnp.asarray(plan.indicator_wide_rows)
+        # static indicator-column -> wide-row map for the dense wide path.
+        # HOST numpy, deliberately: an eager jnp.asarray here lives on the
+        # DEVICE, and jit lowering then fetches it back host-side to emit
+        # the MLIR constant — measured 300+ s for these 1.5 KB through the
+        # axon remote tunnel (tools/lower_profile.py, round 4).  A numpy
+        # constant lowers from host bytes in microseconds.
+        self.indicator_wide_rows = np.asarray(plan.indicator_wide_rows,
+                                              np.int32)
 
 
 def indicator_block(batch: Dict[str, jnp.ndarray], indicator_dim: int,
