@@ -58,3 +58,55 @@ class TestCliSurfaces:
             cwd=os.path.dirname(TOOLS))
         assert out.returncode == 0, out.stderr[-500:]
         assert "usage" in out.stdout.lower()
+
+
+class TestCompileCachePolicy:
+    """wide_deep_tpu/cache.py: the persistent compile cache must NOT be
+    enabled under a remote-compile tunnel (a cache HIT deserializes slower
+    than compiling there — measured 300-520 s vs 42-58 s, round 4) unless
+    the user forces it with an explicit JAX_COMPILATION_CACHE_DIR."""
+
+    def _dir_after(self, monkeypatch, tmp_path, tunnel, explicit):
+        import jax
+
+        from wide_deep_tpu.cache import enable_compilation_cache
+        before = jax.config.jax_compilation_cache_dir
+        monkeypatch.setattr(jax.config, "update",
+                            lambda k, v: setattr(self, "_set",
+                                                 getattr(self, "_set", [])
+                                                 + [(k, v)]))
+        self._set = []
+        if tunnel:
+            monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+        else:
+            monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
+        if explicit:
+            monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+        else:
+            monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == before
+        return dict(self._set).get("jax_compilation_cache_dir")
+
+    def test_tunnel_default_off(self, monkeypatch, tmp_path):
+        assert self._dir_after(monkeypatch, tmp_path, tunnel=True,
+                               explicit=False) is None
+
+    def test_tunnel_explicit_forces_on(self, monkeypatch, tmp_path):
+        assert self._dir_after(monkeypatch, tmp_path, tunnel=True,
+                               explicit=True) == str(tmp_path)
+
+    def test_local_host_default_on(self, monkeypatch, tmp_path):
+        assert self._dir_after(monkeypatch, tmp_path, tunnel=False,
+                               explicit=False) == "/tmp/wdt_jax_cache"
+
+    def test_empty_dir_disables(self, monkeypatch, tmp_path):
+        monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+        import jax
+
+        from wide_deep_tpu.cache import enable_compilation_cache
+        monkeypatch.setattr(jax.config, "update",
+                            lambda k, v: (_ for _ in ()).throw(
+                                AssertionError("must not configure")))
+        enable_compilation_cache()
