@@ -137,14 +137,17 @@ def synthetic_batch(plan, batch_size, rng):
     return batch
 
 
-def main():
+def make_program():
+    """Build the production train-step program exactly as the benchmark
+    measures it: config -> plan (the Trainer's build_training_plan) ->
+    model -> synthetic batch -> fused sparse tables -> optimizer ->
+    jitted step + init structs/shardings.  Shared by main() and the
+    compile/lowering diagnostics (tools/lower_profile.py) so they always
+    operate on the SAME program; nothing here touches device memory."""
+    from types import SimpleNamespace
+
     import jax
     import numpy as np
-
-    # persistent compilation cache: warm runs skip the multi-minute
-    # (remote) XLA compile of the train step
-    from wide_deep_tpu.cache import enable_compilation_cache
-    enable_compilation_cache()
 
     from wide_deep_tpu.config import Config
     from wide_deep_tpu.models.joint import build_model
@@ -153,7 +156,6 @@ def main():
     from wide_deep_tpu.training.step import make_train_step
 
     n_chips = jax.device_count()
-    log(f"devices: {jax.devices()}")
     mesh = mesh_lib.make_mesh(n_chips, 1)
 
     config = Config()
@@ -208,7 +210,6 @@ def main():
         from wide_deep_tpu.ops.scatter import plans_ok_on_host
         assert plans_ok_on_host(batch), \
             "synthetic plans violate the branchless contract"
-    t0 = time.time()
     decay_steps = float(config.train["num_examples"]) / BATCH_SIZE
     from wide_deep_tpu.optim.sparse import plan_sparse_tables
     from wide_deep_tpu.training.step import init_opt_state
@@ -232,17 +233,42 @@ def main():
         return params, mstate, init_opt_state(tx, params, sparse_tables)
 
     rng0 = jax.random.PRNGKey(0)
-    p_struct, _, opt_struct = jax.eval_shape(init_all, rng0)
+    p_struct, ms_struct, opt_struct = jax.eval_shape(init_all, rng0)
     shardings = mesh_lib.param_shardings(mesh, p_struct)
     opt_sh = mesh_lib.opt_state_shardings(mesh, p_struct, shardings,
                                           opt_struct)
-    params, mstate, opt_state = jax.jit(
-        init_all, out_shardings=(shardings, mesh_lib.replicated(mesh),
-                                 opt_sh))(rng0)
-    log(f"init in {time.time()-t0:.1f}s")
-
     step = make_train_step(model, tx, sparse_tables=sparse_tables,
                            mesh=mesh)
+    return SimpleNamespace(
+        mesh=mesh, mesh_lib=mesh_lib, config=config, train_conf=train_conf,
+        plan=plan, model=model, batch=batch, sparse_tables=sparse_tables,
+        tx=tx, init_all=init_all, rng0=rng0, p_struct=p_struct,
+        ms_struct=ms_struct, opt_struct=opt_struct, shardings=shardings,
+        opt_sh=opt_sh, step=step)
+
+
+def main():
+    import jax
+    import numpy as np
+
+    # persistent compilation cache: warm runs skip the multi-minute XLA
+    # compile of the train step (auto-disabled under remote-compile
+    # tunnels — wide_deep_tpu/cache.py)
+    from wide_deep_tpu.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    n_chips = jax.device_count()
+    log(f"devices: {jax.devices()}")
+    prog = make_program()
+    mesh, mesh_lib = prog.mesh, prog.mesh_lib
+    plan, batch, step = prog.plan, prog.batch, prog.step
+
+    t0 = time.time()
+    params, mstate, opt_state = jax.jit(
+        prog.init_all, out_shardings=(prog.shardings,
+                                      mesh_lib.replicated(mesh),
+                                      prog.opt_sh))(prog.rng0)
+    log(f"init in {time.time()-t0:.1f}s")
     # per-key shardings: per-table-shard plan arrays place one plan row on
     # each device; everything else batch-shards over 'data'
     dbatch = {k: jax.device_put(
@@ -251,26 +277,40 @@ def main():
               for k, v in batch.items()}
     key = jax.random.PRNGKey(0)
 
-    # BENCH_PHASE_TIMERS=1: split the warmup into trace / lower /
-    # compile(or cache load) / execute so a warmup regression names its
-    # phase (the remote-compile tunnel and the 2-core host make these
-    # wildly different costs)
+    # BENCH_PHASE_TIMERS=1: DIAGNOSTIC mode — split the warmup into
+    # trace / lower / compile(or cache load) / execute so a warmup
+    # regression names its phase, then EXIT with a JSON line carrying the
+    # phases.  It must not fall through to the throughput measurement:
+    # the jit call path does not reuse the AOT executable (it re-traced
+    # and paid the full remote compile a second time), and driving the
+    # loops through the AOT Compiled object stalls through the tunnel
+    # (measured: warmup loop minutes-hung after a 0.0 s first execute).
+    # Throughput numbers come from a plain `python bench.py` run.
     if os.environ.get("BENCH_PHASE_TIMERS") == "1":
-        t0 = time.time()
+        phases = {}
+        tp = time.time()
         traced = step.trace(params, mstate, opt_state, dbatch, key, 0)
-        log(f"phase: trace {time.time()-t0:.1f}s")
-        t0 = time.time()
+        phases["trace_s"] = round(time.time() - tp, 1)
+        log(f"phase: trace {phases['trace_s']}s")
+        tp = time.time()
         lowered = traced.lower()
-        log(f"phase: lower {time.time()-t0:.1f}s")
-        t0 = time.time()
+        phases["lower_s"] = round(time.time() - tp, 1)
+        log(f"phase: lower {phases['lower_s']}s")
+        tp = time.time()
         compiled = lowered.compile()
-        log(f"phase: compile/cache-load {time.time()-t0:.1f}s")
-        t0 = time.time()
+        phases["compile_s"] = round(time.time() - tp, 1)
+        log(f"phase: compile/cache-load {phases['compile_s']}s")
+        tp = time.time()
         out = compiled(params, mstate, opt_state, dbatch, key, 0)
         jax.block_until_ready(out[3])
-        log(f"phase: first execute {time.time()-t0:.1f}s")
-        # the step donates params/opt_state — carry the outputs forward
-        params, mstate, opt_state, loss = out[:4]
+        phases["execute_s"] = round(time.time() - tp, 1)
+        log(f"phase: first execute {phases['execute_s']}s")
+        assert np.isfinite(float(out[3])), float(out[3])
+        print(json.dumps({
+            "metric": "wide_deep_warmup_phases",
+            "value": round(sum(phases.values()), 1), "unit": "s",
+            "vs_baseline": 0.0, **phases}))
+        return
 
     t0 = time.time()
     for i in range(WARMUP_STEPS):

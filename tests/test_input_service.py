@@ -265,7 +265,7 @@ class TestShardedLoaders:
                 ds = RemoteInputDataset(
                     plan, f"127.0.0.1:{servers[proc].port}", FIXTURE,
                     "train", global_batch=B, proc=proc, n_procs=2,
-                    epoch_seed=0)
+                    epoch_seed=0, group_range=(proc, proc + 1))
                 results[proc] = list(ds)
 
             ts = [threading.Thread(target=run, args=(p,)) for p in range(2)]
@@ -312,11 +312,43 @@ class TestShardedLoaders:
                         proc_count=2)
 
     def test_trainer_address_routing(self):
-        """Trainer-side group routing: proc i of P over L loader
-        addresses uses addrs[i*L//P] (contiguous even groups)."""
+        """Trainer-side group routing (the helper loop.py actually
+        calls): proc i of P over L loaders -> contiguous even groups."""
+        from wide_deep_tpu.features.input_service import (
+            group_range_for_proc, loader_for_proc)
         addrs = ["a:1", "b:2"]
-        got = [addrs[p * len(addrs) // 4] for p in range(4)]
+        got = [loader_for_proc(addrs, p, 4) for p in range(4)]
         assert got == ["a:1", "a:1", "b:2", "b:2"]
+        assert [group_range_for_proc(2, p, 4) for p in range(4)] == [
+            (0, 2), (0, 2), (2, 4), (2, 4)]
+        # single loader: every proc routes to it, expecting serve-all
+        assert loader_for_proc(["x:9"], 3, 4) == "x:9"
+        assert group_range_for_proc(1, 3, 4) == (0, 4)
+        with pytest.raises(ValueError, match="evenly"):
+            loader_for_proc(addrs, 0, 3)
+
+    def test_misranged_loader_rejected_not_deadlocked(self, small_config):
+        """A loader left at the serve-all default while trainers split
+        over two loaders must reject the hello (range handshake), not
+        accept the client and stall its stream at the prefetch limit."""
+        from wide_deep_tpu.features.input_service import (InputServer,
+                                                          RemoteInputDataset)
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.features.plan import FeaturePlan
+        plan = FeaturePlan(small_config)
+        server = InputServer(
+            lambda p, m, e: CsvDataset(plan, p, m, 16), n_procs=2,
+            scatter_shards=1, port=0)  # serve-all default
+        server.start()
+        try:
+            ds = RemoteInputDataset(
+                plan, f"127.0.0.1:{server.port}", FIXTURE, "train",
+                global_batch=16, proc=0, n_procs=2, group_range=(0, 1))
+            with pytest.raises(IOError, match="--proc_start 0 "
+                                              "--proc_count 1"):
+                next(iter(ds))
+        finally:
+            server.stop()
 
 
 class TestServerCli:

@@ -110,3 +110,26 @@ class TestCompileCachePolicy:
                             lambda k, v: (_ for _ in ()).throw(
                                 AssertionError("must not configure")))
         enable_compilation_cache()
+
+
+class TestBenchProgram:
+    def test_make_program_builds(self, monkeypatch):
+        """bench.make_program (shared by bench main and
+        tools/lower_profile.py) must build the full production program —
+        plan, synthetic batch, fused sparse tables, step — without
+        touching device memory (eval_shape only)."""
+        monkeypatch.setenv("BENCH_BATCH_SIZE", "64")
+        import importlib
+
+        import bench
+        importlib.reload(bench)  # re-read BENCH_BATCH_SIZE
+        try:
+            prog = bench.make_program()
+            assert prog.batch["label"].shape == (64,)
+            assert prog.sparse_tables, "fused sparse tables expected"
+            assert prog.p_struct is not None and prog.step is not None
+            spec = prog.plan.batch_spec(64)
+            assert set(prog.batch) == set(spec)
+        finally:
+            monkeypatch.delenv("BENCH_BATCH_SIZE")
+            importlib.reload(bench)

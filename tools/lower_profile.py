@@ -5,7 +5,13 @@ Round-4 finding (BENCH_PHASE_TIMERS): warmup = trace 0.6 s + lower ~89 s +
 compile-or-cache-load ~58 s + execute 0.1 s on this 2-core host — the
 persistent compilation cache cannot help with the first two.  This tool
 cProfiles the lower() call and sizes the emitted module so the cost has a
-name (giant inlined constants vs MLIR emission vs sharding propagation).
+name; it found the 89-355 s: ONE eager jnp.asarray constant
+(models/deep.py PlanConstants.indicator_wide_rows) whose device buffer the
+MLIR constant handler fetched back through the remote tunnel.
+
+The program under test is bench.make_program() — the EXACT program bench.py
+measures (same env knobs: BENCH_BATCH_SIZE, BENCH_SCATTER, BENCH_SPARSE,
+BENCH_PACK_BUDGET), so this never drifts from what production compiles.
 
   timeout 900 python tools/lower_profile.py
 """
@@ -21,53 +27,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    os.environ.setdefault("BENCH_BATCH_SIZE", "25600")
     import jax
     import numpy as np
 
-    from wide_deep_tpu.cache import enable_compilation_cache
-    enable_compilation_cache()
-    from wide_deep_tpu.config import Config
-    from wide_deep_tpu.models.joint import build_model
-    from wide_deep_tpu.optim import build_joint_optimizer
-    from wide_deep_tpu.optim.sparse import plan_sparse_tables
-    from wide_deep_tpu.parallel import mesh as mesh_lib
-    from wide_deep_tpu.training.loop import build_training_plan
-    from wide_deep_tpu.training.step import init_opt_state, make_train_step
     import bench
 
-    B = bench.BATCH_SIZE
-    config = Config()
-    train_conf = dict(config.train)
-    train_conf["batch_size"] = B
-    train_conf["pack_budget"] = None
-    mesh = mesh_lib.make_mesh(jax.device_count(), 1)
-    plan, explicit_lookup, _ = build_training_plan(
-        config, train_conf, "wide_deep", n_dev=jax.device_count(), n_procs=1)
-    model = build_model(config, plan=plan, model_type="wide_deep")
-    rng = np.random.default_rng(0)
-    batch = bench.synthetic_batch(plan, B, rng)
-    decay = float(config.train["num_examples"]) / B
-    sparse_tables, sparse_paths = plan_sparse_tables(
-        plan, config.model, max(decay, 1.0), B, enabled=plan.sparse_opt)
-    tx = build_joint_optimizer(config.model, max(decay, 1.0),
-                               {"linear": True, "dnn": True},
-                               sparse_paths=sparse_paths)
-
-    def init_all(r):
-        params, mstate = model.init(r, {k: v[:1] for k, v in batch.items()})
-        from wide_deep_tpu.optim.sparse import init_fused_params
-        params = init_fused_params(params, sparse_tables)
-        return params, mstate, init_opt_state(tx, params, sparse_tables)
-
-    rng0 = jax.random.PRNGKey(0)
-    p_struct, ms_struct, opt_struct = jax.eval_shape(init_all, rng0)
-    step = make_train_step(model, tx, sparse_tables=sparse_tables, mesh=mesh)
-
-    # abstract args — no device memory needed for trace/lower
+    prog = bench.make_program()
     t0 = time.time()
-    traced = step.trace(p_struct, ms_struct, opt_struct, batch,
-                        jax.ShapeDtypeStruct((2,), np.uint32), 0)
+    traced = prog.step.trace(prog.p_struct, prog.ms_struct, prog.opt_struct,
+                             prog.batch,
+                             jax.ShapeDtypeStruct((2,), np.uint32), 0)
     print(f"trace {time.time()-t0:.1f}s", flush=True)
     print(f"jaxpr eqns: {len(traced.jaxpr.eqns)}", flush=True)
 

@@ -57,15 +57,20 @@ def make_gather_concat(k):
 
 
 def timeit(fn, table, ids, iters=30):
-    def body(carry, _):
-        s = fn(carry, ids)
-        carry = carry.at[0, 0].add(s * 1e-12)
-        return carry, ()
+    # ids rides as an ARGUMENT, not a closure: a closed-over device array
+    # constant makes lowering fetch it back host-side (minutes through a
+    # remote tunnel — see models/deep.py PlanConstants)
+    def run_fn(t, idv):
+        def body(carry, _):
+            s = fn(carry, idv)
+            return carry.at[0, 0].add(s * 1e-12), ()
 
-    run = jax.jit(lambda t: jax.lax.scan(body, t, None, length=iters)[0])
-    r = run(table); r.block_until_ready()        # compile + warm
+        return jax.lax.scan(body, t, None, length=iters)[0]
+
+    run = jax.jit(run_fn)
+    r = run(table, ids); r.block_until_ready()        # compile + warm
     t0 = time.perf_counter()
-    r = run(table); r.block_until_ready()
+    r = run(table, ids); r.block_until_ready()
     return (time.perf_counter() - t0) / iters
 
 

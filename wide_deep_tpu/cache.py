@@ -28,7 +28,11 @@ def enable_compilation_cache() -> None:
                                "/tmp/wdt_jax_cache")
     if not cache_dir:
         return
-    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") and not explicit:
+    # "0"/"" mean the tunnel is OFF (matching the repo's flag convention,
+    # e.g. BENCH_SPARSE=0) — only a truthy value disables the cache
+    tunnel = os.environ.get("PALLAS_AXON_REMOTE_COMPILE") not in (None, "",
+                                                                  "0")
+    if tunnel and not explicit:
         log.info("persistent compile cache off: remote-compile tunnel "
                  "deserializes slower than it compiles (set "
                  "JAX_COMPILATION_CACHE_DIR to force)")

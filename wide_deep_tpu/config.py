@@ -482,12 +482,22 @@ class Config:
         out["sharded_lookup"] = lookup
         # input_service: "host:port" of a tools/input_server.py loader — a
         # process that sees the GLOBAL batch, so multi-process meshes keep
-        # the per-shard kernel plans (features/input_service.py); empty =
-        # per-host row sharding (pipeline.CsvDataset)
+        # the per-shard kernel plans (features/input_service.py); a
+        # comma-separated list shards the loaders over contiguous proc
+        # groups (pod scale); empty = per-host row sharding
+        # (pipeline.CsvDataset).  Each entry must be host:port with a
+        # numeric port — catching a typo here beats an int() ValueError
+        # on half the pod mid-startup.
         svc = section.get("input_service") or ""
-        if svc and ":" not in str(svc):
-            raise ConfigError(
-                f"{where}: input_service must be host:port, got {svc!r}")
+        for entry in str(svc).split(","):
+            entry = entry.strip()
+            if not entry:
+                continue  # empty string / stray comma (loop.py strips too)
+            host, _, port = entry.rpartition(":")
+            if not host or not port.isdigit():
+                raise ConfigError(
+                    f"{where}: input_service entries must be host:port, "
+                    f"got {entry!r} in {svc!r}")
         out["input_service"] = str(svc)
         return out
 

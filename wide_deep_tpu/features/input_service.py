@@ -74,6 +74,30 @@ KIND_ERR = b"ERR!"
 _SHARD_PREFIXES = ("scat_", "wscat_", "sopt_", "dscat_uids_")
 
 
+def loader_for_proc(addrs, proc: int, n_procs: int) -> str:
+    """Which loader address serves ``proc``: contiguous even groups,
+    group g = proc * L // P gets addrs[g].  Loaders must be started with
+    the matching --proc_start/--proc_count (P/L each).  Shared by the
+    trainer's routing (training/loop.py) and its tests."""
+    if n_procs % len(addrs):
+        raise ValueError(
+            f"{n_procs} procs cannot split evenly over "
+            f"{len(addrs)} input-service loaders")
+    return addrs[proc * len(addrs) // n_procs]
+
+
+def group_range_for_proc(n_addrs: int, proc: int,
+                         n_procs: int) -> Tuple[int, int]:
+    """The [lo, hi) proc range of ``proc``'s loader group — sent in the
+    hello so a loader started with the WRONG range (e.g. left at the
+    serve-all default) rejects immediately instead of deadlocking its
+    stream at the prefetch limit waiting for procs that connect
+    elsewhere."""
+    per = n_procs // n_addrs
+    g = proc * n_addrs // n_procs
+    return g * per, (g + 1) * per
+
+
 def key_axis(key: str, scatter_shards: int) -> str:
     """'shard' | 'batch' — which axis of a batch entry is partitioned."""
     if scatter_shards > 1 and key.startswith(_SHARD_PREFIXES):
@@ -323,6 +347,23 @@ class InputServer:
                         f"this host group at its own loader"
                     ).encode())
                     return
+                # group-range handshake: the client states which proc
+                # range it believes this loader serves.  A loader left at
+                # the serve-all default while the trainers split over
+                # several loaders would otherwise pass the checks above
+                # and DEADLOCK at the prefetch limit (its stream waits
+                # for takers that connect to other loaders).
+                want = hello.get("group_range")
+                have = [self.proc_start, self.proc_start + self.proc_count]
+                if want is not None and list(want) != have:
+                    send_frame(conn, KIND_ERR + (
+                        f"loader serves procs [{have[0]}, {have[1]}) but "
+                        f"the trainer's loader list implies "
+                        f"[{want[0]}, {want[1]}) — start this loader "
+                        f"with --proc_start {want[0]} --proc_count "
+                        f"{want[1] - want[0]}"
+                    ).encode())
+                    return
                 st = self._stream_for(hello["path"], hello["mode"],
                                       hello.get("epoch_seed", 0),
                                       hello.get("run", 0))
@@ -374,7 +415,8 @@ class RemoteInputDataset:
                  epoch_seed: int = 0, n_classes: int = 2,
                  timeout: float = 300.0, run_token: int = 0,
                  with_image: bool = False,
-                 image_shape: Tuple[int, int, int] = (224, 224, 3)):
+                 image_shape: Tuple[int, int, int] = (224, 224, 3),
+                 group_range: Optional[Tuple[int, int]] = None):
         host, _, port = address.rpartition(":")
         self.plan = plan
         self.mode = mode
@@ -388,6 +430,11 @@ class RemoteInputDataset:
         # training runs; every process must send the same value (the
         # Trainer uses its restored global_step)
         self.run_token = int(run_token)
+        # the loader-group range this client expects its server to serve
+        # (group_range_for_proc); validated in the hello so a misranged
+        # loader fails fast instead of deadlocking its stream
+        self.group_range = (None if group_range is None
+                            else (int(group_range[0]), int(group_range[1])))
         self.with_image = bool(with_image)
         self.local_spec = local_batch_spec(plan, global_batch, n_procs,
                                            n_classes, mode=mode,
@@ -397,11 +444,13 @@ class RemoteInputDataset:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         sock = socket.create_connection(self.address, timeout=self.timeout)
         try:
-            send_frame(sock, json.dumps({
-                "op": "hello", "proc": self.proc, "n_procs": self.n_procs,
-                "path": self.path, "mode": self.mode,
-                "epoch_seed": self.epoch_seed,
-                "run": self.run_token}).encode("utf-8"))
+            hello = {"op": "hello", "proc": self.proc,
+                     "n_procs": self.n_procs, "path": self.path,
+                     "mode": self.mode, "epoch_seed": self.epoch_seed,
+                     "run": self.run_token}
+            if self.group_range is not None:
+                hello["group_range"] = list(self.group_range)
+            send_frame(sock, json.dumps(hello).encode("utf-8"))
             ack = recv_frame(sock)
             if ack[:4] != KIND_BATCH:
                 raise IOError(f"input service rejected hello: "

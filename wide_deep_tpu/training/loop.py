@@ -342,18 +342,20 @@ class Trainer:
             # into len(addrs) contiguous even groups, group g served by
             # addrs[g] (loaders started with the matching --proc_start/
             # --proc_count and the same conf + seed, so every loader
-            # materializes the identical global stream)
+            # materializes the identical global stream).  The hello
+            # carries the expected group range so a misranged loader
+            # rejects instead of deadlocking at its prefetch limit.
+            from wide_deep_tpu.features.input_service import (
+                group_range_for_proc, loader_for_proc)
             addrs = [a.strip() for a in self.input_service.split(",")
                      if a.strip()]
             n_procs = jax.process_count()
-            if n_procs % len(addrs):
-                raise ValueError(
-                    f"{n_procs} procs cannot split evenly over "
-                    f"{len(addrs)} input-service loaders")
-            address = addrs[jax.process_index() * len(addrs) // n_procs]
+            address = loader_for_proc(addrs, jax.process_index(), n_procs)
+            grange = group_range_for_proc(len(addrs), jax.process_index(),
+                                          n_procs)
             return RemoteInputDataset(
                 self.plan, address, path, mode,
-                global_batch=self.batch_size,
+                global_batch=self.batch_size, group_range=grange,
                 proc=jax.process_index(), n_procs=jax.process_count(),
                 epoch_seed=epoch_seed, n_classes=self.n_classes,
                 with_image=self.model.has_cnn, image_shape=image_shape,
