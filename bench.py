@@ -313,6 +313,13 @@ def main():
         return
 
     t0 = time.time()
+    # prewarm via the explicit AOT chain: on remote-compile tunnels the
+    # jit CALL path's internal compile measured 270-520 s where this
+    # chain takes 42-58 s for the same program, and the step() calls
+    # below then hit the pjit cache for free (tools/ call_diag, round 4).
+    # The returned Compiled is deliberately dropped — calling it directly
+    # stalls through the tunnel.
+    step.trace(params, mstate, opt_state, dbatch, key, 0).lower().compile()
     for i in range(WARMUP_STEPS):
         params, mstate, opt_state, loss = step(params, mstate, opt_state,
                                                dbatch, key, i)

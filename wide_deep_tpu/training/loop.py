@@ -222,6 +222,7 @@ class Trainer:
         self.mstate = None
         self.opt_state = None
         self.global_step = 0
+        self._prewarmed = False
         self._rng = jax.random.PRNGKey(self.seed)
 
     # ------------------------------------------------------------------ setup
@@ -447,6 +448,28 @@ class Trainer:
                 batch = pad
             yield batch
 
+    def _prewarm(self, batch) -> None:
+        """Compile the train step once via the explicit
+        trace/lower/compile chain before its first call.  On
+        remote-compile TPU tunnels the jit CALL path's internal compile
+        measured 270-520 s where this chain compiles the identical
+        program in 42-58 s, and the call after an explicit compile hits
+        the pjit cache for free (bench.py round-4 finding).  Elsewhere
+        it is the same compile either way.  Best-effort: on any failure
+        the first call compiles as usual."""
+        if self._prewarmed:
+            return
+        self._prewarmed = True
+        try:
+            t0 = time.time()
+            self._train_step.trace(
+                self.params, self.mstate, self.opt_state, batch,
+                self._rng, self.global_step).lower().compile()
+            log.info("train step compiled in %.1fs", time.time() - t0)
+        except Exception:  # noqa: BLE001 — the jit call will compile
+            log.debug("train-step prewarm failed; jit compiles on call",
+                      exc_info=True)
+
     def train_file(self, path: str, epoch_seed: int = 0) -> float:
         """Train over one file; returns the last batch loss."""
         self.ensure_initialized()
@@ -458,6 +481,7 @@ class Trainer:
         for batch in self._synced_batches(
                 self._dataset(path, "train", epoch_seed)):
             batch = self._to_device(batch)
+            self._prewarm(batch)
             (self.params, self.mstate, self.opt_state, loss,
              stats) = self._train_step(
                 self.params, self.mstate, self.opt_state, batch, self._rng,
@@ -502,6 +526,7 @@ class Trainer:
         loss = float("nan")
         for batch in ds:
             batch = self._to_device(batch)
+            self._prewarm(batch)
             (self.params, self.mstate, self.opt_state, loss,
              _) = self._train_step(
                 self.params, self.mstate, self.opt_state, batch, self._rng,
