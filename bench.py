@@ -318,8 +318,14 @@ def main():
     # chain takes 42-58 s for the same program, and the step() calls
     # below then hit the pjit cache for free (tools/ call_diag, round 4).
     # The returned Compiled is deliberately dropped — calling it directly
-    # stalls through the tunnel.
-    step.trace(params, mstate, opt_state, dbatch, key, 0).lower().compile()
+    # stalls through the tunnel.  Best-effort like Trainer._prewarm: on a
+    # JAX without .trace (or if the AOT/jit caches ever stop sharing) the
+    # jit call below pays its own compile instead of the bench crashing.
+    try:
+        step.trace(params, mstate, opt_state, dbatch, key,
+                   0).lower().compile()
+    except Exception as e:  # noqa: BLE001 — prewarm is an optimization
+        log(f"AOT prewarm unavailable ({e!r}); falling back to jit compile")
     for i in range(WARMUP_STEPS):
         params, mstate, opt_state, loss = step(params, mstate, opt_state,
                                                dbatch, key, i)

@@ -123,6 +123,35 @@ def test_validation_errors(tmp_path, config):
         Config(str(conf2)).read_feature_conf()
 
 
+def test_input_service_port_validated(tmp_path, config):
+    """input_service entries fail at config-parse time for BOTH malformed
+    and out-of-range ports — not as a socket error at pod startup."""
+    import shutil
+    conf2 = tmp_path / "conf"
+    shutil.copytree(config.conf_dir, conf2)
+    train = (conf2 / "train.yaml")
+    base = train.read_text()
+
+    def with_service(value):
+        # replace the shipped empty entry (YAML duplicate keys take the
+        # LAST value, so inserting a second key would be masked by it)
+        assert '\n  input_service: ""\n' in base
+        return base.replace('\n  input_service: ""\n',
+                            f'\n  input_service: "{value}"\n', 1)
+
+    train.write_text(with_service("loader:8600"))
+    assert Config(str(conf2)).distribution["input_service"] == "loader:8600"
+    train.write_text(with_service("loader:notaport"))
+    with pytest.raises(ConfigError, match="host:port"):
+        Config(str(conf2)).distribution
+    train.write_text(with_service("loader:99999"))
+    with pytest.raises(ConfigError, match="1-65535"):
+        Config(str(conf2)).distribution
+    train.write_text(with_service("loader:0"))
+    with pytest.raises(ConfigError, match="1-65535"):
+        Config(str(conf2)).distribution
+
+
 def test_explicit_zero_lr_fails_loudly(tmp_path, config):
     """An explicit 0 learning rate must raise, not silently become 0.05
     (regression: `or 0.05` swallowed explicit zeros)."""

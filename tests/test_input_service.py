@@ -228,6 +228,65 @@ class TestServerClient:
         finally:
             server.stop()
 
+    def test_stream_fingerprint_mismatch_rejected(self, small_config):
+        """A loader started with a different seed/conf serves a divergent
+        deterministic stream that passes every shape check — the identity
+        handshake must reject it at hello (ADVICE round 4, medium)."""
+        from wide_deep_tpu.features.input_service import (
+            InputServer, RemoteInputDataset, stream_fingerprint)
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.features.plan import FeaturePlan
+        plan = FeaturePlan(small_config)
+        fp_loader = stream_fingerprint(123, 16, 2, 1, 1)
+        fp_trainer = stream_fingerprint(999, 16, 2, 1, 1)  # wrong seed
+        assert fp_loader != fp_trainer
+        server = InputServer(
+            lambda p, m, e: CsvDataset(plan, p, m, 16), n_procs=1,
+            scatter_shards=1, port=0, fingerprint=fp_loader)
+        server.start()
+        try:
+            ds = RemoteInputDataset(plan, f"127.0.0.1:{server.port}",
+                                    FIXTURE, "train", global_batch=16,
+                                    proc=0, n_procs=1,
+                                    fingerprint=fp_trainer)
+            with pytest.raises(IOError, match="stream identity"):
+                next(iter(ds))
+        finally:
+            server.stop()
+
+    def test_stream_fingerprint_match_serves_and_acks_id(
+            self, small_config, tmp_path):
+        """Matching fingerprints serve normally; the ack carries the
+        loader's full stream id (config digest + file-list digest), and
+        probe_stream_id() captures it without consuming the stream."""
+        from wide_deep_tpu.features.input_service import (
+            InputServer, RemoteInputDataset, data_digest,
+            stream_fingerprint)
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        from wide_deep_tpu.features.plan import FeaturePlan
+        plan = FeaturePlan(small_config)
+        fp = stream_fingerprint(123, 16, 2, 1, 1, model_type="wide_deep")
+        server = InputServer(
+            lambda p, m, e: CsvDataset(plan, p, m, 16), n_procs=1,
+            scatter_shards=1, port=0, fingerprint=fp,
+            data_digest_fn=data_digest)
+        server.start()
+        try:
+            ds = RemoteInputDataset(plan, f"127.0.0.1:{server.port}",
+                                    FIXTURE, "train", global_batch=16,
+                                    proc=0, n_procs=1, fingerprint=fp)
+            sid = ds.probe_stream_id()
+            assert sid == f"{fp}:{data_digest(FIXTURE)}"
+            batch = next(iter(ds))  # stream still serves from seq 0
+            assert batch["label"].shape[0] == 16
+            # a different file list would change the id (what the
+            # trainer's cross-process allgather compares)
+            other = tmp_path / "other"
+            other.write_text("x\n")
+            assert data_digest(str(other)) != data_digest(FIXTURE)
+        finally:
+            server.stop()
+
 
 class TestShardedLoaders:
     """Pod-scale sharded loaders: one InputServer per host group, each
@@ -326,6 +385,10 @@ class TestShardedLoaders:
         assert group_range_for_proc(1, 3, 4) == (0, 4)
         with pytest.raises(ValueError, match="evenly"):
             loader_for_proc(addrs, 0, 3)
+        # group_range_for_proc must be safe standalone too — not only
+        # when loader_for_proc happened to run first (ADVICE round 4)
+        with pytest.raises(ValueError, match="evenly"):
+            group_range_for_proc(2, 0, 3)
 
     def test_misranged_loader_rejected_not_deadlocked(self, small_config):
         """A loader left at the serve-all default while trainers split

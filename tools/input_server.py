@@ -95,10 +95,22 @@ def main():
                 **kwargs)
         return CsvDataset(plan, path, mode, args.batch_size, **kwargs)
 
+    # stream-identity handshake: trainers send the same digest computed
+    # from THEIR config; a loader started with a divergent seed/conf/batch
+    # rejects at hello instead of corrupting the reassembled global batch
+    from wide_deep_tpu.features.input_service import (data_digest,
+                                                      stream_fingerprint)
+    fingerprint = stream_fingerprint(
+        seed, args.batch_size, args.n_classes, plan.scatter_shards,
+        args.n_procs, pos_weight=train_conf.get("pos_sample_loss_weight"),
+        neg_weight=train_conf.get("neg_sample_loss_weight"),
+        model_type=args.model_type)
     server = InputServer(dataset_factory, n_procs=args.n_procs,
                          scatter_shards=plan.scatter_shards, port=args.port,
                          proc_start=args.proc_start,
-                         proc_count=args.proc_count)
+                         proc_count=args.proc_count,
+                         fingerprint=fingerprint,
+                         data_digest_fn=data_digest)
     server.start()
     print(f"input service on :{server.port} "
           f"(procs [{server.proc_start}, "

@@ -498,6 +498,10 @@ class Config:
                 raise ConfigError(
                     f"{where}: input_service entries must be host:port, "
                     f"got {entry!r} in {svc!r}")
+            if not 1 <= int(port) <= 65535:
+                raise ConfigError(
+                    f"{where}: input_service port must be 1-65535, "
+                    f"got {port} in {entry!r}")
         out["input_service"] = str(svc)
         return out
 

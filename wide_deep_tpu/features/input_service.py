@@ -74,6 +74,57 @@ KIND_ERR = b"ERR!"
 _SHARD_PREFIXES = ("scat_", "wscat_", "sopt_", "dscat_uids_")
 
 
+def stream_fingerprint(seed: int, global_batch: int, n_classes: int,
+                       scatter_shards: int, n_procs: int,
+                       pos_weight=None, neg_weight=None,
+                       model_type: str = "",
+                       data_files=None) -> str:
+    """Digest of the deterministic-stream identity.
+
+    Sharded-loader correctness requires every loader to materialize the
+    bit-identical global stream (same seed, config, file list) — the
+    group-range handshake alone cannot see a loader started with a
+    different seed or conf, which would serve divergent slices that pass
+    every shape check and silently corrupt the reassembled global batch.
+    Both sides compute this digest over the fields they share (the
+    config-derived stream identity); the loader additionally folds in its
+    resolved ``data_files`` [(basename, size), ...] so trainers can
+    cross-verify that all loader groups read the same dataset
+    (RemoteInputDataset.server_stream_id after the hello ack)."""
+    import hashlib
+    ident = {
+        "seed": int(seed), "batch": int(global_batch),
+        "n_classes": int(n_classes), "shards": int(scatter_shards),
+        "n_procs": int(n_procs),
+        "pos_w": None if pos_weight is None else float(pos_weight),
+        "neg_w": None if neg_weight is None else float(neg_weight),
+        "model_type": str(model_type),
+    }
+    if data_files is not None:
+        ident["files"] = sorted(
+            [str(name), int(size)] for name, size in data_files)
+    payload = json.dumps(ident, sort_keys=True).encode("utf-8")
+    return hashlib.sha256(payload).hexdigest()[:16]
+
+
+def data_digest(path: str) -> str:
+    """Digest of the resolved (basename, size) file list under ``path`` —
+    the loader-host half of the stream identity (only loaders resolve file
+    lists; trainers cross-verify the digests agree across loader groups)."""
+    import hashlib
+    import os
+    from wide_deep_tpu.features.pipeline import list_files
+    entries = []
+    for p in sorted(list_files(path)):
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            size = -1
+        entries.append([os.path.basename(p), size])
+    payload = json.dumps(entries, sort_keys=True).encode("utf-8")
+    return hashlib.sha256(payload).hexdigest()[:16]
+
+
 def loader_for_proc(addrs, proc: int, n_procs: int) -> str:
     """Which loader address serves ``proc``: contiguous even groups,
     group g = proc * L // P gets addrs[g].  Loaders must be started with
@@ -93,6 +144,10 @@ def group_range_for_proc(n_addrs: int, proc: int,
     serve-all default) rejects immediately instead of deadlocking its
     stream at the prefetch limit waiting for procs that connect
     elsewhere."""
+    if n_procs % n_addrs:
+        raise ValueError(
+            f"{n_procs} procs cannot split evenly over "
+            f"{n_addrs} input-service loaders")
     per = n_procs // n_addrs
     g = proc * n_addrs // n_procs
     return g * per, (g + 1) * per
@@ -242,8 +297,18 @@ class InputServer:
     def __init__(self, dataset_factory: Callable[[str, str, int], Any],
                  n_procs: int, scatter_shards: int, port: int = 0,
                  host: str = "0.0.0.0", proc_start: int = 0,
-                 proc_count: Optional[int] = None):
+                 proc_count: Optional[int] = None,
+                 fingerprint: Optional[str] = None,
+                 data_digest_fn: Optional[Callable[[str], str]] = None):
         self.dataset_factory = dataset_factory
+        # stream-identity handshake (see stream_fingerprint): clients send
+        # their config-derived digest in the hello; a loader started with
+        # a different seed/config rejects instead of serving divergent
+        # slices.  data_digest_fn(path) -> digest of the resolved file
+        # list rides the ack so trainers can cross-verify loader GROUPS
+        # read the same dataset.
+        self.fingerprint = fingerprint
+        self.data_digest_fn = data_digest_fn
         self.n_procs = int(n_procs)
         # the contiguous proc range THIS loader serves (pod-scale sharded
         # loaders; defaults to all procs — the single-loader rig)
@@ -364,10 +429,40 @@ class InputServer:
                         f"{want[1] - want[0]}"
                     ).encode())
                     return
+                # stream-identity handshake: same shape as the group-range
+                # check — both sides computed stream_fingerprint from
+                # their own (seed, config); mismatch means this loader
+                # would serve slices of a DIFFERENT deterministic stream,
+                # which no later shape check could catch.
+                want_fp = hello.get("fingerprint")
+                if (want_fp is not None and self.fingerprint is not None
+                        and want_fp != self.fingerprint):
+                    send_frame(conn, KIND_ERR + (
+                        f"stream identity mismatch: loader built its "
+                        f"stream from config fingerprint "
+                        f"{self.fingerprint} but the trainer expects "
+                        f"{want_fp} — the loader was started with a "
+                        f"different seed/conf/batch than the trainers"
+                    ).encode())
+                    return
                 st = self._stream_for(hello["path"], hello["mode"],
                                       hello.get("epoch_seed", 0),
                                       hello.get("run", 0))
-                send_frame(conn, KIND_BATCH)  # hello ack
+                # ack carries the loader's full stream id (config
+                # fingerprint + resolved-file-list digest) so trainers can
+                # cross-verify that every loader GROUP reads the same
+                # dataset (the config digest alone cannot see file lists,
+                # which only the loader hosts resolve)
+                data_digest = ""
+                if self.data_digest_fn is not None:
+                    try:
+                        data_digest = self.data_digest_fn(hello["path"])
+                    except Exception as e:  # noqa: BLE001 — advisory id
+                        log.warning("data digest failed for %r: %s",
+                                    hello["path"], e)
+                ack = {"stream_id":
+                       f"{self.fingerprint or ''}:{data_digest}"}
+                send_frame(conn, KIND_BATCH + json.dumps(ack).encode())
                 while not self._stop.is_set():
                     req = json.loads(recv_frame(conn).decode("utf-8"))
                     if req.get("op") == "close":
@@ -416,7 +511,8 @@ class RemoteInputDataset:
                  timeout: float = 300.0, run_token: int = 0,
                  with_image: bool = False,
                  image_shape: Tuple[int, int, int] = (224, 224, 3),
-                 group_range: Optional[Tuple[int, int]] = None):
+                 group_range: Optional[Tuple[int, int]] = None,
+                 fingerprint: Optional[str] = None):
         host, _, port = address.rpartition(":")
         self.plan = plan
         self.mode = mode
@@ -435,11 +531,55 @@ class RemoteInputDataset:
         # loader fails fast instead of deadlocking its stream
         self.group_range = (None if group_range is None
                             else (int(group_range[0]), int(group_range[1])))
+        # config-derived stream identity (stream_fingerprint) — validated
+        # in the hello so a loader running a different seed/conf rejects
+        # instead of silently serving slices of a divergent stream
+        self.fingerprint = fingerprint
+        # the loader's full stream id (config fingerprint + file-list
+        # digest), captured from the hello ack; trainers cross-verify it
+        # across processes so all loader GROUPS provably read the same
+        # dataset (training/loop.py)
+        self.server_stream_id: Optional[str] = None
         self.with_image = bool(with_image)
         self.local_spec = local_batch_spec(plan, global_batch, n_procs,
                                            n_classes, mode=mode,
                                            with_image=with_image,
                                            image_shape=image_shape)
+
+    def probe_stream_id(self) -> Optional[str]:
+        """Connect, run the hello handshake (all identity checks), read
+        the loader's full stream id from the ack, disconnect.  Used by the
+        trainer to verify — BEFORE training starts — that every loader
+        group serves the identical stream (same config fingerprint AND
+        same resolved file list)."""
+        sock = socket.create_connection(self.address, timeout=self.timeout)
+        try:
+            hello = {"op": "hello", "proc": self.proc,
+                     "n_procs": self.n_procs, "path": self.path,
+                     "mode": self.mode, "epoch_seed": self.epoch_seed,
+                     "run": self.run_token}
+            if self.group_range is not None:
+                hello["group_range"] = list(self.group_range)
+            if self.fingerprint is not None:
+                hello["fingerprint"] = self.fingerprint
+            send_frame(sock, json.dumps(hello).encode("utf-8"))
+            ack = recv_frame(sock)
+            if ack[:4] != KIND_BATCH:
+                raise IOError(f"input service rejected hello: "
+                              f"{ack[4:].decode('utf-8', 'replace')}")
+            if len(ack) > 4:
+                try:
+                    self.server_stream_id = json.loads(
+                        ack[4:].decode("utf-8")).get("stream_id")
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    self.server_stream_id = None
+            return self.server_stream_id
+        finally:
+            try:
+                send_frame(sock, json.dumps({"op": "close"}).encode())
+            except OSError:
+                pass
+            sock.close()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         sock = socket.create_connection(self.address, timeout=self.timeout)
@@ -450,11 +590,19 @@ class RemoteInputDataset:
                      "run": self.run_token}
             if self.group_range is not None:
                 hello["group_range"] = list(self.group_range)
+            if self.fingerprint is not None:
+                hello["fingerprint"] = self.fingerprint
             send_frame(sock, json.dumps(hello).encode("utf-8"))
             ack = recv_frame(sock)
             if ack[:4] != KIND_BATCH:
                 raise IOError(f"input service rejected hello: "
                               f"{ack[4:].decode('utf-8', 'replace')}")
+            if len(ack) > 4:  # ack payload: the loader's full stream id
+                try:
+                    self.server_stream_id = json.loads(
+                        ack[4:].decode("utf-8")).get("stream_id")
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    self.server_stream_id = None
             seq = 0
             while True:
                 send_frame(sock, json.dumps({"op": "next",

@@ -323,6 +323,32 @@ class Trainer:
             return self.train_conf.get("image_test_data")
         return self.train_conf.get("image_eval_data")
 
+    def _verify_loader_streams(self, ds) -> None:
+        """Sharded-loader cross-check: every loader GROUP must serve the
+        identical deterministic stream.  The hello handshake already
+        rejects a loader whose CONFIG fingerprint diverges; file lists,
+        however, are resolved on the loader hosts only — so each process
+        probes its loader's full stream id (config digest + resolved
+        file-list digest from the ack) and all processes compare via a
+        host allgather.  A loader group pointed at different data files
+        fails here, before a single batch is consumed."""
+        sid = ds.probe_stream_id() or ""
+        import numpy as np
+        from jax.experimental import multihost_utils
+        buf = np.zeros(64, np.uint8)
+        raw = sid.encode("utf-8")[:64]
+        buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(buf)).reshape(-1, 64)
+        ids = {bytes(row.tobytes()).rstrip(b"\0").decode("utf-8", "replace")
+               for row in gathered}
+        if len(ids) > 1:
+            raise ValueError(
+                f"input-service loader groups serve DIVERGENT streams "
+                f"(stream ids {sorted(ids)}) — all loaders must run the "
+                f"same conf, seed, and data file list; check each "
+                f"loader's --train_data and conf directory")
+
     def _dataset(self, path: str, mode: str, epoch_seed: int = 0):
         if self.input_service and mode == "train":
             # multi-host input service: the loader host sees the GLOBAL
@@ -347,23 +373,36 @@ class Trainer:
             # carries the expected group range so a misranged loader
             # rejects instead of deadlocking at its prefetch limit.
             from wide_deep_tpu.features.input_service import (
-                group_range_for_proc, loader_for_proc)
+                group_range_for_proc, loader_for_proc, stream_fingerprint)
             addrs = [a.strip() for a in self.input_service.split(",")
                      if a.strip()]
             n_procs = jax.process_count()
             address = loader_for_proc(addrs, jax.process_index(), n_procs)
             grange = group_range_for_proc(len(addrs), jax.process_index(),
                                           n_procs)
-            return RemoteInputDataset(
+            # stream-identity handshake: this digest must match the
+            # loader's (same formula over ITS config) or the hello is
+            # rejected — catching a loader started with a different
+            # seed/conf/batch before it can serve divergent slices
+            fingerprint = stream_fingerprint(
+                self.seed, self.batch_size, self.n_classes,
+                self.plan.scatter_shards, n_procs,
+                pos_weight=self.pos_weight, neg_weight=self.neg_weight,
+                model_type=self.model_type)
+            ds = RemoteInputDataset(
                 self.plan, address, path, mode,
                 global_batch=self.batch_size, group_range=grange,
                 proc=jax.process_index(), n_procs=jax.process_count(),
                 epoch_seed=epoch_seed, n_classes=self.n_classes,
                 with_image=self.model.has_cnn, image_shape=image_shape,
+                fingerprint=fingerprint,
                 # resumed runs replay (path, epoch_seed) — the step count
                 # (identical on every process after restore) keys a fresh
                 # deterministic stream on the loader
                 run_token=self.global_step)
+            if len(addrs) > 1 and n_procs > 1:
+                self._verify_loader_streams(ds)
+            return ds
         # per-worker row sharding (reference dataset.shard semantics,
         # dataset.py:173-174), driven by the live process topology
         num_shards = jax.process_count()
