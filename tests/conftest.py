@@ -41,7 +41,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import pytest  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_DATA = "/root/reference/data"
 
 
 @pytest.fixture(scope="session")
@@ -86,7 +85,8 @@ def small_plan_nofold(small_config):
 
 @pytest.fixture(scope="session")
 def fixture_rows():
-    """10-row TSV fixture (reference data/test/test2)."""
-    path = os.path.join(REF_DATA, "test", "test2")
-    with open(path) as f:
+    """Vendored 10-row TSV unit fixture (tests/paths.py; the reference's
+    data/test/test2 analog)."""
+    from paths import UNIT_FIXTURE
+    with open(UNIT_FIXTURE) as f:
         return [line.rstrip("\n").split("\t") for line in f if line.strip()]

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from wide_deep_tpu.config import Config  # noqa: E402
 from wide_deep_tpu.training.loop import Trainer  # noqa: E402
 
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 
 shared_dir = sys.argv[5] if len(sys.argv) > 5 else f"/tmp/wdt_dist_{proc_id}"
 

@@ -7,7 +7,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TRAIN = os.path.join(REPO, "data", "train")
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 
 
 class TestOccupancy:

@@ -13,7 +13,7 @@ from wide_deep_tpu.models.cnn import CnnSpec, cnn_logits, init_cnn_params
 from wide_deep_tpu.models.cnn.vgg import save_npy_weights, load_npy_weights, var_count
 from wide_deep_tpu.models.deep import ParamStore
 
-REF_TFRECORDS = "/root/reference/data/image/train.tfrecords"
+from paths import IMAGE_TFRECORDS as REF_TFRECORDS
 
 
 class TestTfrecord:

@@ -8,7 +8,7 @@ import shutil
 import numpy as np
 import pytest
 
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 # bundled image fixtures (tools/generate_sample_images.py; the reference
 # ships data/image/*.jpeg + train.tfrecords — SURVEY §2.15)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

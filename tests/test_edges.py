@@ -6,6 +6,7 @@ import subprocess
 
 import numpy as np
 import pytest
+from paths import TRAIN1
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -96,7 +97,7 @@ class TestNativeDeterminism:
         from wide_deep_tpu.features.native import NativeTransformer
         if not NativeTransformer.available():
             pytest.skip("native lib not built")
-        with open("/root/reference/data/train/train1", "rb") as f:
+        with open(TRAIN1, "rb") as f:
             text = f.read()
         b1 = NativeTransformer(plan, n_threads=1).transform_text(
             text, 2000, 2048)

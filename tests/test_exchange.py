@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 
 
 @pytest.fixture(scope="module")

@@ -7,6 +7,7 @@ import pytest
 from wide_deep_tpu.features import hashing
 from wide_deep_tpu.features.plan import FeaturePlan, embedding_dim
 from wide_deep_tpu.features.pipeline import CsvDataset, FeatureTransformer, list_files
+from paths import UNIT_FIXTURE
 
 
 class TestHashing:
@@ -172,7 +173,7 @@ class TestPipeline:
             np.testing.assert_array_equal(t1[k], t2[k])
 
     def test_dataset_sharding(self, plan):
-        path = "/root/reference/data/test/test2"
+        path = UNIT_FIXTURE
         full = [r for b in CsvDataset(plan, path, "eval", 4) for r in
                 b["label"][b["mask"] > 0]]
         parts = []
@@ -182,7 +183,7 @@ class TestPipeline:
         assert len(parts) == len(full) == 10
 
     def test_shuffle_deterministic(self, plan):
-        path = "/root/reference/data/test/test2"
+        path = UNIT_FIXTURE
         def labels(seed):
             ds = CsvDataset(plan, path, "train", 4, shuffle_buffer=10, seed=seed)
             return np.concatenate([b["label"] for b in ds])
@@ -227,7 +228,7 @@ class TestRemoteFilesystems:
             def open_text(self, path, errors="replace"):
                 return io.StringIO(self.files[path])
 
-        with open("/root/reference/data/test/test2") as f:
+        with open(UNIT_FIXTURE) as f:
             text = f.read()
         memfs = MemFs({"memfs://cluster/data/part-0": text,
                        "memfs://cluster/data/part-1": text})

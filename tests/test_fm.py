@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 
 
 @pytest.fixture(scope="module")

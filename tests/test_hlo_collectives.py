@@ -19,6 +19,7 @@ import jax.numpy as jnp
 # (review r4 findings #1/#2 — a private sync-only copy here could go
 # silently blind on a backend upgrade while the tests kept passing)
 from wide_deep_tpu.parallel.hlo_stats import collective_ops as _collective_ops  # noqa: E402,E501
+from paths import UNIT_FIXTURE
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +35,7 @@ def compiled_step(small_config):
     plan = FeaturePlan(small_config)
     model = build_model(small_config, plan=plan, model_type="wide_deep")
     mesh = mesh_lib.make_mesh(4, 2, jax.devices()[:8])
-    with open("/root/reference/data/test/test2") as f:
+    with open(UNIT_FIXTURE) as f:
         rows = [line.rstrip("\n").split("\t") for line in f if line.strip()]
     batch = FeatureTransformer(plan).transform(rows, 16)
     params, mstate = model.init(jax.random.PRNGKey(0), batch)
@@ -186,7 +187,7 @@ class TestShardedFusedOptimizerCollectives:
                                scatter_shards=8, shard_threshold=64)
             model = build_model(small_config, plan=plan,
                                 model_type="wide_deep")
-            with open("/root/reference/data/test/test2") as f:
+            with open(UNIT_FIXTURE) as f:
                 rows = [ln.rstrip("\n").split("\t") for ln in f
                         if ln.strip()]
             batch = FeatureTransformer(plan).transform(rows, 16)

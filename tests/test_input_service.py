@@ -9,7 +9,7 @@ import pytest
 
 import jax
 
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 
 
 @pytest.fixture(scope="module")

@@ -6,6 +6,9 @@ import numpy as np
 import pytest
 
 from wide_deep_tpu.features.pipeline import CsvDataset, FeatureTransformer
+from paths import UNIT_FIXTURE
+from paths import TRAIN1
+from paths import PRED1
 
 native = pytest.importorskip("wide_deep_tpu.features.native")
 
@@ -32,13 +35,13 @@ class TestNativeParity:
 
     def test_train_sample_bit_identical(self, both):
         py, nat = both
-        with open("/root/reference/data/train/train1") as f:
+        with open(TRAIN1) as f:
             rows = [l.rstrip("\n").split("\t") for l in f][:500]
         self._assert_equal(py.transform(rows, 512), nat.transform(rows, 512))
 
     def test_pred_mode(self, both):
         py, nat = both
-        with open("/root/reference/data/pred/pred1") as f:
+        with open(PRED1) as f:
             lines = [l.rstrip("\n") for l in f][:64]
         # python path: label column prepended when absent
         rows = [[""] + l.split("\t") for l in lines]
@@ -72,7 +75,7 @@ class TestNativeParity:
         assert batch["mask"].sum() == 0
 
     def test_dataset_native_path(self, plan):
-        ds = CsvDataset(plan, "/root/reference/data/test/test2", "eval", 8)
+        ds = CsvDataset(plan, UNIT_FIXTURE, "eval", 8)
         assert ds._native == native.NativeTransformer.available()
         total = sum(int(b["mask"].sum()) for b in ds)
         assert total == 10

@@ -6,6 +6,7 @@ import pytest
 
 from wide_deep_tpu.offline import ctr_features as cf
 from wide_deep_tpu.offline.local_job import local_data_preprocess
+from paths import TRAIN1
 
 
 class TestCtrFeatures:
@@ -55,8 +56,13 @@ class TestLocalJob:
     def test_end_to_end(self, tmp_path):
         inroot = tmp_path / "in"
         (inroot / "20180112").mkdir(parents=True)
-        with open("/root/reference/data/train/train1") as f:
-            (inroot / "20180112" / "part-00000").write_text(f.read())
+        with open(TRAIN1) as f:
+            text = f.read()
+        (inroot / "20180112" / "part-00000").write_text(text)
+        in_rows = [l.split("\t") for l in text.splitlines() if l.strip()]
+        in_pos = sum(1 for r in in_rows if r[0] == "1")
+        in_neg = len(in_rows) - in_pos
+        assert in_pos and in_neg, "fixture must carry both classes"
         n = local_data_preprocess(
             str(inroot), str(tmp_path / "out"), "20180112",
             feature_index_list=[9], keep_prob=0.05)
@@ -68,9 +74,9 @@ class TestLocalJob:
             with open(out_dir / part) as f:
                 rows += [line.rstrip("\n").split("\t") for line in f]
         assert len(rows) == n
-        # all 6 positives survive; negatives heavily sampled
-        assert sum(1 for r in rows if r[0] == "1") == 6
-        assert n < 1000
+        # every positive survives; negatives downsampled at keep_prob
+        assert sum(1 for r in rows if r[0] == "1") == in_pos
+        assert n - in_pos < in_neg * 0.15
         # one new column appended per window (3 windows x 1 feature)
         assert len(rows[0]) == 61 + 3
         for r in rows[:5]:
@@ -100,3 +106,47 @@ class TestLocalJob:
             assert filecmp.cmp(os.path.join(golden, part),
                                os.path.join(out_dir, part), shallow=False), \
                 f"{part} diverged from the committed data/spark fixture"
+
+
+class TestDataFrameFlavor:
+    """The reference's SECOND validation path: join-shaped rate columns +
+    stratified sampleBy (data_process_local_test.py:26-49) — must agree
+    with the RDD math on the rates and sampling invariants."""
+
+    def test_rates_match_rdd_math_and_join_semantics(self):
+        from wide_deep_tpu.offline.local_job import dataframe_preprocess
+        rows = [
+            ["1", "a", "M"], ["0", "a", "F"], ["0", "b", "M"],
+            ["1", "b", "M"], ["0", "b", "F"],
+        ]
+        header, out = dataframe_preprocess(
+            rows, feature_index_list=[2, 3], keep_prob=1.0,
+            schema=["clk", "site", "sex"])
+        assert header == ["site_rate_1", "sex_rate_1"]
+        # keep_prob 1.0: every row survives, two appended columns
+        assert len(out) == 5 and all(len(r) == 5 for r in out)
+        # join-shaped rates equal the RDD sum/count math per key
+        site = cf.ctr_rate_map(rows, 2)
+        sex = cf.ctr_rate_map(rows, 3)
+        for r in out:
+            assert float(r[3]) == site[r[1]]
+            assert float(r[4]) == sex[r[2]]
+        assert site == {"a": 0.5, "b": pytest.approx(1 / 3)}
+
+    def test_stratified_sampling_and_null_join(self):
+        from wide_deep_tpu.offline.local_job import dataframe_preprocess
+        rows = ([["1", "x"]] * 7
+                + [["0", f"y{i}"] for i in range(400)])
+        header, out = dataframe_preprocess(rows, [2], keep_prob=0.05)
+        # sampleBy semantics: every positive kept, ~5% of negatives
+        pos = [r for r in out if r[0] == "1"]
+        assert len(pos) == 7
+        assert len(out) - 7 < 400 * 0.15
+        assert header == ["col2_rate_1"]
+        # left-outer join: an unseen key joins as null -> ''
+        _, out2 = dataframe_preprocess([["0", "z"]], [2], keep_prob=1.0)
+        assert out2[0][2] != ""  # z IS in its own rate table
+        # simulate the null path directly: empty table -> ''
+        from wide_deep_tpu.offline import local_job
+        tbl = cf.ctr_rate_map([], 2)
+        assert tbl == {}

@@ -11,7 +11,7 @@ import os
 import numpy as np
 import pytest
 
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 
 
 class TestMulticlassMetrics:

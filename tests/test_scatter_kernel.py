@@ -9,6 +9,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from paths import TRAIN1, UNIT_FIXTURE
 
 
 def _run(ids, g, rows, dtype=np.float32):
@@ -285,7 +286,7 @@ class TestScatterPlanPlumbing:
         monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_IDS", 1)
         monkeypatch.setattr(FeaturePlan, "scatter_group",
                             lambda self, g, b: self.pallas_scatter)
-        FIXTURE = "/root/reference/data/test/test2"
+        FIXTURE = UNIT_FIXTURE
         mesh1 = mesh_lib.make_mesh(1, 1, jax.devices()[:1])
         losses = {}
         for tag in ("pallas", "xla"):
@@ -380,7 +381,7 @@ class TestScatterPlanPlumbing:
         monkeypatch.setattr(sc, "PALLAS_SCATTER_MIN_IDS", 1)
         plan = FeaturePlan(small_config, pallas_scatter=True,
                            scatter_shards=8, shard_threshold=1)
-        with open("/root/reference/data/train/train1") as f:
+        with open(TRAIN1) as f:
             rows = [l.rstrip("\n").split("\t") for l in f][:300]
         py = FeatureTransformer(plan).transform(rows, 512, mode="train")
         cc = NativeTransformer(plan).transform(rows, 512, mode="train")
@@ -408,7 +409,7 @@ class TestScatterPlanPlumbing:
         monkeypatch.setattr(FeaturePlan, "window_group",
                             lambda self, g, b: self.pallas_scatter)
         plan = FeaturePlan(small_config, pallas_scatter=True)
-        with open("/root/reference/data/train/train1") as f:
+        with open(TRAIN1) as f:
             rows = [l.rstrip("\n").split("\t") for l in f][:300]
         # B=512 floods the tiny tables' single window past the 4x-mean cap
         # (overflow path, ok=0 + zero tiles); B=16 fits (tile emission).
@@ -437,7 +438,7 @@ class TestScatterPlanPlumbing:
         if not NativeTransformer.available():
             pytest.skip("native lib not built")
         monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
-        with open("/root/reference/data/train/train1") as f:
+        with open(TRAIN1) as f:
             rows = [l.rstrip("\n").split("\t") for l in f][:300]
         # single-device: compact plans for every group (fold off so all
         # groups are sparse-eligible)
@@ -487,7 +488,7 @@ class TestScatterPlanPlumbing:
                             lambda self, g, b: False)
         monkeypatch.setattr(FeaturePlan, "window_group",
                             lambda self, g, b: self.pallas_scatter)
-        FIXTURE = "/root/reference/data/test/test2"
+        FIXTURE = UNIT_FIXTURE
         mesh1 = mesh_lib.make_mesh(1, 1, jax.devices()[:1])
         losses = {}
         for tag in ("pallas", "xla"):

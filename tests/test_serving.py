@@ -9,8 +9,8 @@ import subprocess
 import numpy as np
 import pytest
 
-FIXTURE = "/root/reference/data/test/test2"
-PRED = "/root/reference/data/pred/pred1"
+from paths import UNIT_FIXTURE as FIXTURE
+from paths import PRED1 as PRED
 CPP_CLIENT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "cpp", "serving_client")
 
@@ -334,6 +334,23 @@ class TestTransports:
         assert stats["requests"] == 20
         assert stats["errors"] == 0
         assert stats["rows_per_s"] > 0
+        client.close()
+
+    def test_tcp_concurrent_load(self, server):
+        """TCP under thread fan-in: the client must open one connection
+        per thread (a raw socket shared across threads interleaves
+        frames), and the server must accept MORE concurrent connections
+        than its worker count (the old bounded pool held one worker per
+        connection lifetime, silently starving client N+1 into a
+        timeout).  12 threads > 8 workers exercises both."""
+        from wide_deep_tpu.serving.client import (TcpPredictorClient,
+                                                  do_inference)
+        client = TcpPredictorClient(port=server.tcp_port, timeout=30.0)
+        stats = do_inference(client, _rows(FIXTURE, 10), num_requests=48,
+                             concurrency=12)
+        assert stats["errors"] == 0, stats
+        assert stats["requests"] == 48
+        assert stats["p99_ms"] < 20000, stats
         client.close()
 
 

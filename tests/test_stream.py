@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 
 
 class TestStreamDataset:

@@ -8,7 +8,7 @@ import numpy as np
 from wide_deep_tpu.features.tfrecord import read_records
 from wide_deep_tpu.training.summary import SummaryWriter
 
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 
 
 def _events(path):

@@ -8,7 +8,7 @@ import os
 import numpy as np
 import pytest
 
-FIXTURE = "/root/reference/data/test/test2"
+from paths import UNIT_FIXTURE as FIXTURE
 
 
 def _trainer(small_config, tmp_path, model_type, **over):
@@ -206,3 +206,36 @@ class TestMetricsAgainstNumpy:
         assert abs(res["auc"] - exact) < 0.01, (res["auc"], exact)
         assert abs(res["label/mean"] - y.mean()) < 1e-5
         assert abs(res["prediction/mean"] - p.mean()) < 1e-5
+
+
+class TestCadencedEval:
+    def test_eval_every_n_steps(self, small_config, tmp_path):
+        """Step-cadenced interleaved eval (eval_every_n_steps): fires at
+        the step cadence, logs + writes eval/ summaries — the working
+        analog of the reference's broken train_and_eval_api mode
+        (reference python/train.py:151-170)."""
+        tr = _trainer(small_config, tmp_path, "wide_deep",
+                      batch_size=8, eval_every_n_steps=2)
+        assert tr.eval_every_n_steps == 2
+        tr.ensure_initialized(restore=False)
+        calls = []
+        orig = tr.evaluate
+
+        def spy(path=None, **kw):
+            calls.append(tr.global_step)
+            return orig(path, **kw)
+
+        tr.evaluate = spy
+        tr.train_file(FIXTURE)  # 10 rows / batch 8 -> 2 steps
+        assert calls == [2], calls
+        # eval summaries written under the eval/ prefix
+        from wide_deep_tpu.features.tfrecord import read_records
+        sdir = os.path.join(tr.model_dir, "summaries")
+        blob = b"".join(
+            rec for f in os.listdir(sdir)
+            for rec in read_records(os.path.join(sdir, f), verify=True))
+        assert b"eval/auc" in blob and b"eval/loss" in blob
+
+    def test_off_by_default(self, small_config, tmp_path):
+        tr = _trainer(small_config, tmp_path, "wide_deep")
+        assert tr.eval_every_n_steps == 0

@@ -40,6 +40,10 @@ def base_parser(description: str) -> tuple[argparse.ArgumentParser, Config]:
                    default=t["pos_sample_loss_weight"])
     p.add_argument("--neg_sample_loss_weight", type=float,
                    default=t["neg_sample_loss_weight"])
+    p.add_argument("--eval_every_n_steps", type=int,
+                   default=int(t.get("eval_every_n_steps") or 0),
+                   help="interleave a full eval pass every N train steps "
+                        "(0 = off; works under distribution)")
     return p, config
 
 
@@ -66,7 +70,8 @@ def overrides_from(args) -> dict:
         neg_sample_loss_weight=args.neg_sample_loss_weight,
         image_train_data=args.image_train_data,
         image_eval_data=args.image_eval_data,
-        image_test_data=args.image_test_data)
+        image_test_data=args.image_test_data,
+        eval_every_n_steps=args.eval_every_n_steps)
 
 
 def maybe_init_distributed(config: Config, force: bool = False):

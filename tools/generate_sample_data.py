@@ -96,6 +96,11 @@ def main():
           make_rows(config, args.eval_rows, rng))
     write(os.path.join(args.out_dir, "pred", "pred1"),
           make_rows(config, 200, rng, with_label=False))
+    # 10-row unit fixture (the reference shipped data/test/test2 for its
+    # wide_deep_test.py:18 unit suite; this repo vendors a regenerated
+    # analog so tests never depend on the reference mount — tests/paths.py)
+    write(os.path.join(args.out_dir, "test", "test2"),
+          make_rows(config, 10, rng))
 
 
 if __name__ == "__main__":

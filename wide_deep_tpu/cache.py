@@ -21,6 +21,19 @@ import os
 
 log = logging.getLogger("wide_deep_tpu.cache")
 
+_cache_active = False
+
+
+def persistent_cache_active() -> bool:
+    """True when enable_compilation_cache() actually turned the on-disk
+    cache on.  Gates the AOT prewarm (Trainer._prewarm, bench.py): the
+    jit CALL path does not reuse an AOT-compiled executable in-process
+    (measured round 5: AOT compile 54.2 s, then the first call paid its
+    own 218.9 s remote compile), so an explicit trace/lower/compile chain
+    only pays off when its result lands in the persistent cache for the
+    call path to HIT — i.e. exactly when this returns True."""
+    return _cache_active
+
 
 def enable_compilation_cache() -> None:
     explicit = "JAX_COMPILATION_CACHE_DIR" in os.environ
@@ -41,5 +54,7 @@ def enable_compilation_cache() -> None:
         import jax
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        global _cache_active
+        _cache_active = True
     except Exception:  # noqa: BLE001 — cache is best-effort
         pass

@@ -64,3 +64,34 @@ def local_data_preprocess(input_root: str, output_root: str, date: str,
         for w in writers:
             w.close()
     return len(out_rows)
+
+
+def dataframe_preprocess(rows: List[List[str]],
+                         feature_index_list: Sequence[int],
+                         keep_prob: float, seed: int = 0,
+                         schema: Optional[Sequence[str]] = None):
+    """DataFrame-flavor variant: the reference validated its Spark logic
+    twice — once with the RDD sum/count math (``process_day`` here) and
+    once join-shaped (per-feature rate TABLE, left-outer-joined back onto
+    the frame as a named ``<feature>_rate_1`` column, then stratified
+    sampleBy; reference python/spark/data_process_local_test.py:26-49).
+
+    Semantics preserved: 1-day window only (the DF flavor never computed
+    the 7/30-day windows), named output columns, left-outer join (a key
+    absent from the rate table joins as None -> serialized ''); stratified
+    sampling keeps every positive and ``keep_prob`` of negatives.
+
+    Returns (header, out_rows): header lists the appended column names.
+    """
+    header = []
+    joined = [list(r) for r in rows]
+    for idx in feature_index_list:
+        name = (schema[idx - 1] if schema and idx - 1 < len(schema)
+                else f"col{idx}")
+        header.append(f"{name}_rate_1")
+        table = cf.ctr_rate_map(rows, idx)  # the groupByKey.mean table
+        for row in joined:                  # left_outer join on the key
+            rate = table.get(row[idx - 1])
+            row.append("" if rate is None else repr(rate))
+    out = [r for r in joined if cf.keep_row(r, keep_prob, seed)]
+    return header, out

@@ -85,35 +85,80 @@ class TcpPredictorClient:
                  tls_cert: str = None, tls_key: str = None):
         self.model_name = model_name
         self.auth_token = auth_token
-        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._host, self._port, self._timeout = host, port, timeout
+        self._tls = (tls_ca, tls_cert, tls_key)
+        # one connection PER THREAD: a request is a send+recv frame pair
+        # on one socket, so two threads sharing a socket interleave frames
+        # and corrupt both streams (the do_inference load harness fires
+        # from worker threads; gRPC channels are thread-safe, raw sockets
+        # are not — same family as the TLS-proxy SSLSocket lesson).
+        self._local = threading.local()
+        self._conns: List[socket.socket] = []
+        self._conns_lock = threading.Lock()
+        self._connect()  # fail fast on a bad address/cert
+
+    def _connect(self) -> socket.socket:
+        sock = getattr(self._local, "sock", None)
+        if sock is not None:
+            return sock
+        sock = socket.create_connection((self._host, self._port),
+                                        timeout=self._timeout)
+        tls_ca, tls_cert, tls_key = self._tls
         if tls_ca:
             import ssl
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
             ctx.load_verify_locations(tls_ca)
             if tls_cert:
                 ctx.load_cert_chain(tls_cert, tls_key)
-            self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
+            sock = ctx.wrap_socket(sock, server_hostname=self._host)
+        self._local.sock = sock
+        with self._conns_lock:
+            self._conns.append(sock)
+        return sock
 
-    def predict(self, rows: List[str]) -> Dict:
-        protocol.send_frame(
-            self._sock, protocol.encode_request(
-                rows, self.model_name, auth_token=self.auth_token))
-        resp = protocol.decode_response(protocol.recv_frame(self._sock))
+    def _drop(self):
+        """A failed request leaves its socket mid-frame — discard it so
+        this thread's next call reconnects cleanly."""
+        sock = getattr(self._local, "sock", None)
+        if sock is not None:
+            self._local.sock = None
+            with self._conns_lock:
+                if sock in self._conns:
+                    self._conns.remove(sock)
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _roundtrip(self, payload: bytes) -> Dict:
+        sock = self._connect()
+        try:
+            protocol.send_frame(sock, payload)
+            resp = protocol.decode_response(protocol.recv_frame(sock))
+        except Exception:
+            self._drop()
+            raise
         if "error" in resp:
             raise RuntimeError(f"server error: {resp['error']}")
         return resp
+
+    def predict(self, rows: List[str]) -> Dict:
+        return self._roundtrip(protocol.encode_request(
+            rows, self.model_name, auth_token=self.auth_token))
 
     def status(self) -> Dict:
         """Served models + versions (TF-Serving GetModelStatus analog)."""
-        protocol.send_frame(self._sock,
-                            protocol.encode_status_request(self.auth_token))
-        resp = protocol.decode_response(protocol.recv_frame(self._sock))
-        if "error" in resp:
-            raise RuntimeError(f"server error: {resp['error']}")
-        return resp
+        return self._roundtrip(
+            protocol.encode_status_request(self.auth_token))
 
     def close(self):
-        self._sock.close()
+        with self._conns_lock:
+            conns, self._conns = self._conns, []
+        for sock in conns:
+            try:
+                sock.close()
+            except OSError:
+                pass
 
 
 # ------------------------------------------------------------- load testing

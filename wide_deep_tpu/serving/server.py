@@ -464,9 +464,14 @@ class PredictorServer:
         self._tcp_sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._tcp_sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._tcp_sock.bind(("0.0.0.0", self.tcp_port))
-        self._tcp_sock.listen(16)
+        self._tcp_sock.listen(64)
         self._tcp_sock.settimeout(0.5)
-        pool = futures.ThreadPoolExecutor(max_workers=self.workers)
+        # one thread per CONNECTION, not a bounded pool: _tcp_conn holds
+        # its worker for the connection's whole lifetime, so a pool of
+        # size N silently starves client N+1 (its requests time out with
+        # zero server-side signal — found by the serving-SLO harness, 9
+        # per-thread clients against the old 8-worker pool).  Device work
+        # stays bounded by the MicroBatcher regardless of fan-in.
         while not self._stop.is_set():
             try:
                 conn, _ = self._tcp_sock.accept()
@@ -474,8 +479,8 @@ class PredictorServer:
                 continue
             except OSError:
                 break
-            pool.submit(self._tcp_conn, conn)
-        pool.shutdown(wait=False)
+            threading.Thread(target=self._tcp_conn, args=(conn,),
+                             daemon=True).start()
 
     def _tcp_conn(self, conn: socket.socket):
         try:

@@ -206,6 +206,16 @@ class Trainer:
             sparse_paths=sparse_paths)
         self.pos_weight = self.train_conf.get("pos_sample_loss_weight")
         self.neg_weight = self.train_conf.get("neg_sample_loss_weight")
+        # step-cadenced eval (train.yaml[train] eval_every_n_steps): eval
+        # interleaved by STEP cadence rather than by file boundary — the
+        # capability the reference's train_and_eval_api mode reached for
+        # (reference python/train.py:151-170, broken there: it rebuilt the
+        # dataset per eval and silently disabled under distribution,
+        # train.py:213-214).  Synchronous SPMD makes it exact instead:
+        # every process runs the eval pass inline at the same step on the
+        # live params, so it works unchanged under jax.distributed.
+        self.eval_every_n_steps = int(
+            self.train_conf.get("eval_every_n_steps") or 0)
         self.transformer = default_transformer(
             self.plan, n_classes, self.pos_weight, self.neg_weight,
             num_parallel_calls=self.train_conf.get("num_parallel_calls"))
@@ -488,17 +498,20 @@ class Trainer:
             yield batch
 
     def _prewarm(self, batch) -> None:
-        """Compile the train step once via the explicit
-        trace/lower/compile chain before its first call.  On
-        remote-compile TPU tunnels the jit CALL path's internal compile
-        measured 270-520 s where this chain compiles the identical
-        program in 42-58 s, and the call after an explicit compile hits
-        the pjit cache for free (bench.py round-4 finding).  Elsewhere
-        it is the same compile either way.  Best-effort: on any failure
-        the first call compiles as usual."""
+        """Compile the train step via the explicit trace/lower/compile
+        chain before its first call — ONLY when the persistent compile
+        cache is active: the call path does not reuse the AOT executable
+        in-process (round-5 instrumented bench: AOT compile 54.2 s, then
+        the first jit call paid its own 218.9 s compile), so the chain
+        pays off exactly when its result lands in the on-disk cache for
+        the call path (and every later process) to hit.  Best-effort: on
+        any failure the first call compiles as usual."""
         if self._prewarmed:
             return
         self._prewarmed = True
+        from wide_deep_tpu.cache import persistent_cache_active
+        if not persistent_cache_active():
+            return
         try:
             t0 = time.time()
             self._train_step.trace(
@@ -538,6 +551,12 @@ class Trainer:
                 last_log_step, last_log_time = self.global_step, now
             if self._ckpt.should_save(self.global_step):
                 self._ckpt.save(self.global_step, self._ckpt_tree())
+            if (self.eval_every_n_steps
+                    and self.global_step % self.eval_every_n_steps == 0):
+                res = self.evaluate(self.train_conf["eval_data"])
+                log.info("step %d cadenced eval: %s", self.global_step,
+                         _fmt(res))
+                self._write_eval_summaries(res)
         log.info("finished %s in %.1f s (step %d)", os.path.basename(path),
                  time.time() - t0, self.global_step)
         return float(loss)
@@ -604,6 +623,18 @@ class Trainer:
                 w.histogram("/".join(keys), np.asarray(leaf),
                             self.global_step)
         w.flush()
+
+    def _write_eval_summaries(self, results: Dict[str, float]):
+        """Eval metrics under an eval/ tag prefix (the estimator's eval
+        summary dir analog) at the step-cadenced eval points."""
+        if self._summary_writer is None:
+            from wide_deep_tpu.training.summary import SummaryWriter
+            self._summary_writer = SummaryWriter(
+                os.path.join(self.model_dir, "summaries"))
+        scalars = {f"eval/{k}": float(v) for k, v in results.items()
+                   if k != "global_step"}
+        self._summary_writer.scalars(scalars, self.global_step)
+        self._summary_writer.flush()
 
     def _restore_pinned(self, checkpoint_path: str):
         """Restore the exact checkpoint an explicit path names (eval.py:74-78,
