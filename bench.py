@@ -346,6 +346,19 @@ def bench_end_to_end(prog, n_chips):
                                                    plan_sharded=plan_sharded))
                 for k, v in b.items()}
 
+    # host->device transfer attribution: on remote-device tunnels the
+    # per-batch copy dominates e2e (a rig artifact — a real TPU host's
+    # PCIe moves the ~25 MB batch in ~3 ms); measure it in isolation so
+    # the JSON attributes the loader/transfer/step split explicitly
+    probe = next(iter(fresh_dataset()))
+    mb = sum(v.nbytes for v in probe.values()) / 1e6
+    t0 = time.time()
+    jax.block_until_ready(to_device(probe))
+    out["transfer_ms_per_batch"] = round((time.time() - t0) * 1e3, 1)
+    out["batch_mbytes"] = round(mb, 1)
+    log(f"e2e: device transfer {out['transfer_ms_per_batch']} ms per "
+        f"{mb:.0f} MB batch")
+
     it = iter(PrefetchIterator(fresh_dataset()))
     step_i = 1000
     for _ in range(warm_batches):  # device_put path + queue warm

@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # Perf gate: run the benchmark with a profiler capture, then fail if any
 # per-op bucket regressed vs the committed perf_budget.json
-# (tools/perf_regression.py; tolerance 15% + 0.2 ms jitter floor).
+# (tools/perf_regression.py; tolerance 8% + 0.2 ms jitter floor).
 #
 #   scripts/bench_check.sh                  # check against the budget
 #   scripts/bench_check.sh --tolerance 0.2  # looser gate

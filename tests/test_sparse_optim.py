@@ -301,6 +301,72 @@ class TestCompactPath:
                                        rtol=2e-3, atol=1e-5)
 
 
+class TestDeferredFused:
+    def test_deferred_losses_match_immediate(self, small_config,
+                                             small_plan_nofold,
+                                             fixture_rows, monkeypatch):
+        """defer_sparse pipelines the fused update one step: step i's
+        forward sees the table updated through step i-1 — exactly what
+        the immediate path's forward sees — so the LOSS trajectories must
+        agree to float noise; only the between-step param view lags (the
+        pending, flushed before eval/checkpoint)."""
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        from wide_deep_tpu.models.joint import build_model
+        from wide_deep_tpu.optim import build_joint_optimizer
+        import wide_deep_tpu.optim.sparse as sparse_lib
+        from wide_deep_tpu.training.step import (init_opt_state,
+                                                 make_train_step)
+
+        monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
+        monkeypatch.setattr(sparse_lib, "SPARSE_ID_FACTOR", 0)
+        plan = FeaturePlan(small_config, fold=False, sparse_opt=True)
+        model = build_model(small_config, plan=plan, model_type="wide_deep")
+        batch = {k: jnp.asarray(v) for k, v in FeatureTransformer(
+            plan).transform(fixture_rows, 16).items()}
+        params0, mstate0 = model.init(jax.random.PRNGKey(0), dict(batch))
+        sparse_tables, paths = sparse_lib.plan_sparse_tables(
+            plan, small_config.model, 100.0, 16)
+        assert sparse_tables
+        params0 = sparse_lib.init_fused_params(params0, sparse_tables)
+        tx = build_joint_optimizer(small_config.model, 100.0,
+                                   {"linear": True, "dnn": True},
+                                   sparse_paths=paths)
+
+        def run(defer):
+            step = make_train_step(model, tx, donate=False,
+                                   sparse_tables=sparse_tables,
+                                   defer_sparse=defer)
+            params = jax.tree.map(jnp.copy, params0)
+            mstate = jax.tree.map(jnp.copy, mstate0)
+            opt_state = init_opt_state(tx, params, sparse_tables)
+            if defer:
+                opt_state["sparse_pending"] = {
+                    name: {"rg": jnp.zeros(
+                               (np.asarray(batch[t.ids_key]).size, t.dim),
+                               t.sink_dtype),
+                           **{k: batch[f"sopt_{k}_{t.path[-1]}"]
+                              for k in ("uids", "ids", "perm", "tiles")}}
+                    for name, t in sparse_tables.items()}
+                # the seeded zero-grad apply is a weight no-op but ticks
+                # the lr-schedule count; start at -1 so the apply of step
+                # k's grads always runs at count k, matching immediate
+                for name in sparse_tables:
+                    opt_state["sparse"][name]["count"] = jnp.asarray(
+                        -1, jnp.int32)
+            losses = []
+            for i in range(4):
+                params, mstate, opt_state, loss = step(
+                    params, mstate, opt_state, batch,
+                    jax.random.PRNGKey(7), i)
+                losses.append(float(loss))
+            return losses
+
+        immediate = run(False)
+        deferred = run(True)
+        np.testing.assert_allclose(immediate, deferred, rtol=5e-4)
+
+
 class TestShardedFused:
     def test_sharded_fused_matches_single_device(self, small_config,
                                                  fixture_rows, monkeypatch):

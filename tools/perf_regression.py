@@ -14,7 +14,7 @@ profile and compares it against a committed budget:
         --steps 3 --out perf_budget.json
     # 3. in CI / before shipping a perf-sensitive change
     python tools/perf_regression.py check --profile_dir /tmp/prof \
-        --steps 3 --budget perf_budget.json --tolerance 0.15
+        --steps 3 --budget perf_budget.json --tolerance 0.08
 
 ``check`` exits non-zero when any bucket (or the total) exceeds budget by
 more than the tolerance, printing one JSON verdict line.  Buckets rather
@@ -118,7 +118,7 @@ def main():
                    help="capture: budget file to write")
     p.add_argument("--budget", default="perf_budget.json",
                    help="check: committed budget to compare against")
-    p.add_argument("--tolerance", type=float, default=0.15,
+    p.add_argument("--tolerance", type=float, default=0.08,
                    help="relative regression tolerance per bucket")
     p.add_argument("--line_filter", default="XLA Ops",
                    help="XLine name filter (the op-level device line); "

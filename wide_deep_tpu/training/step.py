@@ -26,7 +26,7 @@ from wide_deep_tpu.models.joint import WideDeep
 def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
                     donate: bool = True, with_summaries: bool = False,
                     sparse_tables: Optional[Dict[str, Any]] = None,
-                    mesh=None):
+                    mesh=None, defer_sparse: bool = False):
     """Returns jit'd step: (params, mstate, opt_state, batch, rng, step)
     -> (params, mstate, opt_state, loss[, stats]).
 
@@ -40,11 +40,40 @@ def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
     by the batch ids (reference SparseApplyAdagrad/Ftrl semantics,
     joint.py:224-262).  The opt_state then has the shape
     ``{"dense": <optax state>, "sparse": {name: slots}}`` (init with
-    ``init_opt_state``)."""
+    ``init_opt_state``).
+
+    ``defer_sparse``: pipeline the fused sparse-table update one step —
+    the step applies the PREVIOUS call's pending (row grads + compact
+    plan), stored under opt_state["sparse_pending"], at its start (where
+    the update's gather/kernel/row-DMA chain overlaps the other tables'
+    independent forward gathers instead of serializing after backward)
+    and stashes this call's instead of applying it.  Identical math one
+    step late; callers must FLUSH the pending before eval/checkpoint
+    (``flush_pending``).  Only the single-shard fused compact path
+    supports it."""
     sparse_tables = sparse_tables or {}
 
     def step(params, mstate, opt_state, batch, rng, step_idx):
         rng = jax.random.fold_in(rng, step_idx)
+        if defer_sparse:
+            # apply LAST step's pending fused updates first: the chain
+            # depends only on (pending, its table), so its DMA overlaps
+            # the other tables' forward gathers issued right after
+            from wide_deep_tpu.optim import sparse as sparse_lib
+            sp_state = dict(opt_state["sparse"])
+            pending = opt_state["sparse_pending"]
+            interpret = jax.default_backend() == "cpu"
+            for name, table in sparse_tables.items():
+                assert table.fused, (
+                    f"{name}: defer_sparse supports fused tables only")
+                p = pending[name]
+                param = sparse_lib.tree_get(params, table.path)
+                param, sp_state[name] = sparse_lib.apply_fused_update(
+                    table, param, p["rg"],
+                    {k: p[k] for k in ("uids", "ids", "perm", "tiles")},
+                    sp_state[name], interpret=interpret)
+                params = sparse_lib.tree_set(params, table.path, param)
+            opt_state = dict(opt_state, sparse=sp_state)
         # compact sparse tables: tables whose batch carries a dedup plan
         # (sopt_*, ops/scatter.make_compact_plan).  A zeros '_sparse_rows'
         # sink rides the param tree so value_and_grad yields the COMPACT
@@ -80,7 +109,34 @@ def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
             sink_grads = grads["dnn"]["_sparse_rows"]
             grads = dict(grads, dnn={k: v for k, v in grads["dnn"].items()
                                      if k != "_sparse_rows"})
-        if sparse_tables:
+        if defer_sparse:
+            # stash this step's compact grads + plan as the NEXT call's
+            # pending instead of applying them now
+            from wide_deep_tpu.optim import sparse as sparse_lib
+            updates, dense_state = tx.update(grads, opt_state["dense"],
+                                             params)
+            params = optax.apply_updates(params, updates)
+            new_pending = {}
+            for name, table in sparse_tables.items():
+                assert name in compact, (
+                    f"{name}: defer_sparse requires the compact plan "
+                    f"(sopt_*) in every batch")
+                dim_key = table.path[-1]
+                assert f"sopt_ok_{dim_key}" not in batch, (
+                    f"{name}: defer_sparse does not support per-shard "
+                    f"plans")
+                rg = sink_grads[dim_key]
+                # copies, not batch aliases: the stash is donated on the
+                # NEXT call, and an output aliased to an undonated input
+                # would delete the caller's (possibly reused) batch array
+                new_pending[name] = {
+                    "rg": rg.reshape(-1, rg.shape[-1]),
+                    **{k: jnp.copy(batch[f"sopt_{k}_{dim_key}"])
+                       for k in ("uids", "ids", "perm", "tiles")}}
+            opt_state = {"dense": dense_state,
+                         "sparse": opt_state["sparse"],
+                         "sparse_pending": new_pending}
+        elif sparse_tables:
             from wide_deep_tpu.optim import sparse as sparse_lib
             updates, dense_state = tx.update(grads, opt_state["dense"],
                                              params)
