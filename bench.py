@@ -7,9 +7,14 @@ config (12.7M-row wide space, fused embedding groups incl. the 10M-row dim-32
 table) at the reference's recommended batch size 25600
 (reference conf/train.yaml:21).
 
-Input batches are synthetic (pre-packed id tensors with realistic multivalue
-occupancy) so the metric isolates device throughput; the host data pipeline
-is benchmarked separately (tests/bench notes).
+The headline metric isolates DEVICE throughput (synthetic pre-packed id
+tensors with realistic multivalue occupancy).  A second stage then measures
+the WHOLE pipeline the reference's input_fn->train unit implied
+(reference python/lib/dataset.py:167-195): freshly generated TSV rows
+through the native C++ loader, host->device transfer, and the train step,
+all three stages overlapped — reported as `end_to_end_examples_per_sec`
+with the loader rate, thread-scaling curve, per-batch transfer time, and
+producer-wait/dispatch split alongside so any gap is attributable.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).  We
 use 5,000 examples/s as the per-host baseline estimate for the reference's
@@ -282,31 +287,42 @@ def bench_end_to_end(prog, n_chips):
     warm_batches = 2
     measure_batches = int(os.environ.get("BENCH_E2E_BATCHES", 24))
 
-    # Replicate the bundled 2000-row sample into a TSV big enough to feed
-    # every measured batch fresh rows (parse cost is content-independent;
-    # generating 700k+ unique synthetic rows in Python would take longer
-    # than the measurement).
-    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "data", "train", "train1")
-    with open(src, "rb") as f:
-        text = f.read()
-    if not text.endswith(b"\n"):
-        text += b"\n"
-    rows_per_copy = text.count(b"\n")
+    # DIVERSE synthetic rows (wide_deep_tpu.testing.generate_ctr_tsv, the
+    # quality-matrix generator): an early version replicated the bundled
+    # 2000-row sample ~350x, and that degenerate id distribution (each id
+    # repeated ~350x per batch) tripped the scatter kernels' data-
+    # dependent fallback branches — the "e2e" steps silently measured the
+    # serial-scatter fallback (~430 ms/step) instead of the production
+    # kernel path.  Generation is ~40 s once; the file is cached by size.
     need_rows = (measure_batches + warm_batches + 2) * B
-    copies = need_rows // rows_per_copy + 1
-    path = os.environ.get("BENCH_E2E_FILE", "/tmp/wdt_e2e_train.tsv")
-    if (not os.path.exists(path)
-            or os.path.getsize(path) != copies * len(text)):
-        with open(path, "wb") as f:
-            for _ in range(copies):
-                f.write(text)
-    log(f"e2e: {copies * rows_per_copy} rows in {path} "
-        f"({copies * len(text) / 1e6:.0f} MB)")
+    path = os.environ.get("BENCH_E2E_FILE",
+                          f"/tmp/wdt_e2e_train_{need_rows}.tsv")
+    marker = path + ".rows"
+    if not (os.path.exists(path) and os.path.exists(marker)
+            and open(marker).read().strip() == str(need_rows)):
+        from wide_deep_tpu.testing import generate_ctr_tsv
+        t0 = time.time()
+        # hash_spread=None: per-feature vocab-proportional id diversity —
+        # a collapsed id set overflows the window plans and measures the
+        # fallback branch instead of the kernel path
+        generate_ctr_tsv(prog.config, path, need_rows, seed=11,
+                         pos_rate=0.08, hash_spread=None)
+        with open(marker, "w") as f:
+            f.write(str(need_rows))
+        log(f"e2e: generated {need_rows} rows in {time.time()-t0:.0f}s")
+    log(f"e2e: {need_rows} rows in {path} "
+        f"({os.path.getsize(path) / 1e6:.0f} MB)")
 
     out = {}
     # loader-only rate + thread scaling (one 25600-row batch per point)
-    one = text * (B // rows_per_copy + 1)
+    with open(path, "rb") as f:
+        head = []
+        for _ in range(B):
+            line = f.readline()
+            if not line:
+                break
+            head.append(line)
+    one = b"".join(head)
     curve = {}
     for nt_threads in (1, 2, 4):
         nt = NativeTransformer(plan, n_threads=nt_threads)
@@ -341,10 +357,12 @@ def bench_end_to_end(prog, n_chips):
     plan_sharded = plan.scatter_shards > 1
 
     def to_device(b):
-        return {k: jax.device_put(
-                    v, mesh_lib.batch_key_sharding(mesh, k, v,
-                                                   plan_sharded=plan_sharded))
-                for k, v in b.items()}
+        # one pytree device_put: per-key dispatch latency dominated the
+        # batch copy (~90 keys; measured 3.3x slower than a single call)
+        shardings = {k: mesh_lib.batch_key_sharding(
+                        mesh, k, v, plan_sharded=plan_sharded)
+                     for k, v in b.items()}
+        return jax.device_put(b, shardings)
 
     # host->device transfer attribution: on remote-device tunnels the
     # per-batch copy dominates e2e (a rig artifact — a real TPU host's
@@ -354,25 +372,51 @@ def bench_end_to_end(prog, n_chips):
     mb = sum(v.nbytes for v in probe.values()) / 1e6
     t0 = time.time()
     jax.block_until_ready(to_device(probe))
-    out["transfer_ms_per_batch"] = round((time.time() - t0) * 1e3, 1)
+    out["transfer_first_ms"] = round((time.time() - t0) * 1e3, 1)
+    # the first put of each shape pays a one-time per-shape setup through
+    # the tunnel (measured 883 ms cold vs 32 ms repeat); the STEADY rate
+    # is what bounds e2e
+    t0 = time.time()
+    for _ in range(3):
+        jax.block_until_ready(to_device(probe))
+    out["transfer_steady_ms_per_batch"] = round(
+        (time.time() - t0) / 3 * 1e3, 1)
     out["batch_mbytes"] = round(mb, 1)
-    log(f"e2e: device transfer {out['transfer_ms_per_batch']} ms per "
+    log(f"e2e: device transfer first {out['transfer_first_ms']} ms, "
+        f"steady {out['transfer_steady_ms_per_batch']} ms per "
         f"{mb:.0f} MB batch")
 
-    it = iter(PrefetchIterator(fresh_dataset()))
+    # three overlapped stages: parse (PrefetchIterator inside the
+    # dataset consumer) -> device transfer (DevicePrefetchIterator
+    # background thread) -> device step.  Sustained rate = the slowest
+    # stage, not the sum (the transfer is the bottleneck on this rig).
+    from wide_deep_tpu.features.pipeline import DevicePrefetchIterator
+    it = iter(DevicePrefetchIterator(PrefetchIterator(fresh_dataset()),
+                                     to_device))
     step_i = 1000
     for _ in range(warm_batches):  # device_put path + queue warm
         params, mstate, opt_state, loss = prog.step(
-            params, mstate, opt_state, to_device(next(it)), key, step_i)
+            params, mstate, opt_state, next(it), key, step_i)
         step_i += 1
     jax.block_until_ready(loss)
     t0 = time.time()
+    wait_s = dispatch_s = 0.0
     for _ in range(measure_batches):
+        tq = time.time()
+        b = next(it)            # blocks on the slower of parse/transfer
+        td = time.time()
         params, mstate, opt_state, loss = prog.step(
-            params, mstate, opt_state, to_device(next(it)), key, step_i)
+            params, mstate, opt_state, b, key, step_i)
+        wait_s += td - tq
+        dispatch_s += time.time() - td
         step_i += 1
     jax.block_until_ready(loss)
     dt = time.time() - t0
+    out["e2e_wait_ms_per_step"] = round(wait_s / measure_batches * 1e3, 1)
+    out["e2e_dispatch_ms_per_step"] = round(
+        dispatch_s / measure_batches * 1e3, 1)
+    log(f"e2e: per step — producer wait {out['e2e_wait_ms_per_step']} ms, "
+        f"step dispatch {out['e2e_dispatch_ms_per_step']} ms")
     e2e_rate = measure_batches * B / dt
     assert np.isfinite(float(loss)), float(loss)
     out["end_to_end_examples_per_sec"] = round(e2e_rate, 1)
@@ -406,11 +450,12 @@ def main():
                                       prog.opt_sh))(prog.rng0)
     log(f"init in {time.time()-t0:.1f}s")
     # per-key shardings: per-table-shard plan arrays place one plan row on
-    # each device; everything else batch-shards over 'data'
-    dbatch = {k: jax.device_put(
-                  v, mesh_lib.batch_key_sharding(
-                      mesh, k, v, plan_sharded=plan.scatter_shards > 1))
-              for k, v in batch.items()}
+    # each device; everything else batch-shards over 'data'.  One pytree
+    # device_put (per-key dispatch latency dominates ~90-key batches)
+    dbatch = jax.device_put(
+        batch, {k: mesh_lib.batch_key_sharding(
+                    mesh, k, v, plan_sharded=plan.scatter_shards > 1)
+                for k, v in batch.items()})
     key = jax.random.PRNGKey(0)
 
     # BENCH_PHASE_TIMERS=1: DIAGNOSTIC mode — split the warmup into

@@ -333,3 +333,96 @@ class TestHadoopFs:
         stream = hfs.open_bytes("fakehdfs://nn/datadir/part-0")
         assert stream.read() == b"r1\nr2\n"
         stream.close()
+
+
+class TestDevicePrefetch:
+    def test_order_and_mapping(self):
+        from wide_deep_tpu.features.pipeline import DevicePrefetchIterator
+        got = list(DevicePrefetchIterator(range(50), lambda x: x * 2))
+        assert got == [x * 2 for x in range(50)]
+
+    def test_error_propagates(self):
+        from wide_deep_tpu.features.pipeline import DevicePrefetchIterator
+
+        def gen():
+            yield 1
+            raise RuntimeError("loader died")
+
+        it = iter(DevicePrefetchIterator(gen(), lambda x: x + 1))
+        assert next(it) == 2
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="loader died"):
+            while True:
+                next(it)
+
+    def test_transfer_fn_error_propagates(self):
+        from wide_deep_tpu.features.pipeline import DevicePrefetchIterator
+
+        def bad(x):
+            raise ValueError("device gone")
+
+        with pytest.raises(ValueError, match="device gone"):
+            list(DevicePrefetchIterator([1, 2], bad))
+
+
+class TestFastNativePath:
+    """CsvDataset._iter_native_fast: same batches as the streaming path
+    modulo shuffle order; deterministic in (seed, epoch); sharding
+    equivalent."""
+
+    def test_eval_order_matches_streaming(self, plan):
+        from wide_deep_tpu.features.native import NativeTransformer
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        if not NativeTransformer.available():
+            pytest.skip("native lib not built")
+        from paths import UNIT_FIXTURE
+        fast = CsvDataset(plan, UNIT_FIXTURE, "eval", 4)
+        assert fast._fast_path_ok()
+        slow = CsvDataset(plan, UNIT_FIXTURE, "eval", 4)
+        slow.FAST_SLURP_MAX_BYTES = 0  # force the streaming path
+        assert not slow._fast_path_ok()
+        a, b = list(fast), list(slow)
+        assert len(a) == len(b)
+        for ba, bb in zip(a, b):
+            assert set(ba) == set(bb)
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+    def test_train_shuffle_deterministic_and_complete(self, plan):
+        from wide_deep_tpu.features.native import NativeTransformer
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        if not NativeTransformer.available():
+            pytest.skip("native lib not built")
+        from paths import UNIT_FIXTURE
+
+        def epochs(seed):
+            ds = CsvDataset(plan, UNIT_FIXTURE, "train", 4, seed=seed)
+            return [list(ds), list(ds)]  # two epochs
+
+        e0a, e0b = epochs(5)
+        e1a, e1b = epochs(5)
+        # deterministic in (seed, epoch)
+        for x, y in zip(e0a + e0b, e1a + e1b):
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k], err_msg=k)
+        # epochs differ (epoch-seeded shuffle) but cover the same rows
+        assert any((e0a[i]["label"] != e0b[i]["label"]).any()
+                   or (e0a[i]["wide_ids"] != e0b[i]["wide_ids"]).any()
+                   for i in range(len(e0a)))
+        assert sum(int(b["mask"].sum()) for b in e0a) == 10
+
+    def test_buffer_shuffle_covers_all_rows(self, plan):
+        """shuffle_buffer < n rows takes the streaming-buffer order
+        branch; every row must still appear exactly once."""
+        from wide_deep_tpu.features.native import NativeTransformer
+        from wide_deep_tpu.features.pipeline import CsvDataset
+        if not NativeTransformer.available():
+            pytest.skip("native lib not built")
+        from paths import TRAIN1
+        ds = CsvDataset(plan, TRAIN1, "train", 50, seed=3,
+                        shuffle_buffer=64, drop_remainder=False)
+        assert ds._fast_path_ok()
+        total = sum(int(b["mask"].sum()) for b in ds)
+        with open(TRAIN1) as f:
+            n_rows = sum(1 for l in f if l.strip())
+        assert total == n_rows

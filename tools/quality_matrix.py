@@ -36,77 +36,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def generate(conf_dir: str, path: str, n: int, seed: int, pos_rate: float,
              n_classes: int = 2) -> float:
-    """Vectorized schema-conformant TSV generator with the same planted
-    signal family as tools/generate_sample_data.py (hour/site/age/ugender
-    drive the label), base-rate shifted to ``pos_rate``.  Returns the
-    achieved positive rate (binary) or class balance entropy (multiclass).
-    """
+    """Vectorized schema-conformant TSV generator (planted signal,
+    base-rate shifted to ``pos_rate``) — shared implementation in
+    wide_deep_tpu.testing.generate_ctr_tsv."""
     from wide_deep_tpu.config import Config
-    config = Config(conf_dir)
-    schema = config.schema_columns()
-    feature_conf = config.read_feature_conf()
-    rng = np.random.default_rng(seed)
-
-    cols = {}
-    for name in schema[1:]:
-        conf = feature_conf.get(name)
-        if conf is None:
-            pool = np.array([f"x{i}" for i in range(1000)])
-            cols[name] = pool[rng.integers(0, len(pool), n)]
-        elif conf["type"] == "continuous":
-            a, b = conf["parameter"].get("normalization", [0, 1])
-            vals = rng.uniform(a, b, n)
-            s = np.char.mod("%.4f", vals)
-            miss = rng.random(n) < 0.03
-            s[miss] = "-"
-            cols[name] = s
-        elif conf["transform"] == "vocab":
-            pool = np.array([str(v) for v in conf["parameter"]])
-            cols[name] = pool[rng.integers(0, len(pool), n)]
-        elif conf["transform"] == "identity":
-            cols[name] = np.char.mod("%d", rng.integers(
-                0, conf["parameter"], n))
-        else:  # hash_bucket: skewed ids like real logs
-            ids = rng.zipf(1.3, n) % 5000
-            cols[name] = np.char.add(name[:2], np.char.mod("%d", ids))
-
-    # planted signal (generate_sample_data.py's formula, re-centered)
-    score = np.zeros(n)
-    hour = cols["hour"].astype(int)
-    score += np.where((hour >= 18) & (hour <= 23), 1.8, 0.0)
-    score += np.where(np.isin(cols["site"], ["1", "2"]), 1.5, 0.0)
-    age = np.where(cols["age"] == "-", "999", cols["age"]).astype(float)
-    score += np.where(age < 30, 1.2, 0.0)
-    score += np.where(cols["ugender"] == "male", 1.0, 0.0)
-    # shift the base so the MEAN sigmoid hits pos_rate
-    lo, hi = -20.0, 20.0
-    for _ in range(60):
-        mid = (lo + hi) / 2
-        if float(np.mean(1 / (1 + np.exp(-(score + mid))))) > pos_rate:
-            hi = mid
-        else:
-            lo = mid
-    p = 1 / (1 + np.exp(-(score + (lo + hi) / 2)))
-    if n_classes == 2:
-        label = (rng.random(n) < p).astype(int)
-        achieved = float(label.mean())
-    else:
-        # multiclass: tercile-of-propensity plus noise -> 3 ordered classes
-        noisy = p + rng.normal(0, 0.05, n)
-        edges = np.quantile(noisy, [1 / 3, 2 / 3])
-        label = np.digitize(noisy, edges)
-        achieved = float(np.mean(label == 1))
-    labels = np.char.mod("%d", label)
-
+    from wide_deep_tpu.testing import generate_ctr_tsv
     t0 = time.time()
-    with open(path, "w") as f:
-        mat = [labels] + [cols[c] for c in schema[1:]]
-        # row-wise join in manageable chunks (1M x 61 strings)
-        chunk = 100_000
-        for s in range(0, n, chunk):
-            block = ["\t".join(vals) for vals in
-                     zip(*(m[s:s + chunk] for m in mat))]
-            f.write("\n".join(block) + "\n")
+    achieved = generate_ctr_tsv(Config(conf_dir), path, n, seed,
+                                pos_rate, n_classes)
     print(f"  wrote {n} rows -> {path} ({time.time()-t0:.0f}s, "
           f"pos/mid rate {achieved:.3f})", flush=True)
     return achieved

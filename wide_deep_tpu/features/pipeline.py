@@ -582,6 +582,30 @@ class PrefetchIterator:
         return item
 
 
+class DevicePrefetchIterator:
+    """Pipeline host->device transfers behind device compute.
+
+    ``PrefetchIterator`` overlaps the PARSE with the step, but the
+    ``device_put`` of each ~25 MB production batch still ran inline in
+    the train loop — on remote-device tunnels that copy is the largest
+    e2e stage (~380 ms/batch, bench.py round 5) and it serialized with
+    everything else.  This wrapper runs ``to_device`` in a background
+    thread up to ``depth`` batches ahead, so sustained e2e throughput
+    becomes max(parse, transfer, step) instead of their sum.  JAX
+    dispatch is thread-safe; transfers enqueue on the device stream and
+    complete before the step that consumes them."""
+
+    def __init__(self, iterable, to_device, depth: int = 2):
+        self._inner = PrefetchIterator(
+            (to_device(b) for b in iterable), depth=depth)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._inner)
+
+
 def input_fn(csv_data_file: str, img_data_file: Optional[str], mode: str,
              batch_size: int, plan: Optional[FeaturePlan] = None,
              **kwargs) -> CsvDataset:

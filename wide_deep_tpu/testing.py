@@ -62,3 +62,84 @@ def small_config(dst_dir: str | None = None, **kwargs):
     if dst_dir is None:
         dst_dir = tempfile.mkdtemp(prefix="wdt_conf_")
     return Config(write_small_conf(dst_dir, **kwargs))
+
+
+def generate_ctr_tsv(config, path: str, n: int, seed: int,
+                     pos_rate: float = 0.08, n_classes: int = 2,
+                     hash_spread: int | None = 5000) -> float:
+    """Vectorized schema-conformant TSV generator (planted
+    hour/site/age/gender signal re-centered to ``pos_rate``, zipf-skewed
+    hash ids, 3% missing markers).  Shared by tools/quality_matrix.py and
+    bench.py's end-to-end stage — the e2e benchmark needs DIVERSE rows:
+    replicating the 2000-row sample 350x produced a degenerate id
+    distribution whose batches tripped the scatter kernels' data-dependent
+    fallback branches, measuring the fallback instead of the production
+    path.  Returns the achieved positive rate (binary) / mid-class share
+    (multiclass)."""
+    import numpy as np
+    schema = config.schema_columns()
+    feature_conf = config.read_feature_conf()
+    rng = np.random.default_rng(seed)
+
+    cols = {}
+    for name in schema[1:]:
+        conf = feature_conf.get(name)
+        if conf is None:
+            pool = np.array([f"x{i}" for i in range(1000)])
+            cols[name] = pool[rng.integers(0, len(pool), n)]
+        elif conf["type"] == "continuous":
+            a, b = conf["parameter"].get("normalization", [0, 1])
+            s = np.char.mod("%.4f", rng.uniform(a, b, n))
+            s[rng.random(n) < 0.03] = "-"
+            cols[name] = s
+        elif conf["transform"] == "vocab":
+            pool = np.array([str(v) for v in conf["parameter"]])
+            cols[name] = pool[rng.integers(0, len(pool), n)]
+        elif conf["transform"] == "identity":
+            cols[name] = np.char.mod("%d", rng.integers(
+                0, conf["parameter"], n))
+        else:  # hash_bucket: skewed ids like real logs
+            # hash_spread: distinct-value cap per feature.  5000 (default)
+            # gives learnable repetition for quality runs; None spreads
+            # proportionally to the feature's hash space — REQUIRED for
+            # kernel-path benchmarks, where an artificially collapsed id
+            # set overflows the window plans' per-window entry caps and
+            # flips the device onto the serial-scatter fallback branch
+            # (bench.py e2e, round 5)
+            spread = hash_spread or max(
+                1000, min(int(conf["parameter"]), 1_000_000))
+            ids = rng.zipf(1.3, n) % spread
+            cols[name] = np.char.add(name[:2], np.char.mod("%d", ids))
+
+    score = np.zeros(n)
+    hour = cols["hour"].astype(int)
+    score += np.where((hour >= 18) & (hour <= 23), 1.8, 0.0)
+    score += np.where(np.isin(cols["site"], ["1", "2"]), 1.5, 0.0)
+    age = np.where(cols["age"] == "-", "999", cols["age"]).astype(float)
+    score += np.where(age < 30, 1.2, 0.0)
+    score += np.where(cols["ugender"] == "male", 1.0, 0.0)
+    lo, hi = -20.0, 20.0
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        if float(np.mean(1 / (1 + np.exp(-(score + mid))))) > pos_rate:
+            hi = mid
+        else:
+            lo = mid
+    p = 1 / (1 + np.exp(-(score + (lo + hi) / 2)))
+    if n_classes == 2:
+        label = (rng.random(n) < p).astype(int)
+        achieved = float(label.mean())
+    else:
+        noisy = p + rng.normal(0, 0.05, n)
+        label = np.digitize(noisy, np.quantile(noisy, [1 / 3, 2 / 3]))
+        achieved = float(np.mean(label == 1))
+    labels = np.char.mod("%d", label)
+
+    with open(path, "w") as f:
+        mat = [labels] + [cols[c] for c in schema[1:]]
+        chunk = 100_000
+        for s in range(0, n, chunk):
+            block = ["\t".join(vals) for vals in
+                     zip(*(m[s:s + chunk] for m in mat))]
+            f.write("\n".join(block) + "\n")
+    return achieved

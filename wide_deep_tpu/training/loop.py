@@ -28,7 +28,9 @@ import numpy as np
 
 from wide_deep_tpu import metrics as metrics_lib
 from wide_deep_tpu.config import Config
-from wide_deep_tpu.features.pipeline import (CsvDataset, PrefetchIterator,
+from wide_deep_tpu.features.pipeline import (CsvDataset,
+                                             DevicePrefetchIterator,
+                                             PrefetchIterator,
                                              default_transformer, list_files)
 from wide_deep_tpu.features.plan import FeaturePlan
 from wide_deep_tpu.models.joint import WideDeep, build_model
@@ -451,9 +453,13 @@ class Trainer:
                         mesh_lib.batch_key_sharding(
                             self.mesh, k, v, plan_sharded=plan_sharded), v)
                     for k, v in batch.items()}
-        return {k: jax.device_put(
-                    v, mesh_lib.batch_key_sharding(self.mesh, k, v))
-                for k, v in batch.items()}
+        # ONE device_put over the whole pytree, not one per key: each
+        # dispatch pays a fixed per-transfer latency that dominates for
+        # ~90-key batches (measured on the remote-device tunnel: 86 keys
+        # per-key 143 ms vs one pytree call 43 ms for the same bytes)
+        shardings = {k: mesh_lib.batch_key_sharding(self.mesh, k, v)
+                     for k, v in batch.items()}
+        return jax.device_put(batch, shardings)
 
     @property
     def per_host_batch(self) -> int:
@@ -530,9 +536,20 @@ class Trainer:
         last_log_step, last_log_time = self.global_step, t0
         loss = float("nan")
         summary_every = int(self.runconfig.get("save_summary_steps") or 0)
-        for batch in self._synced_batches(
-                self._dataset(path, "train", epoch_seed)):
-            batch = self._to_device(batch)
+        source = self._synced_batches(self._dataset(path, "train",
+                                                    epoch_seed))
+        on_device = jax.process_count() == 1
+        if on_device:
+            # single-process: run the host->device copy in a background
+            # thread too (parse | transfer | step all overlap; the copy
+            # was the largest serialized stage on remote-device rigs —
+            # pipeline.DevicePrefetchIterator).  Multi-process keeps the
+            # inline path: _to_device there assembles global arrays with
+            # collective participation that must stay in lockstep.
+            source = DevicePrefetchIterator(source, self._to_device)
+        for batch in source:
+            if not on_device:
+                batch = self._to_device(batch)
             self._prewarm(batch)
             (self.params, self.mstate, self.opt_state, loss,
              stats) = self._train_step(
