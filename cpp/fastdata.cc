@@ -435,18 +435,41 @@ struct View {
 
 inline double to_double(const View& v) {
   if (v.n == 0 || (v.n == 1 && v.p[0] == '-')) return 0.0;
+  // cells longer than the buffer are junk by contract (both paths; the
+  // Python side rejects >63-char numerics identically) — truncating
+  // would silently parse a different number than Python
+  if (v.n >= 64) return 0.0;
   char buf[64];
-  size_t n = std::min(v.n, sizeof(buf) - 1);
+  size_t n = v.n;
   std::memcpy(buf, v.p, n);
   buf[n] = 0;
+  // match Python float() semantics exactly (fuzz-parity contract,
+  // tests/test_fuzz_native.py): surrounding whitespace allowed, the
+  // WHOLE remainder must parse (strtod's prefix parse would accept
+  // "1 2" or "5.5.5"), and hex forms are junk ("0x1f" is 31 to strtod,
+  // ValueError to Python)
+  size_t b = 0, e = n;
+  while (b < e && std::isspace(static_cast<unsigned char>(buf[b]))) b++;
+  while (e > b && std::isspace(static_cast<unsigned char>(buf[e - 1]))) e--;
+  if (b == e) return 0.0;
+  for (size_t i = b; i < e; i++)
+    if (buf[i] == 'x' || buf[i] == 'X') return 0.0;
+  buf[e] = 0;
   char* endp = nullptr;
-  double d = std::strtod(buf, &endp);
-  if (endp == buf) return 0.0;
+  double d = std::strtod(buf + b, &endp);
+  if (endp != buf + e) return 0.0;
+  // junk tolerance: inf/nan ("1e309", "nan") map to the 0 default like
+  // the Python path (pipeline._to_float) — an inf continuous feature
+  // otherwise NaNs the loss steps later with no pointer to the bad row
+  if (!std::isfinite(d)) return 0.0;
   return d;
 }
 
 inline int64_t to_int(const View& v) {
   double d = to_double(v);
+  // beyond-int64 magnitudes -> 0 (static_cast of such doubles is UB);
+  // mirrors pipeline._to_int, pinned by tests/test_fuzz_native.py
+  if (d > 4.611686018427388e18 || d < -4.611686018427388e18) return 0;
   return static_cast<int64_t>(d);
 }
 

@@ -12,6 +12,6 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 prof=$(mktemp -d /tmp/wdt_prof.XXXXXX)
 trap 'rm -rf "$prof"' EXIT
-BENCH_PROFILE="$prof" python bench.py
+BENCH_PROFILE="$prof" BENCH_E2E=0 python bench.py
 python tools/perf_regression.py check --profile_dir "$prof" --steps 3 \
     --budget perf_budget.json "$@"

@@ -57,7 +57,10 @@ def test_four_process_two_loader_pod(small_conf_dir, tmp_path):
     cfg.setdefault("train", {}).update(
         train_data=UNIT_FIXTURE, eval_data=UNIT_FIXTURE,
         test_data=UNIT_FIXTURE, batch_size=16, keep_train=1,
-        shard_threshold=64)
+        shard_threshold=64,
+        # step-cadenced eval must work under real jax.distributed (all
+        # processes run the eval pass inline at the same step)
+        eval_every_n_steps=1)
     cfg.setdefault("distribution", {}).update(
         sharded_lookup="explicit", input_service=svc)
     with open(train_yaml, "w") as f:

@@ -27,6 +27,7 @@ rows so one compiled XLA step serves uneven final batches.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -116,19 +117,34 @@ class FeatureTransformer:
 
     @staticmethod
     def _to_int(cell: str) -> int:
-        try:
-            return int(float(cell))
-        except ValueError:
+        """Junk-tolerant int parse; non-finite ("1e309") and beyond-int64
+        magnitudes map to the 0 default — the C++ loader's to_int clamps
+        identically (an unclamped static_cast<int64_t>(inf) is UB), and
+        the fuzz parity suite (tests/test_fuzz_native.py) pins them
+        together."""
+        f = FeatureTransformer._to_float(cell)
+        if abs(f) > 2.0 ** 62:  # int64-safe (C++ casts; UB beyond)
             return 0
+        return int(f)
 
     @staticmethod
     def _to_float(cell: str) -> float:
+        """Junk-tolerant float parse; inf/nan cells ("1e309", "nan") map
+        to the 0.0 default instead of poisoning the batch (an inf
+        continuous feature NaNs the loss several steps later with no
+        pointer back to the bad row)."""
         if cell in ("-", ""):
             return 0.0
+        # pin to the C-locale grammar the C++ loader parses (fuzz-parity
+        # contract): >63 chars, Python-only forms (underscores, unicode
+        # digits) and non-finite results are all junk -> 0.0 default
+        if len(cell) > 63 or "_" in cell or not cell.isascii():
+            return 0.0
         try:
-            return float(cell)
+            f = float(cell)
         except ValueError:
             return 0.0
+        return f if math.isfinite(f) else 0.0
 
     # -------------------------------------------------------------- transform
     def transform(self, rows: Sequence[Sequence[str]], batch_size: int,
