@@ -366,6 +366,82 @@ class TestDeferredFused:
         deferred = run(True)
         np.testing.assert_allclose(immediate, deferred, rtol=5e-4)
 
+    def test_flush_catches_params_up(self, small_config, small_plan_nofold,
+                                     fixture_rows, monkeypatch):
+        """After make_flush_step the deferred path's fused table matches
+        the immediate path's after the same number of steps (the pending
+        lag is fully applied), and a post-flush step stays stable (the
+        zeroed pending re-applies as a weight no-op)."""
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.plan import FeaturePlan
+        from wide_deep_tpu.models.joint import build_model
+        from wide_deep_tpu.optim import build_joint_optimizer
+        import wide_deep_tpu.optim.sparse as sparse_lib
+        from wide_deep_tpu.training.step import (init_opt_state,
+                                                 make_flush_step,
+                                                 make_train_step)
+
+        monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
+        monkeypatch.setattr(sparse_lib, "SPARSE_ID_FACTOR", 0)
+        plan = FeaturePlan(small_config, fold=False, sparse_opt=True)
+        model = build_model(small_config, plan=plan, model_type="wide_deep")
+        batch = {k: jnp.asarray(v) for k, v in FeatureTransformer(
+            plan).transform(fixture_rows, 16).items()}
+        params0, mstate0 = model.init(jax.random.PRNGKey(0), dict(batch))
+        sparse_tables, paths = sparse_lib.plan_sparse_tables(
+            plan, small_config.model, 100.0, 16)
+        params0 = sparse_lib.init_fused_params(params0, sparse_tables)
+        tx = build_joint_optimizer(small_config.model, 100.0,
+                                   {"linear": True, "dnn": True},
+                                   sparse_paths=paths)
+        dims = [t.path[-1] for t in sparse_tables.values()]
+
+        def table(params, dk):
+            return np.asarray(params["dnn"]["embed"][dk])
+
+        # immediate reference: 3 steps
+        step_i = make_train_step(model, tx, donate=False,
+                                 sparse_tables=sparse_tables)
+        p = jax.tree.map(jnp.copy, params0)
+        ms = jax.tree.map(jnp.copy, mstate0)
+        st = init_opt_state(tx, p, sparse_tables)
+        for i in range(3):
+            p, ms, st, _ = step_i(p, ms, st, batch, jax.random.PRNGKey(7), i)
+        ref_tables = {dk: table(p, dk) for dk in dims}
+
+        # deferred 3 steps -> pending holds step 2's update -> flush
+        step_d = make_train_step(model, tx, donate=False,
+                                 sparse_tables=sparse_tables,
+                                 defer_sparse=True)
+        p = jax.tree.map(jnp.copy, params0)
+        ms = jax.tree.map(jnp.copy, mstate0)
+        st = init_opt_state(tx, p, sparse_tables)
+        st["sparse_pending"] = {
+            name: {"rg": jnp.zeros(
+                       (np.asarray(batch[t.ids_key]).size, t.dim),
+                       t.sink_dtype),
+                   **{k: batch[f"sopt_{k}_{t.path[-1]}"]
+                      for k in ("uids", "ids", "perm", "tiles")}}
+            for name, t in sparse_tables.items()}
+        for name in sparse_tables:
+            st["sparse"][name]["count"] = jnp.asarray(-1, jnp.int32)
+        for i in range(3):
+            p, ms, st, _ = step_d(p, ms, st, batch, jax.random.PRNGKey(7), i)
+        # before flush the last update is still pending: tables differ
+        assert any(not np.allclose(table(p, dk), ref_tables[dk],
+                                   atol=1e-7) for dk in dims)
+        flush = make_flush_step(sparse_tables)
+        p2, st2 = flush(jax.tree.map(jnp.copy, p),
+                        jax.tree.map(jnp.copy, st))
+        for dk in dims:
+            np.testing.assert_allclose(table(p2, dk), ref_tables[dk],
+                                       rtol=2e-3, atol=1e-5, err_msg=dk)
+        # zeroed pending: a second flush is a weight no-op
+        p3, _ = flush(jax.tree.map(jnp.copy, p2),
+                      jax.tree.map(jnp.copy, st2))
+        for dk in dims:
+            np.testing.assert_array_equal(table(p3, dk), table(p2, dk))
+
 
 class TestShardedFused:
     def test_sharded_fused_matches_single_device(self, small_config,

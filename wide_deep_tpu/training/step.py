@@ -49,7 +49,7 @@ def make_train_step(model: WideDeep, tx: optax.GradientTransformation,
     independent forward gathers instead of serializing after backward)
     and stashes this call's instead of applying it.  Identical math one
     step late; callers must FLUSH the pending before eval/checkpoint
-    (``flush_pending``).  Only the single-shard fused compact path
+    (``make_flush_step``).  Only the single-shard fused compact path
     supports it."""
     sparse_tables = sparse_tables or {}
 
@@ -212,6 +212,35 @@ def init_opt_state(tx: optax.GradientTransformation, params,
                 t, sparse_lib.tree_get(params, t.path))
             for name, t in sparse_tables.items()},
     }
+
+
+def make_flush_step(sparse_tables: Dict[str, Any]):
+    """Companion to ``make_train_step(defer_sparse=True)``: applies the
+    stashed pending fused update so ``params`` reflects every trained
+    step — call before eval / checkpoint / export.  Returns jit'd
+    ``(params, opt_state) -> (params, opt_state)``; the flushed pending
+    keeps its plan with ZERO grads, so a later step's apply of it is a
+    weight no-op (the extra lr-count tick is the documented cost of a
+    flush)."""
+
+    def flush(params, opt_state):
+        from wide_deep_tpu.optim import sparse as sparse_lib
+        sp_state = dict(opt_state["sparse"])
+        pending = dict(opt_state["sparse_pending"])
+        interpret = jax.default_backend() == "cpu"
+        for name, table in sparse_tables.items():
+            p = pending[name]
+            param = sparse_lib.tree_get(params, table.path)
+            param, sp_state[name] = sparse_lib.apply_fused_update(
+                table, param, p["rg"],
+                {k: p[k] for k in ("uids", "ids", "perm", "tiles")},
+                sp_state[name], interpret=interpret)
+            params = sparse_lib.tree_set(params, table.path, param)
+            pending[name] = dict(p, rg=jnp.zeros_like(p["rg"]))
+        return params, dict(opt_state, sparse=sp_state,
+                            sparse_pending=pending)
+
+    return jax.jit(flush, donate_argnums=(0, 1))
 
 
 def make_eval_step(model: WideDeep):
