@@ -26,7 +26,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF = "/root/reference/data"
+# optional reference-data parity runs: fall back to the vendored sample
+# when the reference mount is absent (this tool's part A is a parity
+# check against the reference's OWN bundled data when available)
+REF = ("/root/reference/data" if os.path.isdir("/root/reference/data")
+       else os.path.join(REPO, "data"))
 
 
 def _release(tr):
