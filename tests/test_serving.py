@@ -336,6 +336,63 @@ class TestTransports:
         assert stats["rows_per_s"] > 0
         client.close()
 
+    def test_tcp_connection_cap_refuses_cleanly(self, bundle_dir):
+        """Over-limit TCP connects get an immediate error frame + close
+        (bounded threads/fds), not a silent timeout; closing a connection
+        frees its slot."""
+        import socket as socket_mod
+
+        from wide_deep_tpu.serving import protocol
+        from wide_deep_tpu.serving.server import (PredictorServer,
+                                                  ServingModel)
+        model = ServingModel(bundle_dir, max_batch_size=32)
+        srv = PredictorServer(model, port=_free_port(),
+                              tcp_port=_free_port(),
+                              max_tcp_connections=2)
+        srv.start()
+        try:
+            import time as time_mod
+            socks = [socket_mod.create_connection(
+                ("localhost", srv.tcp_port), timeout=10) for _ in range(2)]
+            time_mod.sleep(0.3)  # let the accept loop register both
+            over = socket_mod.create_connection(
+                ("localhost", srv.tcp_port), timeout=10)
+            resp = protocol.decode_response(protocol.recv_frame(over))
+            assert "connection limit" in resp.get("error", ""), resp
+            over.close()
+            socks[0].close()
+            time_mod.sleep(0.5)  # server notices the close, frees a slot
+            from wide_deep_tpu.serving.client import TcpPredictorClient
+            c = TcpPredictorClient(port=srv.tcp_port, timeout=10)
+            assert c.predict(_rows(FIXTURE, 1))["scores"]
+            c.close()
+            socks[1].close()
+        finally:
+            srv.stop()
+            model.close()
+
+    def test_tcp_client_thread_death_closes_socket(self, server):
+        """A per-thread connection must be CLOSED when its thread dies —
+        short-lived request threads otherwise leak one fd each until
+        client.close()."""
+        import gc
+        import threading as threading_mod
+
+        from wide_deep_tpu.serving.client import TcpPredictorClient
+        client = TcpPredictorClient(port=server.tcp_port, timeout=10)
+
+        def one():
+            client.predict(_rows(FIXTURE, 1))
+
+        for _ in range(5):
+            t = threading_mod.Thread(target=one)
+            t.start()
+            t.join()
+        gc.collect()
+        # only the main thread's connection may remain
+        assert len(client._conns) == 1, len(client._conns)
+        client.close()
+
     def test_tcp_concurrent_load(self, server):
         """TCP under thread fan-in: the client must open one connection
         per thread (a raw socket shared across threads interleaves

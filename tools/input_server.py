@@ -104,13 +104,24 @@ def main():
         seed, args.batch_size, args.n_classes, plan.scatter_shards,
         args.n_procs, pos_weight=train_conf.get("pos_sample_loss_weight"),
         neg_weight=train_conf.get("neg_sample_loss_weight"),
-        model_type=args.model_type)
+        model_type=args.model_type,
+        shuffle_buffer=int(train_conf["num_examples"]))
+    def digest_with_mode(path):
+        """data_digest + the dataset's effective iteration path: the fast
+        (byte-slurp, precomputed order) and streaming paths are both
+        deterministic but produce DIFFERENT orders, so a loader fleet
+        mixing them (e.g. one host's getsize failing over to streaming)
+        must fail the stream-id cross-check, not serve divergent slices."""
+        ds = dataset_factory(path, "train", 0)
+        fast = getattr(ds, "_fast_path_ok", lambda: False)()
+        return f"{data_digest(path)}-{'fast' if fast else 'stream'}"
+
     server = InputServer(dataset_factory, n_procs=args.n_procs,
                          scatter_shards=plan.scatter_shards, port=args.port,
                          proc_start=args.proc_start,
                          proc_count=args.proc_count,
                          fingerprint=fingerprint,
-                         data_digest_fn=data_digest)
+                         data_digest_fn=digest_with_mode)
     server.start()
     print(f"input service on :{server.port} "
           f"(procs [{server.proc_start}, "

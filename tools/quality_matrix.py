@@ -120,14 +120,27 @@ def main():
     eval2 = os.path.join(args.work_dir, "eval2.tsv")
     train3 = os.path.join(args.work_dir, "train3.tsv")
     eval3 = os.path.join(args.work_dir, "eval3.tsv")
+    # marker written only after ALL four files are complete, keyed by the
+    # generation params — an interrupted or re-parameterized run
+    # regenerates instead of silently training/evaluating on truncated
+    # or stale files
+    marker = os.path.join(args.work_dir, "dataset.json")
+    want = {"rows": args.rows, "eval_rows": args.eval_rows,
+            "pos_rate": args.pos_rate, "seed": args.seed}
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = json.load(f)
     print("generating data...", flush=True)
-    if not os.path.exists(train2):
+    if have != want:
         generate(base, train2, args.rows, args.seed, args.pos_rate)
         generate(base, eval2, args.eval_rows, args.seed + 1, args.pos_rate)
         generate(base, train3, args.rows // 4, args.seed + 2, args.pos_rate,
                  n_classes=3)
         generate(base, eval3, args.eval_rows, args.seed + 3, args.pos_rate,
                  n_classes=3)
+        with open(marker, "w") as f:
+            json.dump(want, f)
 
     cd = os.path.join(args.work_dir, "conf")
     variants = [

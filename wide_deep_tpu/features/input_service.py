@@ -78,6 +78,7 @@ def stream_fingerprint(seed: int, global_batch: int, n_classes: int,
                        scatter_shards: int, n_procs: int,
                        pos_weight=None, neg_weight=None,
                        model_type: str = "",
+                       shuffle_buffer=None,
                        data_files=None) -> str:
     """Digest of the deterministic-stream identity.
 
@@ -99,6 +100,10 @@ def stream_fingerprint(seed: int, global_batch: int, n_classes: int,
         "pos_w": None if pos_weight is None else float(pos_weight),
         "neg_w": None if neg_weight is None else float(neg_weight),
         "model_type": str(model_type),
+        # the shuffle-buffer size (train.yaml num_examples) changes the
+        # deterministic ORDER of the stream — loaders differing only in
+        # it would serve divergent slices (review finding, round 5)
+        "shuffle": None if shuffle_buffer is None else int(shuffle_buffer),
     }
     if data_files is not None:
         ident["files"] = sorted(
@@ -108,21 +113,32 @@ def stream_fingerprint(seed: int, global_batch: int, n_classes: int,
 
 
 def data_digest(path: str) -> str:
-    """Digest of the resolved (basename, size) file list under ``path`` —
-    the loader-host half of the stream identity (only loaders resolve file
-    lists; trainers cross-verify the digests agree across loader groups)."""
+    """Digest of the resolved file list under ``path`` — the loader-host
+    half of the stream identity (only loaders resolve file lists;
+    trainers cross-verify the digests agree across loader groups).
+
+    Hashes (basename, size, head-64KB, tail-64KB) per file: name+size
+    alone cannot see a stale mirror whose regenerated part files kept
+    their names and byte counts (fixed-width rows), and hashing whole
+    multi-GB files at every hello is too slow — the sampled content
+    catches content drift in practice at O(128 KB) per file."""
     import hashlib
     import os
     from wide_deep_tpu.features.pipeline import list_files
-    entries = []
+    h = hashlib.sha256()
     for p in sorted(list_files(path)):
+        h.update(os.path.basename(p).encode("utf-8") + b"\0")
         try:
             size = os.path.getsize(p)
+            h.update(str(size).encode())
+            with open(p, "rb") as f:
+                h.update(f.read(65536))
+                if size > 131072:
+                    f.seek(-65536, os.SEEK_END)
+                    h.update(f.read(65536))
         except OSError:
-            size = -1
-        entries.append([os.path.basename(p), size])
-    payload = json.dumps(entries, sort_keys=True).encode("utf-8")
-    return hashlib.sha256(payload).hexdigest()[:16]
+            h.update(b"<unreadable>")
+    return h.hexdigest()[:16]
 
 
 def loader_for_proc(addrs, proc: int, n_procs: int) -> str:
@@ -546,6 +562,32 @@ class RemoteInputDataset:
                                            with_image=with_image,
                                            image_shape=image_shape)
 
+    def _hello(self, sock: socket.socket) -> Optional[str]:
+        """Send the hello handshake and parse the ack — ONE code path for
+        __iter__ and probe_stream_id, so the pre-flight probe always
+        validates exactly the handshake training uses.  Returns (and
+        stores) the loader's full stream id from the ack payload."""
+        hello = {"op": "hello", "proc": self.proc,
+                 "n_procs": self.n_procs, "path": self.path,
+                 "mode": self.mode, "epoch_seed": self.epoch_seed,
+                 "run": self.run_token}
+        if self.group_range is not None:
+            hello["group_range"] = list(self.group_range)
+        if self.fingerprint is not None:
+            hello["fingerprint"] = self.fingerprint
+        send_frame(sock, json.dumps(hello).encode("utf-8"))
+        ack = recv_frame(sock)
+        if ack[:4] != KIND_BATCH:
+            raise IOError(f"input service rejected hello: "
+                          f"{ack[4:].decode('utf-8', 'replace')}")
+        if len(ack) > 4:  # ack payload: the loader's full stream id
+            try:
+                self.server_stream_id = json.loads(
+                    ack[4:].decode("utf-8")).get("stream_id")
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                self.server_stream_id = None
+        return self.server_stream_id
+
     def probe_stream_id(self) -> Optional[str]:
         """Connect, run the hello handshake (all identity checks), read
         the loader's full stream id from the ack, disconnect.  Used by the
@@ -554,26 +596,7 @@ class RemoteInputDataset:
         same resolved file list)."""
         sock = socket.create_connection(self.address, timeout=self.timeout)
         try:
-            hello = {"op": "hello", "proc": self.proc,
-                     "n_procs": self.n_procs, "path": self.path,
-                     "mode": self.mode, "epoch_seed": self.epoch_seed,
-                     "run": self.run_token}
-            if self.group_range is not None:
-                hello["group_range"] = list(self.group_range)
-            if self.fingerprint is not None:
-                hello["fingerprint"] = self.fingerprint
-            send_frame(sock, json.dumps(hello).encode("utf-8"))
-            ack = recv_frame(sock)
-            if ack[:4] != KIND_BATCH:
-                raise IOError(f"input service rejected hello: "
-                              f"{ack[4:].decode('utf-8', 'replace')}")
-            if len(ack) > 4:
-                try:
-                    self.server_stream_id = json.loads(
-                        ack[4:].decode("utf-8")).get("stream_id")
-                except (json.JSONDecodeError, UnicodeDecodeError):
-                    self.server_stream_id = None
-            return self.server_stream_id
+            return self._hello(sock)
         finally:
             try:
                 send_frame(sock, json.dumps({"op": "close"}).encode())
@@ -584,25 +607,7 @@ class RemoteInputDataset:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         sock = socket.create_connection(self.address, timeout=self.timeout)
         try:
-            hello = {"op": "hello", "proc": self.proc,
-                     "n_procs": self.n_procs, "path": self.path,
-                     "mode": self.mode, "epoch_seed": self.epoch_seed,
-                     "run": self.run_token}
-            if self.group_range is not None:
-                hello["group_range"] = list(self.group_range)
-            if self.fingerprint is not None:
-                hello["fingerprint"] = self.fingerprint
-            send_frame(sock, json.dumps(hello).encode("utf-8"))
-            ack = recv_frame(sock)
-            if ack[:4] != KIND_BATCH:
-                raise IOError(f"input service rejected hello: "
-                              f"{ack[4:].decode('utf-8', 'replace')}")
-            if len(ack) > 4:  # ack payload: the loader's full stream id
-                try:
-                    self.server_stream_id = json.loads(
-                        ack[4:].decode("utf-8")).get("stream_id")
-                except (json.JSONDecodeError, UnicodeDecodeError):
-                    self.server_stream_id = None
+            self._hello(sock)
             seq = 0
             while True:
                 send_frame(sock, json.dumps({"op": "next",

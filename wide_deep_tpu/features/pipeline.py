@@ -447,27 +447,56 @@ class CsvDataset:
         The streaming path costs ~9 us/row of pure Python (text-mode line
         iteration + one rng call and list churn per shuffled row), which
         HALVES the native parser's ~220k rows/s — measured in bench.py's
-        e2e stage (loader-only 113k vs parser 220k).  This path slurps
-        the epoch's lines as bytes, computes the whole shuffle order up
-        front (same buffer-shuffle shape, block-drawn randoms), and joins
-        each batch directly for transform_text.  Still deterministic in
-        (seed, epoch); the ORDER differs from the streaming path (both
-        are valid shuffles — loaders and trainers agree because every
-        party runs this same code, features/input_service.py contract).
-        """
+        e2e stage (loader-only 113k vs parser 220k).  This path reads the
+        files as raw bytes, finds line boundaries with one vectorized
+        scan (NO per-line objects: 35M rows cost three int arrays, not
+        35M bytes objects — memory stays ~file bytes + 20 B/row, BELOW
+        the streaming path's whole-file python-string shuffle buffer at
+        production ``num_examples``), computes the whole shuffle order up
+        front, and joins each batch directly for transform_text.
+
+        Deterministic in (seed, epoch).  Divergences from the streaming
+        path, both deliberate: the ORDER differs (both are valid
+        shuffles), and invalid-UTF-8 bytes reach the byte-oriented C++
+        parser RAW instead of U+FFFD-replaced.  Parties that must share a
+        bit-identical stream (input-service loader groups) therefore fold
+        the effective path mode into their stream digest
+        (tools/input_server.py) so a mixed fast/streaming fleet fails the
+        handshake instead of serving divergent slices."""
         from wide_deep_tpu.features import fs
-        lines: List[bytes] = []
-        for path in self.files:
+        blobs: List[bytes] = []
+        fids: List[np.ndarray] = []
+        sts: List[np.ndarray] = []
+        ens: List[np.ndarray] = []
+        for fi, path in enumerate(self.files):
             with fs.open_bytes(path) as f:
                 data = f.read()
-            for ln in data.split(b"\n"):
-                if ln.endswith(b"\r"):
-                    ln = ln[:-1]
-                if ln:
-                    lines.append(ln)
+            if not data:
+                continue
+            if not data.endswith(b"\n"):
+                data += b"\n"
+            arr = np.frombuffer(data, np.uint8)
+            nl = np.flatnonzero(arr == 10)
+            starts = np.empty(nl.size, np.int64)
+            starts[0] = 0
+            starts[1:] = nl[:-1] + 1
+            ends = nl - (arr[np.maximum(nl - 1, 0)] == 13)  # strip \r
+            keep = ends > starts
+            starts, ends = starts[keep], ends[keep]
+            blobs.append(data)
+            fids.append(np.full(starts.size, len(blobs) - 1, np.int32))
+            sts.append(starts)
+            ens.append(ends)
+        if not blobs:
+            return
+        fid = np.concatenate(fids)
+        st = np.concatenate(sts)
+        en = np.concatenate(ens)
         if self.num_shards > 1:
-            lines = lines[self.shard_index::self.num_shards]
-        n = len(lines)
+            fid = fid[self.shard_index::self.num_shards]
+            st = st[self.shard_index::self.num_shards]
+            en = en[self.shard_index::self.num_shards]
+        n = fid.size
         if self.shuffle_buffer > 1 and n:
             rng = np.random.default_rng(self.seed + self._epoch)
             self._epoch += 1
@@ -486,22 +515,17 @@ class CsvDataset:
                     order[k] = buf[j]
                     buf[j] = S + k
                 order[n - S:] = buf[rng.permutation(S)]
-            idx_iter = iter(order)
-            get = lines.__getitem__
-            seq = map(get, idx_iter)
         else:
-            seq = iter(lines)
+            order = np.arange(n)
         B = self.batch_size
-        chunk: List[bytes] = []
-        for ln in seq:
-            chunk.append(ln)
-            if len(chunk) == B:
-                yield self.transformer.transform_text(
-                    b"\n".join(chunk), B, B, self.mode)
-                chunk = []
-        if chunk and not self.drop_remainder:
+        for lo in range(0, n, B):
+            idx = order[lo:lo + B]
+            if idx.size < B and self.drop_remainder:
+                return
+            text = b"\n".join(
+                blobs[fid[i]][st[i]:en[i]] for i in idx)
             yield self.transformer.transform_text(
-                b"\n".join(chunk), len(chunk), B, self.mode)
+                text, int(idx.size), B, self.mode)
 
     def __iter__(self) -> Iterator[Batch]:
         if self._fast_path_ok():

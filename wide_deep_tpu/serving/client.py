@@ -92,15 +92,36 @@ class TcpPredictorClient:
         # and corrupt both streams (the do_inference load harness fires
         # from worker threads; gRPC channels are thread-safe, raw sockets
         # are not — same family as the TLS-proxy SSLSocket lesson).
+        # Each thread's socket lives in a holder whose finalizer closes
+        # it when the THREAD dies (thread-local storage is destroyed at
+        # thread exit) — without it, short-lived request threads would
+        # leak one open connection each until client.close().
         self._local = threading.local()
-        self._conns: List[socket.socket] = []
+        self._conns: Dict[int, socket.socket] = {}
         self._conns_lock = threading.Lock()
         self._connect()  # fail fast on a bad address/cert
 
+    class _SockHolder:
+        def __init__(self, sock, registry, lock):
+            self.sock, self._registry, self._lock = sock, registry, lock
+            with lock:
+                registry[id(self)] = sock
+
+        def discard(self):
+            with self._lock:
+                self._registry.pop(id(self), None)
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+
+        def __del__(self):  # thread exit drops its thread-local refs
+            self.discard()
+
     def _connect(self) -> socket.socket:
-        sock = getattr(self._local, "sock", None)
-        if sock is not None:
-            return sock
+        holder = getattr(self._local, "holder", None)
+        if holder is not None:
+            return holder.sock
         sock = socket.create_connection((self._host, self._port),
                                         timeout=self._timeout)
         tls_ca, tls_cert, tls_key = self._tls
@@ -111,24 +132,17 @@ class TcpPredictorClient:
             if tls_cert:
                 ctx.load_cert_chain(tls_cert, tls_key)
             sock = ctx.wrap_socket(sock, server_hostname=self._host)
-        self._local.sock = sock
-        with self._conns_lock:
-            self._conns.append(sock)
+        self._local.holder = TcpPredictorClient._SockHolder(
+            sock, self._conns, self._conns_lock)
         return sock
 
     def _drop(self):
         """A failed request leaves its socket mid-frame — discard it so
         this thread's next call reconnects cleanly."""
-        sock = getattr(self._local, "sock", None)
-        if sock is not None:
-            self._local.sock = None
-            with self._conns_lock:
-                if sock in self._conns:
-                    self._conns.remove(sock)
-            try:
-                sock.close()
-            except OSError:
-                pass
+        holder = getattr(self._local, "holder", None)
+        if holder is not None:
+            self._local.holder = None
+            holder.discard()
 
     def _roundtrip(self, payload: bytes) -> Dict:
         sock = self._connect()
@@ -153,7 +167,8 @@ class TcpPredictorClient:
 
     def close(self):
         with self._conns_lock:
-            conns, self._conns = self._conns, []
+            conns = list(self._conns.values())
+            self._conns.clear()
         for sock in conns:
             try:
                 sock.close()

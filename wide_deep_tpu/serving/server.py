@@ -297,7 +297,8 @@ class PredictorServer:
                  tls_cert: Optional[str] = None,
                  tls_key: Optional[str] = None,
                  tls_ca: Optional[str] = None,
-                 model_base_paths: Optional[Dict[str, str]] = None):
+                 model_base_paths: Optional[Dict[str, str]] = None,
+                 max_tcp_connections: Optional[int] = None):
         # auth_token: shared-secret request auth on BOTH transports (the
         # reference's tensorflow_model_server shipped unauthenticated;
         # serving.yaml server.auth_token enables this)
@@ -333,6 +334,13 @@ class PredictorServer:
         self.port = port
         self.tcp_port = tcp_port if tcp_port is not None else port + 1
         self.workers = workers
+        # concurrent TCP connection cap (threads + fds); over-limit
+        # connects get an ERR frame and a close, not a silent timeout
+        self.max_tcp_connections = (max_tcp_connections
+                                    if max_tcp_connections is not None
+                                    else max(32 * workers, 64))
+        self._tcp_live = 0
+        self._tcp_count_lock = threading.Lock()
         self.model_base_path = model_base_path
         # name -> watched bundle root; single-model model_base_path folds in
         self._watch: Dict[str, str] = dict(model_base_paths or {})
@@ -466,12 +474,16 @@ class PredictorServer:
         self._tcp_sock.bind(("0.0.0.0", self.tcp_port))
         self._tcp_sock.listen(64)
         self._tcp_sock.settimeout(0.5)
-        # one thread per CONNECTION, not a bounded pool: _tcp_conn holds
-        # its worker for the connection's whole lifetime, so a pool of
-        # size N silently starves client N+1 (its requests time out with
-        # zero server-side signal — found by the serving-SLO harness, 9
-        # per-thread clients against the old 8-worker pool).  Device work
-        # stays bounded by the MicroBatcher regardless of fan-in.
+        # one thread per CONNECTION, not a bounded worker pool: _tcp_conn
+        # holds its worker for the connection's whole lifetime, so a pool
+        # of size N silently starves client N+1 (its requests time out
+        # with zero server-side signal — found by the serving-SLO
+        # harness, 9 per-thread clients against the old 8-worker pool).
+        # Device work stays bounded by the MicroBatcher regardless of
+        # fan-in; CONNECTION count is still bounded (max_tcp_connections,
+        # default 32x workers) so connection churn or a runaway client
+        # exhausts neither threads nor fds — over-limit connects are
+        # refused with an ERR frame instead of queueing into a timeout.
         while not self._stop.is_set():
             try:
                 conn, _ = self._tcp_sock.accept()
@@ -479,10 +491,31 @@ class PredictorServer:
                 continue
             except OSError:
                 break
+            with self._tcp_count_lock:
+                if self._tcp_live >= self.max_tcp_connections:
+                    try:
+                        protocol.send_frame(conn, protocol.encode_response(
+                            {"error": "connection limit reached "
+                                      f"({self.max_tcp_connections})"}))
+                    except OSError:
+                        pass
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+                    continue
+                self._tcp_live += 1
             threading.Thread(target=self._tcp_conn, args=(conn,),
                              daemon=True).start()
 
     def _tcp_conn(self, conn: socket.socket):
+        try:
+            self._tcp_conn_inner(conn)
+        finally:
+            with self._tcp_count_lock:
+                self._tcp_live -= 1
+
+    def _tcp_conn_inner(self, conn: socket.socket):
         try:
             if self._ssl_ctx is not None:
                 # handshake runs in this worker thread, never the accept loop

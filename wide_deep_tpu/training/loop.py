@@ -400,7 +400,8 @@ class Trainer:
                 self.seed, self.batch_size, self.n_classes,
                 self.plan.scatter_shards, n_procs,
                 pos_weight=self.pos_weight, neg_weight=self.neg_weight,
-                model_type=self.model_type)
+                model_type=self.model_type,
+                shuffle_buffer=int(self.train_conf["num_examples"]))
             ds = RemoteInputDataset(
                 self.plan, address, path, mode,
                 global_batch=self.batch_size, group_range=grange,
