@@ -110,6 +110,21 @@ class TestExport:
         np.testing.assert_allclose(
             [mixed["scores"][i] for i in (0, 1, 3, 4)], clean["scores"],
             rtol=1e-6)
+        # a row with an EMBEDDED NEWLINE must be invalid, not split into
+        # two native-path lines that shift every later row's scores onto
+        # another request (cross-request corruption, review round 5):
+        # craft it from two half-rows so the total tab count matches
+        cells = good[0].split("\t")
+        k = len(cells) // 2
+        # same TOTAL tab count as a valid row, but an embedded "\n" that
+        # the native join would split into two lines
+        sneaky = ("\t".join(cells[:k]) + "\t\n"
+                  + "\t".join(cells[k:]))
+        assert sneaky.count("\t") == good[0].count("\t")  # passes arity
+        evil = model.score_rows([sneaky] + good[2:4])
+        assert evil["valid"] == [False, True, True]
+        np.testing.assert_allclose(evil["scores"][1:], clean["scores"][2:4],
+                                   rtol=1e-6)
 
 
 class TestBf16Bundle:

@@ -130,3 +130,68 @@ class TestReconnect:
                            connect_timeout_s=0.2)
         assert list(ds) == []
         assert ds.rows_seen == 0
+
+
+class TestJunkTolerance:
+    def test_midline_reset_discards_partial_tail(self, small_plan):
+        """A connection RESET halfway through a row must discard the
+        buffered prefix — flushing it as a 'row' would train on a
+        truncated example whenever the cut lands inside the last cell
+        (review round 5).  A clean close still flushes an unterminated
+        final row."""
+        import socket
+        import struct
+        import threading
+
+        from wide_deep_tpu.features.stream import StreamDataset
+        with open(FIXTURE) as f:
+            lines = [l.rstrip("\n") for l in f if l.strip()]
+
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def producer():
+            conn, _ = srv.accept()
+            # two full rows, then HALF a row, then a hard reset (RST via
+            # SO_LINGER 0) so the consumer sees an OSError mid-line
+            conn.sendall((lines[0] + "\n" + lines[1] + "\n").encode())
+            conn.sendall(lines[2][:20].encode())
+            import time
+            time.sleep(0.3)
+            conn.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                            struct.pack("ii", 1, 0))
+            conn.close()
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        ds = StreamDataset(small_plan, "127.0.0.1", port, batch_size=4,
+                           flush_timeout_s=0.2)
+        total = sum(int(b["mask"].sum()) for b in ds)
+        srv.close()
+        # exactly the two complete rows; the truncated third is discarded
+        assert total == 2
+
+    def test_python_path_skips_short_rows(self, small_plan):
+        """With the pure-Python transformer a truncated junk line must be
+        skipped, not IndexError the whole continuous run (the native
+        parser already drops such lines itself)."""
+        from wide_deep_tpu.features.pipeline import FeatureTransformer
+        from wide_deep_tpu.features.stream import StreamDataset, serve_file
+
+        srv, _ = serve_file(FIXTURE)
+        port = srv.getsockname()[1]
+        ds = StreamDataset(
+            small_plan, "127.0.0.1", port, batch_size=4,
+            flush_timeout_s=0.2,
+            transformer=FeatureTransformer(small_plan))
+        # inject junk through the emit path directly as well: a chunk of
+        # only-junk lines must yield an all-masked batch, not crash
+        junk_batch = ds._emit(["short\trow", "x"])
+        assert int(np.asarray(junk_batch["mask"]).sum()) == 0
+        mixed = ds._emit(["a\tb\tc"])  # wrong arity -> masked
+        assert int(np.asarray(mixed["mask"]).sum()) == 0
+        rows = sum(int(b["mask"].sum()) for b in ds)
+        assert rows == 10

@@ -75,6 +75,7 @@ class StreamDataset:
                                         timeout=self.connect_timeout_s)
         sock.settimeout(self.flush_timeout_s)
         buf = b""
+        clean_close = False
         try:
             while True:
                 try:
@@ -83,8 +84,9 @@ class StreamDataset:
                     yield None  # idle tick -> flush signal
                     continue
                 except OSError:
-                    break  # reset mid-stream: treated like a close
+                    break  # reset mid-stream — buffered TAIL is partial
                 if not chunk:
+                    clean_close = True
                     break
                 buf += chunk
                 while True:
@@ -95,9 +97,20 @@ class StreamDataset:
                     buf = buf[nl + 1:]
                     if line.strip():
                         yield line
-            tail = buf.decode("utf-8", errors="replace")
-            if tail.strip():
-                yield tail
+            # only a CLEAN close may flush an unterminated tail (a
+            # producer that wrote its last row without "\n"); after a
+            # mid-line reset the tail is a TRUNCATED row — yielding it
+            # would train on a corrupted example whenever the cut lands
+            # inside the final cell
+            if clean_close:
+                tail = buf.decode("utf-8", errors="replace")
+                if tail.strip():
+                    yield tail
+            elif buf.strip():
+                import logging
+                logging.getLogger("wide_deep_tpu.stream").warning(
+                    "discarding %d bytes of mid-line partial row after "
+                    "connection reset", len(buf))
         finally:
             sock.close()
 
@@ -139,8 +152,21 @@ class StreamDataset:
             text = "\n".join(chunk).encode("utf-8", errors="replace")
             return self.transformer.transform_text(
                 text, len(chunk), self.batch_size, self.mode)
-        return self.transformer.transform(
-            [line.split("\t") for line in chunk], self.batch_size, self.mode)
+        # arity filter like CsvDataset._rows: the native parser drops
+        # short/long rows itself, but the Python transformer indexes by
+        # schema position — a truncated junk line would IndexError and
+        # kill the whole continuous run instead of being skipped
+        expect = len(self.plan.columns)
+        rows = [cells for line in chunk
+                if len(cells := line.split("\t")) == expect]
+        if not rows:
+            rows = [[""] * expect]  # all-masked placeholder batch
+            batch = self.transformer.transform(rows, self.batch_size,
+                                               self.mode)
+            batch["mask"] = batch["mask"] * 0.0
+            batch["weight"] = batch["weight"] * 0.0
+            return batch
+        return self.transformer.transform(rows, self.batch_size, self.mode)
 
     def __iter__(self) -> Iterator[Batch]:
         chunk = []

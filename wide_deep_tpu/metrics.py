@@ -34,7 +34,7 @@ def init_metrics(num_thresholds: int = NUM_THRESHOLDS) -> Dict[str, jnp.ndarray]
     z = lambda *s: jnp.zeros(s, jnp.float32)
     return {
         "tp": z(T), "fp": z(T), "tn": z(T), "fn": z(T),
-        "loss_sum": z(), "weight_sum": z(), "count": z(),
+        "loss_sum": z(), "weight_sum": z(),
         "correct": z(), "label_sum": z(), "pred_sum": z(),
     }
 
@@ -64,7 +64,6 @@ def update_metrics(acc: Dict[str, jnp.ndarray], probs: jnp.ndarray,
     out["tn"] = acc["tn"] + (1.0 - pred_pos) @ wn
     out["loss_sum"] = acc["loss_sum"] + jnp.sum(per_example_loss * w)
     out["weight_sum"] = acc["weight_sum"] + jnp.sum(w)
-    out["count"] = acc["count"] + jnp.sum(w)
     if correct is None:
         correct = (p >= 0.5).astype(jnp.float32) == y
     out["correct"] = acc["correct"] + jnp.sum(correct.astype(jnp.float32) * w)

@@ -76,7 +76,12 @@ class MicroBatcher:
                 return fut
         # a request that grabbed this model just before a hot-reload close()
         # must still complete — score synchronously in the caller thread
-        # instead of enqueueing into a drained loop
+        # instead of enqueueing into a drained loop.  FIRST wait for the
+        # batcher thread to finish its final drain: scoring inline while
+        # it still runs would break the single-owner-device invariant
+        # (two threads in _score concurrently) that close() itself
+        # refuses to violate.
+        self._thread.join()
         self._run([(rows, fut)])
         return fut
 
@@ -240,8 +245,15 @@ class ServingModel:
                                      for _ in range(n_rows)]
         class_ids: List[int] = [0] * n_rows
         valid: List[bool] = [False] * n_rows
+        # embedded newlines are invalid too, not just wrong arity: the
+        # native path joins the micro-batch with "\n" before the C++
+        # line splitter, so a row containing its own "\n" would become
+        # TWO rows, shifting every later row in the coalesced batch onto
+        # another request's scores (cross-request corruption) while this
+        # row's halves scored as valid
         keep = [(i, r) for i, r in enumerate(rows)
-                if r.count("\t") + 1 in (ncols, ncols - 1)]
+                if "\n" not in r and "\r" not in r
+                and r.count("\t") + 1 in (ncols, ncols - 1)]
         if keep:
             probs, ids, off, n = self.batcher.submit(
                 [r for _, r in keep]).result()
@@ -256,9 +268,15 @@ class ServingModel:
                 "model_version": getattr(self, "version", None)}
 
     def handle_request(self, payload: bytes,
-                       auth_token: Optional[str] = None) -> bytes:
+                       auth_token: Optional[str] = None,
+                       req: Optional[Dict] = None) -> bytes:
+        """``req``: the already-decoded request, when the router decoded
+        it for model_name routing — JSON parse of a MAX_FRAME predict
+        payload is the per-request CPU hot path, so it must not be paid
+        twice."""
         try:
-            req = protocol.decode_request(payload)
+            if req is None:
+                req = protocol.decode_request(payload)
             if auth_token:
                 import hmac
                 given = str(req.get("auth_token") or "")
@@ -298,7 +316,8 @@ class PredictorServer:
                  tls_key: Optional[str] = None,
                  tls_ca: Optional[str] = None,
                  model_base_paths: Optional[Dict[str, str]] = None,
-                 max_tcp_connections: Optional[int] = None):
+                 max_tcp_connections: Optional[int] = None,
+                 tcp_idle_timeout_s: float = 300.0):
         # auth_token: shared-secret request auth on BOTH transports (the
         # reference's tensorflow_model_server shipped unauthenticated;
         # serving.yaml server.auth_token enables this)
@@ -339,6 +358,7 @@ class PredictorServer:
         self.max_tcp_connections = (max_tcp_connections
                                     if max_tcp_connections is not None
                                     else max(32 * workers, 64))
+        self.tcp_idle_timeout_s = tcp_idle_timeout_s
         self._tcp_live = 0
         self._tcp_count_lock = threading.Lock()
         self.model_base_path = model_base_path
@@ -381,15 +401,17 @@ class PredictorServer:
         if len(self.models) == 1:
             return self.model.handle_request(payload, self.auth_token)
         try:
-            name = protocol.decode_request(payload).get("model_name")
+            req = protocol.decode_request(payload)
         except Exception as e:  # noqa: BLE001 — serving boundary
             return protocol.encode_response({"error": str(e)})
+        name = req.get("model_name")
         m = self.models.get(name or self._default_name)
         if m is None:
             return protocol.encode_response(
                 {"error": f"unknown model {name!r} (serving: "
                           f"{sorted(self.models)})"})
-        return m.handle_request(payload, self.auth_token)
+        # pass the decoded request along — the handler must not re-parse
+        return m.handle_request(payload, self.auth_token, req=req)
 
     def _status(self, req: Dict) -> bytes:
         """Serve-state snapshot per model (name, version, batching limits,
@@ -418,6 +440,7 @@ class PredictorServer:
                     continue
                 if os.path.basename(latest.rstrip("/")) == cur.version:
                     continue
+                new_model = None
                 try:
                     log.info("loading new %s version from %s", name, latest)
                     new_model = ServingModel(
@@ -425,12 +448,23 @@ class PredictorServer:
                         batch_timeout_micros=cur.batcher.timeout_s * 1e6)
                     new_model.warmup()
                     self.models[name] = new_model  # atomic reference swap
+                    new_model = None  # ownership transferred
                     log.info("now serving %s version %s", name,
-                             new_model.version)
+                             self.models[name].version)
                     cur.close()  # in-flight batches finish first
                 except Exception:  # noqa: BLE001 — keep the old version
                     log.exception("hot reload failed; keeping %s version %s",
                                   name, cur.version)
+                    # a partially-built model already started its
+                    # MicroBatcher thread in __init__, which pins the
+                    # multi-GB params forever if left running — and this
+                    # reload retries every interval, leaking one bundle
+                    # per attempt
+                    if new_model is not None:
+                        try:
+                            new_model.close()
+                        except Exception:  # noqa: BLE001
+                            log.exception("failed-reload cleanup error")
 
     # ------------------------------------------------------------------ gRPC
     def _build_grpc(self):
@@ -493,18 +527,31 @@ class PredictorServer:
                 break
             with self._tcp_count_lock:
                 if self._tcp_live >= self.max_tcp_connections:
-                    try:
-                        protocol.send_frame(conn, protocol.encode_response(
-                            {"error": "connection limit reached "
-                                      f"({self.max_tcp_connections})"}))
-                    except OSError:
-                        pass
+                    # the ERR frame is PLAINTEXT — under TLS the client is
+                    # waiting for a ServerHello and raw frame bytes would
+                    # surface as a cryptic handshake failure, so close
+                    # silently there (the log line is the diagnostic)
+                    log.warning("tcp connection refused: limit %d reached",
+                                self.max_tcp_connections)
+                    if self._ssl_ctx is None:
+                        try:
+                            protocol.send_frame(
+                                conn, protocol.encode_response(
+                                    {"error": "connection limit reached "
+                                     f"({self.max_tcp_connections})"}))
+                        except OSError:
+                            pass
                     try:
                         conn.close()
                     except OSError:
                         pass
                     continue
                 self._tcp_live += 1
+            # idle read timeout: a dead/half-open client must not hold a
+            # connection-cap slot (and its thread) forever — accepted
+            # sockets are otherwise blocking regardless of the listener's
+            # accept timeout
+            conn.settimeout(self.tcp_idle_timeout_s)
             threading.Thread(target=self._tcp_conn, args=(conn,),
                              daemon=True).start()
 
