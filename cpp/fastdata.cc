@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cctype>
 #include <chrono>
 #include <cmath>
 #include <cstdint>
@@ -377,8 +378,12 @@ Plan* parse_plan(const uint8_t* buf, int64_t len) {
       f.ind_off = r.i64();
       f.ind_col = r.i64();
       if (f.kind == kVocab) {
+        // assignment, not emplace: a DUPLICATE vocab entry must resolve
+        // to its LAST index like the Python dict comprehension
+        // (pipeline.py vocab maps) — emplace keeps the first and the
+        // two loaders emit different indicator ids for the same row
         for (int64_t v = 0; v < f.size && r.ok; ++v)
-          f.vocab.emplace(r.str(), static_cast<int32_t>(v));
+          f.vocab[r.str()] = static_cast<int32_t>(v);
       }
     } else {  // continuous
       f.max_len = r.i64();  // always 1
@@ -554,7 +559,11 @@ void process_row(const Plan& plan, const View* cells, bool shifted,
       }
       continue;
     }
-    int k = split_values(plan, cell, f.max_len, vals);
+    // defense in depth: the config layer rejects max_len > 64
+    // (config.py), but an out-of-band plan must clamp rather than
+    // overflow the fixed stack buffer above
+    int k = split_values(plan, cell,
+                         std::min<int64_t>(f.max_len, 64), vals);
     if (f.kind == kHash) {
       // per-slot cap = pack_budget for multivalue slots (pipeline.py parity)
       int cap = f.max_len == 1 ? 1 : static_cast<int>(plan.pack_budget);
@@ -997,6 +1006,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
       continue;
     }
     // sharded window plans: per-shard localized streams + window tiles
+    if (rows % n_shards) return -2;  // same loud guard as the scat pass
     const int64_t shard_rows = rows / n_shards;
     const int64_t cap = shard_cap(n, n_shards);
     const int64_t nt_w = window_n_tiles(shard_rows);
@@ -1070,6 +1080,7 @@ int64_t wdt_transform(void* plan_ptr, const char* text, int64_t text_len,
         return -3;  // compact ranks out of range: impossible unless bug
       continue;
     }
+    if (rows % n_shards) return -2;  // same loud guard as the scat pass
     const int64_t shard_rows = rows / n_shards;
     const int64_t cap = shard_cap(n, n_shards);
     const int64_t nt = n_tiles_for(cap, cap);

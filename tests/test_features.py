@@ -92,13 +92,6 @@ class TestPlan:
         names = [s.name for g in plan.groups for s in g.slots]
         assert len(names) == len(set(names)) == 16 + 31
 
-    def test_segment_matrix(self, plan):
-        g = plan.groups[0]
-        seg = g.segment_matrix()
-        assert seg.shape == (g.total_len, len(g.slots))
-        assert (seg.sum(axis=1) == 1).all()  # every column belongs to one feature
-
-
 class TestPipeline:
     def test_fixture_batch(self, plan, fixture_rows):
         tr = FeatureTransformer(plan)

@@ -81,3 +81,57 @@ def test_fuzz_text_path_no_crash(plan):
         a = np.asarray(v)
         if np.issubdtype(a.dtype, np.floating):
             assert np.isfinite(a).all(), k
+
+
+def test_duplicate_vocab_entry_parity(small_config, tmp_path):
+    """A DUPLICATE vocab value must resolve to its LAST index on both
+    loaders (Python dict comprehension semantics) — the C++ map
+    previously kept the FIRST (emplace), silently skewing indicator ids
+    between the native trainer and Python-path consumers."""
+    import shutil
+
+    from wide_deep_tpu.config import Config
+    from wide_deep_tpu.features import native
+    from wide_deep_tpu.features.pipeline import FeatureTransformer
+    from wide_deep_tpu.features.plan import FeaturePlan
+    if not native.NativeTransformer.available():
+        pytest.skip("native lib not built")
+    conf2 = tmp_path / "conf"
+    shutil.copytree(small_config.conf_dir, conf2)
+    feat = (conf2 / "feature.yaml").read_text()
+    assert "parameter: [0, 1, 2, 3, 4, 5]}" in feat  # the os vocab
+    feat = feat.replace(
+        "os:                 {type: category, transform: vocab, "
+        "parameter: [0, 1, 2, 3, 4, 5]}",
+        "os:                 {type: category, transform: vocab, "
+        "parameter: [0, 1, 2, 0, 4, 5]}")  # '0' duplicated at index 3
+    (conf2 / "feature.yaml").write_text(feat)
+    plan = FeaturePlan(Config(str(conf2)))
+    from paths import UNIT_FIXTURE
+    with open(UNIT_FIXTURE) as f:
+        rows = [l.rstrip("\n").split("\t") for l in f if l.strip()]
+    col = plan.column_index["os"]
+    for r in rows:
+        r[col] = "0"  # every row hits the duplicated value
+    py = FeatureTransformer(plan).transform(rows, 16)
+    nat = native.NativeTransformer(plan).transform(rows, 16)
+    for k in py:
+        np.testing.assert_array_equal(np.asarray(py[k]),
+                                      np.asarray(nat[k]), err_msg=k)
+
+
+def test_max_len_cap_rejected_at_config(small_config, tmp_path):
+    """max_len > 64 overflows the native loader's fixed split buffer —
+    must be rejected at config-parse time."""
+    import shutil
+
+    from wide_deep_tpu.config import Config, ConfigError
+    conf2 = tmp_path / "conf"
+    shutil.copytree(small_config.conf_dir, conf2)
+    feat = (conf2 / "feature.yaml").read_text()
+    assert "max_len" in feat
+    import re
+    feat = re.sub(r"max_len: \d+", "max_len: 100", feat, count=1)
+    (conf2 / "feature.yaml").write_text(feat)
+    with pytest.raises(ConfigError, match="max_len must be <= 64"):
+        Config(str(conf2)).read_feature_conf()

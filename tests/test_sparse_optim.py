@@ -252,7 +252,6 @@ class TestCompactPath:
                                                  make_train_step)
 
         monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
-        monkeypatch.setattr(sparse_lib, "SPARSE_ID_FACTOR", 0)
         plan = FeaturePlan(small_config, fold=False, sparse_opt=True)
         model = build_model(small_config, plan=plan, model_type="wide_deep")
         tr = FeatureTransformer(plan)
@@ -319,7 +318,6 @@ class TestDeferredFused:
                                                  make_train_step)
 
         monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
-        monkeypatch.setattr(sparse_lib, "SPARSE_ID_FACTOR", 0)
         plan = FeaturePlan(small_config, fold=False, sparse_opt=True)
         model = build_model(small_config, plan=plan, model_type="wide_deep")
         batch = {k: jnp.asarray(v) for k, v in FeatureTransformer(
@@ -382,7 +380,6 @@ class TestDeferredFused:
                                                  make_train_step)
 
         monkeypatch.setattr(sparse_lib, "SPARSE_MIN_ROWS", 1)
-        monkeypatch.setattr(sparse_lib, "SPARSE_ID_FACTOR", 0)
         plan = FeaturePlan(small_config, fold=False, sparse_opt=True)
         model = build_model(small_config, plan=plan, model_type="wide_deep")
         batch = {k: jnp.asarray(v) for k, v in FeatureTransformer(

@@ -272,6 +272,13 @@ class Config:
             max_len = conf.get("max_len", 1)
             if not isinstance(max_len, int) or max_len < 1:
                 raise ConfigError(f"{where}: max_len must be a positive int")
+            if max_len > 64:
+                # hard contract with the native loader's fixed per-cell
+                # split buffer (cpp/fastdata.cc View vals[64]) — reject at
+                # config time instead of overflowing a worker stack
+                raise ConfigError(
+                    f"{where}: max_len must be <= 64 (native loader "
+                    f"split-buffer contract), got {max_len}")
             if ftype == "continuous" and max_len != 1:
                 raise ConfigError(f"{where}: continuous features are scalar")
             emb_dim = conf.get("embedding_dim")

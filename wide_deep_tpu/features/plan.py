@@ -128,13 +128,6 @@ class DimGroup:
     folded: bool = False  # wide weights for this group's slots ride the fused
                           # table as trailing column(s)
 
-    def segment_matrix(self) -> np.ndarray:
-        """Static [Lg, Fg] 0/1 matrix mapping id columns to features."""
-        seg = np.zeros((self.total_len, len(self.slots)), dtype=np.float32)
-        for s in self.slots:
-            seg[s.col_offset:s.col_offset + s.max_len, s.index] = 1.0
-        return seg
-
 
 @dataclasses.dataclass(frozen=True)
 class IndicatorSlot:
@@ -434,6 +427,12 @@ class FeaturePlan:
                 and n_ids >= PALLAS_SCATTER_MIN_IDS
                 and n_ids * 16 >= g.rows):
             return False
+        # sparse-optimizer groups stop-gradient their table (the compact
+        # '_sparse_rows' sink carries the cotangent, models/deep.py), so
+        # a range plan for them would be built and shipped every batch
+        # but never consumed
+        if self.sparse_opt_group(g, batch_size):
+            return False
         if self.scatter_shards > 1:
             return (self.shard_kind == "scatter"
                     and g.rows % self.scatter_shards == 0
@@ -468,12 +467,14 @@ class FeaturePlan:
         n_ids = batch_size * self.group_packed_len[g.dim]
         if n_ids < PALLAS_WINDOW_MIN_IDS:
             return False
+        if self.sparse_opt_group(g, batch_size):
+            return False  # stop-gradded table: the plan would never run
         if self.scatter_shards > 1:
             return (self.shard_kind == "scatter"
                     and g.rows % self.scatter_shards == 0
                     and g.rows * g.dim
                     >= self.shard_threshold * self.scatter_shards)
-        return not self.sparse_opt_group(g, batch_size)
+        return True
 
     def sparse_opt_group(self, g: "DimGroup", batch_size: int = 0) -> bool:
         """Whether this dim group carries the fused touched-rows optimizer

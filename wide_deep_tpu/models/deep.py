@@ -262,6 +262,14 @@ def _fused_gather_split_bwd(res, cts):
                                                apply_window_plan)
         D = table.shape[1]
         n = fcol.shape[1]
+        # DELIBERATE precision divergence from the unplanned path: with a
+        # bf16 table the kernel accumulates the folded WIDE columns'
+        # duplicate-id sums in bf16 (table dtype), while the unplanned
+        # XLA path sums d_fcol in f32.  Accumulating in f32 here was
+        # measured at +1.5 ms/step (33.6-33.7 vs 32.0 ms, round 5 — the
+        # f32 grad stream doubles the kernel's slab bytes), and the bf16
+        # behavior has held every quality bar since round 2 (PARITY.md
+        # on-chip AUC/logloss runs all trained through this path).
         g = jnp.concatenate(
             [ct_emb.reshape(-1, D).astype(table.dtype),
              ct_wide.reshape(-1, n).astype(table.dtype)], axis=1)

@@ -46,9 +46,11 @@ SparseApplyProximalAdagrad, whose dense form shrinks untouched rows every
 step while the sparse form (and the reference) does not.  Enabled by
 train.yaml ``sparse_optimizer`` (default true; single-process meshes).
 
-Eligibility (plan_sparse_tables, when enabled): embed dim-group tables with
-rows >= SPARSE_MIN_ROWS and ids-per-step * SPARSE_ID_FACTOR <= rows.  On
-the production config this selects exactly the unfolded 10M-row dim-32
+Eligibility (plan_sparse_tables, when enabled): unfolded embed dim-group
+tables with rows >= SPARSE_MIN_ROWS whose fused layout fits FUSED_WIDTH
+(plan.sparse_opt_group — DELIBERATELY batch-size independent, because the
+decision also fixes the PARAM LAYOUT and init/train/eval/pred must agree).
+On the production config this selects exactly the unfolded 10M-row dim-32
 table.
 """
 
@@ -63,7 +65,6 @@ import jax.numpy as jnp
 from wide_deep_tpu.optim import ScalarOrSchedule, _lr_at, exponential_decay
 
 SPARSE_MIN_ROWS = 1 << 22      # tables smaller than this sweep faster densely
-SPARSE_ID_FACTOR = 64          # require ids * factor <= rows
 
 SPARSE_CAPABLE = ("Adagrad", "ProximalAdagrad", "Ftrl", "SGD")
 
@@ -267,6 +268,17 @@ def _row_update(spec: Dict[str, Any], lr, w: jnp.ndarray, g: jnp.ndarray,
         prox = w - adj * g
         w_new = (jnp.sign(prox) * jnp.maximum(jnp.abs(prox) - adj * l1, 0.0)
                  / (1.0 + adj * l2))
+        # exact-zero-grad rows stay untouched: compact plans include the
+        # packed-pool PADDING id (row 0, weight 0 -> g exactly 0), and
+        # unlike Adagrad/FTRL/SGD the proximal shrink is NOT a zero-grad
+        # fixed point — without this mask row 0 would shrink every batch
+        # it is never actually referenced in, diverging from the
+        # reference's SparseApplyProximalAdagrad (whose sparse indices
+        # never contained padding).  A real row whose true gradient is
+        # exactly 0.0 in every lane also skips its shrink — a
+        # measure-zero event accepted for the padding correctness.
+        w_new = jnp.where(jnp.all(g == 0.0, axis=-1, keepdims=True),
+                          w, w_new)
         new_slots["accum"] = n2
     elif name == "Ftrl":
         l1 = spec.get("l1_regularization_strength", 0.0)
