@@ -148,3 +148,50 @@ class TestJointWithCnn:
         loss, _ = model.loss_fn(params, state, batch, training=True,
                                 rng=jax.random.PRNGKey(1))
         assert np.isfinite(float(loss))
+
+
+class TestCodecEdgeCases:
+    """TFRecord proto codec edges found by review round 5."""
+
+    def test_negative_int64_roundtrip(self):
+        """-1 must encode as the 10-byte two's-complement varint and
+        decode back SIGNED (the raw shift loop hung forever; the raw
+        decode returned 2**64-1, overflowing np.int64)."""
+        ser = tfrecord.serialize_example({"label": [-1, -7, 3]})
+        ex = tfrecord.parse_example(ser)
+        assert ex["label"] == [-1, -7, 3]
+        import numpy as np
+        assert np.array(ex["label"], np.int64).tolist() == [-1, -7, 3]
+
+    def test_np_float32_values_stay_float(self):
+        """np.float32 is not a Python float subclass — the old isinstance
+        sniff silently truncated [0.7, 1.9] to ints [0, 1]."""
+        import numpy as np
+        vals = list(np.asarray([0.7, 1.9], np.float32))
+        ex = tfrecord.parse_example(
+            tfrecord.serialize_example({"x": vals}))
+        np.testing.assert_allclose(ex["x"], [0.7, 1.9], rtol=1e-6)
+
+    def test_truncated_record_raises(self, tmp_path):
+        """A file cut mid-record must raise (reference DataLossError
+        parity), not silently drop the dataset's tail."""
+        path = str(tmp_path / "t.tfrecords")
+        tfrecord.write_records(
+            path, iter([b"payload-one", b"payload-two"]))
+        whole = open(path, "rb").read()
+        cut = str(tmp_path / "cut.tfrecords")
+        with open(cut, "wb") as f:
+            f.write(whole[:-7])  # cut inside record 2
+        with pytest.raises(IOError, match="truncated"):
+            list(tfrecord.read_records(cut))
+
+    def test_record_offsets_random_access(self, tmp_path):
+        payloads = [b"a" * 5, b"bb" * 9, b"c"]
+        path = str(tmp_path / "r.tfrecords")
+        tfrecord.write_records(path, iter(payloads))
+        offs = tfrecord.record_offsets(path)
+        assert len(offs) == 3
+        with open(path, "rb") as f:
+            # random access in arbitrary order matches the payloads
+            for k in (2, 0, 1):
+                assert tfrecord.read_record_at(f, *offs[k]) == payloads[k]

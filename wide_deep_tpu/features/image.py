@@ -169,25 +169,67 @@ class ImageDataset:
 
 class ImageCsvDataset:
     """CSV + image streams composed into one batch dict (module input_fn
-    parity, dataset.py:293-310); the image tensor cycles if shorter."""
+    parity, dataset.py:293-310).
+
+    Pairing is BY ROW INDEX, not by praying two independently-shuffled
+    streams stay in step: the reference aligned csv row k with image
+    record k through matching tf.data shuffle seeds (dataset.py:270-274)
+    — a contract that silently breaks under sharding, malformed-row
+    skipping, epoch reseeding, or any shuffle-algorithm difference.
+    Here the csv dataset reports each batch row's ORIGINAL file index
+    (CsvDataset.iter_with_indices) and the image for row k is record
+    ``k % n_records``, random-accessed through a one-pass offset index
+    (features/tfrecord.record_offsets) — exact under every row
+    reordering, and the shorter-image-set cycling is exact modular
+    arithmetic instead of stream restarts.  Train-time augmentation is
+    seeded per (seed, epoch, row index), so it stays deterministic AND
+    redraws across epochs."""
 
     def __init__(self, plan: FeaturePlan, csv_file: str, img_file: str,
                  mode: str, batch_size: int,
                  height: int = 224, width: int = 224, channels: int = 3,
-                 preprocess: Optional[str] = None, **csv_kwargs):
+                 preprocess: Optional[str] = None,
+                 channels_first: bool = False, **csv_kwargs):
+        if preprocess not in (None, "custom", "vgg"):
+            raise ValueError(f"bad preprocess {preprocess}")
         self.csv = CsvDataset(plan, csv_file, mode, batch_size, **csv_kwargs)
-        self.img = ImageDataset(
-            img_file, mode, batch_size, height, width, channels, preprocess,
-            shuffle_buffer=csv_kwargs.get("shuffle_buffer", 10000),
-            seed=csv_kwargs.get("seed", 123))
+        self.img_file = img_file
+        self.mode = mode
+        self.batch_size = batch_size
+        self.h, self.w, self.c = height, width, channels
+        self.preprocess = preprocess
+        self.channels_first = channels_first
+        self.seed = csv_kwargs.get("seed", 123)
+        self.offsets = tfrecord.record_offsets(img_file)
+        if not self.offsets:
+            raise ValueError(f"no image records in {img_file}")
+        self._epoch = 0
+
+    def _image_at(self, row_idx: int, f, rng) -> np.ndarray:
+        off, length = self.offsets[row_idx % len(self.offsets)]
+        payload = tfrecord.read_record_at(f, off, length)
+        img = decode_raw_image(payload, self.h, self.w, self.c,
+                               self.channels_first)
+        training = self.mode == "train"
+        if self.preprocess == "custom":
+            img = preprocess_custom(img, rng, training)
+        elif self.preprocess == "vgg":
+            img = preprocess_vgg(img, rng, training, self.h, self.w)
+        return img
 
     def __iter__(self) -> Iterator[Batch]:
-        img_iter = iter(self.img)
-        for batch in self.csv:
-            try:
-                images = next(img_iter)
-            except StopIteration:
-                img_iter = iter(self.img)
-                images = next(img_iter)
-            batch["image"] = images
-            yield batch
+        from wide_deep_tpu.features import fs
+        epoch = self._epoch
+        self._epoch += 1
+        with fs.open_bytes(self.img_file) as f:
+            for batch, idxs in self.csv.iter_with_indices():
+                images = np.zeros((self.batch_size, self.h, self.w, self.c),
+                                  np.float32)
+                for j, idx in enumerate(idxs):
+                    if idx < 0:
+                        continue  # padding row of a partial final batch
+                    rng = np.random.default_rng(
+                        [self.seed, epoch, int(idx)])
+                    images[j] = self._image_at(int(idx), f, rng)
+                batch["image"] = images
+                yield batch

@@ -396,7 +396,10 @@ class CsvDataset:
         self._n_cols = len(plan.columns)
         self._epoch = 0
 
-    def _raw_lines(self) -> Iterator[str]:
+    def _raw_lines_indexed(self) -> Iterator[tuple]:
+        """(original_row_index, line): the index counts non-empty lines
+        across the file list BEFORE sharding — the coordinate that pairs
+        csv row k with image record k (features/image.ImageCsvDataset)."""
         from wide_deep_tpu.features import fs
         idx = 0
         for path in self.files:
@@ -406,14 +409,18 @@ class CsvDataset:
                     if not line:
                         continue
                     if idx % self.num_shards == self.shard_index:
-                        yield line
+                        yield idx, line
                     idx += 1
 
-    def _rows(self) -> Iterator[List[str]]:
+    def _raw_lines(self) -> Iterator[str]:
+        for _, line in self._raw_lines_indexed():
+            yield line
+
+    def _rows_indexed(self) -> Iterator[tuple]:
         expect = self._n_cols
         has_label = self.mode != "pred"
         expect_nolabel = expect - 1
-        for line in self._raw_lines():
+        for idx, line in self._raw_lines_indexed():
             cells = line.split("\t")
             if has_label:
                 if len(cells) != expect:
@@ -424,6 +431,10 @@ class CsvDataset:
                     cells = [""] + cells
                 elif len(cells) != expect:
                     continue
+            yield idx, cells
+
+    def _rows(self) -> Iterator[List[str]]:
+        for _, cells in self._rows_indexed():
             yield cells
 
     # files whose total size fits this slurp into memory for the
@@ -492,10 +503,14 @@ class CsvDataset:
         fid = np.concatenate(fids)
         st = np.concatenate(sts)
         en = np.concatenate(ens)
+        # original row index (pre-shard, file order) — the image-pairing
+        # coordinate; definition matches _raw_lines_indexed
+        orig = np.arange(fid.size, dtype=np.int64)
         if self.num_shards > 1:
             fid = fid[self.shard_index::self.num_shards]
             st = st[self.shard_index::self.num_shards]
             en = en[self.shard_index::self.num_shards]
+            orig = orig[self.shard_index::self.num_shards]
         n = fid.size
         if self.shuffle_buffer > 1 and n:
             rng = np.random.default_rng(self.seed + self._epoch)
@@ -524,20 +539,37 @@ class CsvDataset:
                 return
             text = b"\n".join(
                 blobs[fid[i]][st[i]:en[i]] for i in idx)
-            yield self.transformer.transform_text(
+            batch = self.transformer.transform_text(
                 text, int(idx.size), B, self.mode)
+            orig_idx = np.full(B, -1, np.int64)
+            orig_idx[:idx.size] = orig[idx]
+            yield batch, orig_idx
 
     def __iter__(self) -> Iterator[Batch]:
+        for batch, _ in self._iter_impl():
+            yield batch
+
+    def iter_with_indices(self) -> Iterator[tuple]:
+        """(batch, original_row_indices[int64 batch_size]) — indices count
+        non-empty lines across the file list before sharding (-1 for the
+        padding rows of a partial final batch).  The deterministic
+        coordinate features/image.ImageCsvDataset uses to pair each row
+        with ITS image record, immune to shuffle-order, sharding,
+        epoch-seed and fast-vs-streaming-path differences."""
+        yield from self._iter_impl()
+
+    def _iter_impl(self) -> Iterator[tuple]:
         if self._fast_path_ok():
             yield from self._iter_native_fast()
             return
-        rows = self._raw_lines() if self._native else self._rows()
+        pairs = (self._raw_lines_indexed() if self._native
+                 else self._rows_indexed())
         if self.shuffle_buffer > 1:
             rng = np.random.default_rng(self.seed + self._epoch)
             self._epoch += 1
             buf: List = []
             def shuffled():
-                for r in rows:
+                for r in pairs:
                     buf.append(r)
                     if len(buf) >= self.shuffle_buffer:
                         j = rng.integers(len(buf))
@@ -547,15 +579,22 @@ class CsvDataset:
                     yield buf[j]
             source = shuffled()
         else:
-            source = rows
+            source = pairs
         chunk: List = []
-        for r in source:
+        idxs: List[int] = []
+        for idx, r in source:
             chunk.append(r)
+            idxs.append(idx)
             if len(chunk) == self.batch_size:
-                yield self._emit(chunk)
-                chunk = []
+                yield self._emit(chunk), self._pad_idxs(idxs)
+                chunk, idxs = [], []
         if chunk and not self.drop_remainder:
-            yield self._emit(chunk)
+            yield self._emit(chunk), self._pad_idxs(idxs)
+
+    def _pad_idxs(self, idxs: List[int]) -> np.ndarray:
+        out = np.full(self.batch_size, -1, np.int64)
+        out[:len(idxs)] = idxs
+        return out
 
     def _emit(self, chunk: List) -> Batch:
         if self._native:

@@ -59,13 +59,23 @@ def read_records(path: str, verify: bool = False) -> Iterator[bytes]:
     with fs.open_bytes(path) as f:
         while True:
             header = f.read(12)
+            if not header:
+                return  # clean EOF on a record boundary
             if len(header) < 12:
-                return
+                raise IOError(
+                    f"{path}: truncated record header ({len(header)} of "
+                    f"12 bytes) — file cut mid-record")
             (length,) = struct.unpack("<Q", header[:8])
             payload = f.read(length)
             crc = f.read(4)
             if len(payload) < length or len(crc) < 4:
-                return
+                # the reference reader raised DataLossError here; silently
+                # treating it as EOF would drop the dataset's tail with no
+                # signal (partial copy, disk-full write)
+                raise IOError(
+                    f"{path}: truncated record payload "
+                    f"({len(payload)}/{length} bytes) — file cut "
+                    f"mid-record")
             if verify:
                 (want,) = struct.unpack("<I", header[8:12])
                 if masked_crc(header[:8]) != want:
@@ -89,7 +99,44 @@ def write_records(path: str, payloads: Iterator[bytes]) -> int:
     return n
 
 
+def record_offsets(path: str):
+    """One header-only pass -> [(payload_offset, length), ...] enabling
+    RANDOM ACCESS into a TFRecord file (features/image.ImageCsvDataset
+    pairs image k with csv row k by index instead of praying two
+    independent shuffles agree)."""
+    out = []
+    from wide_deep_tpu.features import fs
+    with fs.open_bytes(path) as f:
+        pos = 0
+        while True:
+            header = f.read(12)
+            if not header:
+                return out
+            if len(header) < 12:
+                raise IOError(f"{path}: truncated record header")
+            (length,) = struct.unpack("<Q", header[:8])
+            out.append((pos + 12, length))
+            pos += 12 + length + 4
+            f.seek(pos)
+
+
+def read_record_at(f, offset: int, length: int) -> bytes:
+    """Read one record payload from an open binary file by
+    record_offsets() coordinates."""
+    f.seek(offset)
+    payload = f.read(length)
+    if len(payload) < length:
+        raise IOError("truncated record payload")
+    return payload
+
+
 # --------------------------------------------------------------- proto codec
+def _to_signed64(v: int) -> int:
+    """Varints are unsigned on the wire; Int64List values are SIGNED —
+    without this, -1 decodes as 2**64-1 (np.int64 conversion overflows)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _read_varint(buf: bytes, pos: int):
     result = shift = 0
     while True:
@@ -102,6 +149,11 @@ def _read_varint(buf: bytes, pos: int):
 
 
 def _write_varint(out: bytearray, value: int):
+    # negative ints encode as 64-bit two's complement (the 10-byte proto
+    # varint) — Python's arithmetic right shift on a negative value never
+    # reaches 0, so the raw loop would spin forever on e.g. label -1
+    if value < 0:
+        value &= (1 << 64) - 1
     while True:
         b = value & 0x7F
         value >>= 7
@@ -178,10 +230,10 @@ def _parse_feature(buf: bytes) -> FeatureValue:
                     end = sp + ln
                     while sp < end:
                         v, sp = _read_varint(sub, sp)
-                        vals_i.append(v)
+                        vals_i.append(_to_signed64(v))
                 elif t >> 3 == 1 and t & 7 == 0:
                     v, sp = _read_varint(sub, sp)
-                    vals_i.append(v)
+                    vals_i.append(_to_signed64(v))
                 else:
                     sp = _skip_field(sub, sp, t & 7)
             return vals_i
@@ -231,6 +283,7 @@ def parse_example(payload: bytes) -> Dict[str, FeatureValue]:
 
 def _encode_feature(value: FeatureValue) -> bytes:
     body = bytearray()
+    import numpy as np
     if value and isinstance(value[0], bytes):
         sub = bytearray()
         for b in value:
@@ -238,7 +291,9 @@ def _encode_feature(value: FeatureValue) -> bytes:
             _write_varint(sub, len(b))
             sub += b
         body.append(0x0A)
-    elif value and isinstance(value[0], float):
+    elif value and isinstance(value[0], (float, np.floating)):
+        # np.floating matters: np.float32 is NOT a subclass of float, and
+        # the int fallthrough would silently truncate 0.7 -> 0
         sub = bytearray()
         sub.append(0x0A)
         packed = struct.pack(f"<{len(value)}f", *value)

@@ -164,15 +164,32 @@ def opt_state_shardings(mesh: Mesh, params: Any, param_shards: Any,
     replicated.
     """
     sharded_shapes = set()
+    replicated_shapes = set()
     for p_leaf, s_leaf in zip(jax.tree.leaves(params),
                               jax.tree.leaves(param_shards)):
         spec = getattr(s_leaf, "spec", None)  # SingleDeviceSharding has none
-        if spec and spec != (None,):  # has a sharded dim
-            if any(ax is not None for ax in spec):
-                sharded_shapes.add(p_leaf.shape)
+        if spec and spec != (None,) and any(ax is not None for ax in spec):
+            sharded_shapes.add(p_leaf.shape)
+        else:
+            replicated_shapes.add(p_leaf.shape)
+    # shape matching is a heuristic (optax state trees don't expose which
+    # param a slot mirrors): a shape used by BOTH a row-sharded table and
+    # a replicated param is AMBIGUOUS — shard it and the replicated
+    # param's slot gets a layout its param doesn't have (permanent
+    # reshard traffic every step).  Replication is always correct, so
+    # ambiguity resolves to replicated, at the cost of that one table's
+    # slot memory.
+    ambiguous = sharded_shapes & replicated_shapes
+    if ambiguous:
+        import logging
+        logging.getLogger("wide_deep_tpu.mesh").warning(
+            "optimizer-slot sharding: shapes %s are used by both sharded "
+            "and replicated params; their slots stay replicated",
+            sorted(ambiguous))
+    effective = sharded_shapes - ambiguous
 
     def rule(leaf):
-        if getattr(leaf, "shape", None) in sharded_shapes:
+        if getattr(leaf, "shape", None) in effective:
             return row_sharded(mesh)
         return replicated(mesh)
 

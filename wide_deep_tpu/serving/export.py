@@ -49,9 +49,20 @@ def export_savedmodel(config: Config, export_dir: str,
     from wide_deep_tpu.features.plan import fold_enabled
     # prefer the plan decisions recorded at training time (plan_meta.json in
     # the checkpoint dir) over re-deriving them — `pack_budget: auto` could
-    # otherwise resolve differently against rotated data (train/serve skew)
-    meta = load_plan_meta(os.path.join(
-        model_dir or config.train["model_dir"], model_type))
+    # otherwise resolve differently against rotated data (train/serve skew).
+    # An EXPLICIT checkpoint_path may point at a different run than
+    # config.train['model_dir']: its OWN plan meta (next to the checkpoint
+    # steps) is authoritative — the configured dir's meta could describe a
+    # different fold/pack decision than the restored params were trained
+    # with.
+    meta = None
+    if checkpoint_path:
+        from wide_deep_tpu.training.loop import resolve_checkpoint
+        ckpt_meta_dir, _ = resolve_checkpoint(checkpoint_path)
+        meta = load_plan_meta(ckpt_meta_dir)
+    if meta is None:
+        meta = load_plan_meta(os.path.join(
+            model_dir or config.train["model_dir"], model_type))
     plan = FeaturePlan(
         config,
         fold=(meta["fold"] if meta else fold_enabled(config, model_type)),

@@ -60,6 +60,14 @@ def decode_response(payload: bytes) -> Dict[str, Any]:
 
 # ----------------------------------------------------------------- TCP frame
 def send_frame(sock: socket.socket, payload: bytes) -> None:
+    # enforce the receiver's bound HERE: an oversized frame would be
+    # dropped by the peer's recv_frame with no actionable client-side
+    # error (and a >= 4 GiB payload would die in struct.pack mid-send,
+    # desyncing the stream)
+    if len(payload) > MAX_FRAME:
+        raise ValueError(
+            f"frame of {len(payload)} bytes exceeds MAX_FRAME "
+            f"({MAX_FRAME}); split the request into smaller batches")
     sock.sendall(MAGIC + struct.pack("<I", len(payload)) + payload)
 
 
