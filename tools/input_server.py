@@ -67,7 +67,7 @@ def main():
     plan, _, _ = build_training_plan(
         config, train_conf, args.model_type, args.n_devices,
         n_procs=args.n_procs, global_batch_input=True)
-    seed = int(config.runconfig.get("tf_random_seed") or 123)
+    seed = int(config.runconfig["tf_random_seed"])
     transformer = default_transformer(
         plan, args.n_classes,
         pos_weight=train_conf.get("pos_sample_loss_weight"),

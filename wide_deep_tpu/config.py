@@ -518,7 +518,11 @@ class Config:
         section = dict(raw.get("runconfig") or {})
         where = "train.yaml[runconfig]"
         out = {}
-        out["tf_random_seed"] = int(section.get("tf_random_seed") or 123)
+        # explicit None check: tf_random_seed: 0 is a legal pinned seed
+        # and must not silently become the 123 default (falsy-zero class)
+        raw_seed = section.get("tf_random_seed")
+        out["tf_random_seed"] = int(123 if raw_seed in (None, "")
+                                    else raw_seed)
         out["save_summary_steps"] = int(section.get("save_summary_steps") or 100)
         steps = section.get("save_checkpoints_steps")
         secs = section.get("save_checkpoints_secs")

@@ -11,6 +11,7 @@ while the execution model underneath is the jit'd SPMD step.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Iterator, List, Optional
 
 from wide_deep_tpu.config import Config
@@ -47,7 +48,7 @@ class _EstimatorBase:
                           as_text: bool = False) -> str:
         from wide_deep_tpu.serving.export import export_savedmodel
         self._trainer.save()
-        base = self._trainer.model_dir[:-len(self._trainer.model_type) - 1]
+        base = os.path.dirname(self._trainer.model_dir)
         return export_savedmodel(
             self._trainer.config, export_dir,
             model_type=self._trainer.model_type,
@@ -121,12 +122,12 @@ def build_estimator(model_dir: str, model_type: str,
     """Canned-defaults construction (reference build_estimator.py:201-261):
     wide -> FTRL(lr=min(0.005, 1/sqrt(n_wide_columns)), l1=.5, l2=1);
     deep -> ProximalAdagrad(lr=.1, l1=.1, l2=.1); wide_deep -> both."""
-    import math
+    from wide_deep_tpu.optim import linear_learning_rate
 
     config = config or Config()
     n_wide_cols = (len(config.read_feature_conf())
                    + len(config.read_cross_feature_conf()))
-    wide_lr = min(0.005, 1.0 / math.sqrt(max(n_wide_cols, 1)))
+    wide_lr = linear_learning_rate(n_wide_cols)
     overrides = {
         "linear_optimizer": {
             "name": "Ftrl", "learning_rate": wide_lr,

@@ -169,7 +169,11 @@ class NativeTransformer:
 
     def transform_text(self, text: bytes, n_rows_hint: int, batch_size: int,
                        mode: str = "train") -> Dict[str, np.ndarray]:
-        """Pack a buffer of raw TSV lines into a Batch (fixed batch_size)."""
+        """Pack a buffer of raw TSV lines into a Batch (fixed batch_size).
+
+        ``n_rows_hint`` is accepted for call-site symmetry but unused:
+        the C++ pass-1 line splitter sizes everything itself and rows
+        beyond ``batch_size`` are an error it reports."""
         plan = self.plan
         B = batch_size
         out: Dict[str, np.ndarray] = {
@@ -288,7 +292,11 @@ class NativeTransformer:
         n = self._lib.wdt_transform(
             self._plan_handle, text, len(text), B, has_label,
             1 if self.n_classes > 2 else 0,
-            float(self.pos_weight or 1.0), float(self.neg_weight or 1.0),
+            # explicit None check, not `or`: pos_sample_loss_weight: 0 is
+            # a legal "zero this class out" config and must not coerce to
+            # 1.0 (the Python path writes 0.0 — bit-identical contract)
+            float(1.0 if self.pos_weight is None else self.pos_weight),
+            float(1.0 if self.neg_weight is None else self.neg_weight),
             1 if self.weighted else 0, self.n_threads, scat_mask,
             window_mask, sopt_mask, dedup_mask, caps_arr, ptrs)
         if n == -4:

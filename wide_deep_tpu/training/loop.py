@@ -159,7 +159,7 @@ class Trainer:
         self.runconfig = self.config.runconfig
         self.batch_size = int(self.train_conf["batch_size"])
         self.n_classes = n_classes
-        self.seed = int(self.runconfig.get("tf_random_seed") or 123)
+        self.seed = int(self.runconfig["tf_random_seed"])
 
         self.mesh = mesh if mesh is not None else mesh_lib.mesh_from_config(
             self.config)
@@ -279,9 +279,17 @@ class Trainer:
         self._ckpt = CheckpointManager(self.model_dir, self.runconfig)
         if jax.process_index() == 0:
             # record resolved plan decisions (auto pack_budget, fold) so
-            # export uses the training-time values (features/analyze.py)
-            from wide_deep_tpu.features.analyze import save_plan_meta
-            save_plan_meta(self.model_dir, self.plan)
+            # export uses the training-time values (features/analyze.py).
+            # WRITE-ONCE: eval/predict also pass through here, and their
+            # plan (e.g. `auto` re-resolved against rotated data, or a CLI
+            # override) may differ from the one the checkpointed params
+            # were trained with — overwriting would hand export exactly
+            # the train/serve skew this record exists to prevent.  A fresh
+            # (keep_train=0, wiped dir) run writes a fresh record.
+            from wide_deep_tpu.features.analyze import (load_plan_meta,
+                                                        save_plan_meta)
+            if load_plan_meta(self.model_dir) is None:
+                save_plan_meta(self.model_dir, self.plan)
         if restore:
             restored = self._restore_tree(self._ckpt)
             if restored is not None:
@@ -309,13 +317,23 @@ class Trainer:
         from wide_deep_tpu.optim.sparse import expand_fused_ckpt
         try:
             restored = mgr.restore(self._ckpt_tree(), step=step)
-        except Exception:
+        except Exception as compact_err:  # noqa: BLE001 — see below
             if not any(t.fused for t in self.sparse_tables.values()):
                 raise
-            restored = mgr.restore(
-                {"params": self.params, "mstate": self.mstate,
-                 "opt_state": self.opt_state, "step": self.global_step},
-                step=step)
+            # legacy fallback: checkpoints written before the compact
+            # fused layout restore with full-width tables.  If THAT also
+            # fails, the original (compact-layout) error is the one worth
+            # debugging — a transient/corrupt-checkpoint failure must not
+            # be masked by a confusing second tree-structure mismatch.
+            log.warning("compact-layout restore failed (%s); retrying "
+                        "with the legacy full-width layout", compact_err)
+            try:
+                restored = mgr.restore(
+                    {"params": self.params, "mstate": self.mstate,
+                     "opt_state": self.opt_state, "step": self.global_step},
+                    step=step)
+            except Exception as legacy_err:
+                raise legacy_err from compact_err
         if restored is not None:
             restored["params"] = expand_fused_ckpt(
                 restored["params"], self.sparse_tables, self.params)
@@ -688,7 +706,19 @@ class Trainer:
     def predict(self, data_path: Optional[str] = None,
                 checkpoint_path: Optional[str] = None
                 ) -> Iterator[Dict[str, Any]]:
-        """Streaming per-example predictions (pred.py:65-74 parity)."""
+        """Streaming per-example predictions (pred.py:65-74 parity).
+
+        Single-process only, like the reference's pred.py: the streaming
+        per-example yield cannot participate in a multi-host SPMD program
+        (process-local batches against globally-sharded params, and no
+        batch-count sync).  Distributed metrics go through ``evaluate``;
+        bulk scoring goes through serving."""
+        if jax.process_count() > 1:
+            raise ValueError(
+                "predict() runs single-process (the reference's pred.py "
+                "likewise); run tools/pred.py on one host against the "
+                "checkpoint, use evaluate() for distributed metrics, or "
+                "serve the exported bundle for bulk scoring")
         self.ensure_initialized()
         if checkpoint_path:
             self._restore_pinned(checkpoint_path)
