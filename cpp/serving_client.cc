@@ -213,6 +213,12 @@ int main(int argc, char** argv) {
   }
   uint32_t rlen;
   std::memcpy(&rlen, rheader + 4, 4);
+  // MAX_FRAME parity with serving/protocol.py: a bogus/desynced length
+  // would otherwise attempt a ~4 GiB allocation and hang in recv_all
+  if (rlen > (64u << 20)) {
+    std::cerr << "response frame too large (" << rlen << " bytes)\n";
+    return 1;
+  }
   std::string resp(rlen, '\0');
   if (!recv_all(fd, resp.data(), rlen)) {
     std::cerr << "recv failed\n";
@@ -229,7 +235,10 @@ int main(int argc, char** argv) {
   }
   for (size_t i = 0; i < scores.size(); ++i) {
     int cid = i < class_ids.size() ? class_ids[i] : 0;
-    double p = cid < static_cast<int>(scores[i].size()) ? scores[i][cid] : 0.0;
+    // both bounds: a negative class id from a misbehaving peer would be
+    // a negative vector index (UB), not a fallback
+    double p = (cid >= 0 && cid < static_cast<int>(scores[i].size()))
+                   ? scores[i][cid] : 0.0;
     std::printf("%zu\tclass: %d\tprobability: %.6f\n", i, cid, p);
   }
   return 0;

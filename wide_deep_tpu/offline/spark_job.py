@@ -18,7 +18,23 @@ from wide_deep_tpu.offline import ctr_features as cf
 
 
 def exist_hdfs_path(path: str) -> bool:
-    return subprocess.call(f"hadoop fs -test -e {path}", shell=True) == 0
+    # list argv, no shell: a configured path containing spaces or shell
+    # metacharacters must be tested literally, not re-parsed by a shell
+    return subprocess.call(["hadoop", "fs", "-test", "-e", path]) == 0
+
+
+def _clear_hdfs_path(path: str) -> None:
+    subprocess.call(["hadoop", "fs", "-rm", "-r", path])
+
+
+def _clk(label: str) -> int:
+    """Tolerant label parse — ctr_features.ctr_rate_map semantics: a
+    malformed/non-numeric label counts as a non-click instead of killing
+    the whole cluster job in a reduceByKey retry loop."""
+    try:
+        return int(label)
+    except ValueError:
+        return 0
 
 
 def hdfs_data_preprocess(inpath: List[str], outpath: str,
@@ -28,6 +44,18 @@ def hdfs_data_preprocess(inpath: List[str], outpath: str,
                          master: str = "yarn") -> None:
     """Process one date's window on a Spark cluster."""
     from pyspark import SparkConf, SparkContext
+
+    # validate/clear HERE (idempotent for main): tools/data_process.py
+    # calls this function directly, and a rerun of an existing date would
+    # otherwise compute every rate map before dying in
+    # saveAsTextFile(FileAlreadyExists)
+    # the TARGET day must exist; older window history may be partial
+    # (local_job tolerates missing days the same way)
+    if not inpath or not exist_hdfs_path(inpath[0]):
+        raise IOError(f"Hdfs path: {inpath[:1]} not exists")
+    inpath = [p for p in inpath if exist_hdfs_path(p)]
+    if exist_hdfs_path(outpath):
+        _clear_hdfs_path(outpath)
 
     sc = SparkContext(conf=SparkConf().setMaster(master))
     try:
@@ -40,7 +68,7 @@ def hdfs_data_preprocess(inpath: List[str], outpath: str,
             rdd = sc.textFile(",".join(window_paths[window])).map(
                 lambda x: x.strip().split("\t"))
             for idx in feature_index_list:
-                pair = (rdd.map(lambda x, i=idx: (x[i - 1], int(x[0])))
+                pair = (rdd.map(lambda x, i=idx: (x[i - 1], _clk(x[0])))
                         .mapValues(lambda v: (v, 1))
                         .reduceByKey(lambda a, b: (a[0] + b[0], a[1] + b[1]))
                         .mapValues(lambda v: float(v[0]) / v[1]))
@@ -50,10 +78,15 @@ def hdfs_data_preprocess(inpath: List[str], outpath: str,
             resolved = [(idx, b.value) for idx, b in maps]
             return cf.append_rate_columns(row, resolved)
 
-        data = day
+        # sample on the BASE row, before the rate columns are appended —
+        # ctr_features.process_day (the local engine) hashes the base row
+        # too, so both engines keep the same rows AND the sampling
+        # decision stays independent of the (history-dependent) rate
+        # values: a rerun with one more day of history keeps identical
+        # rows
+        data = day.filter(lambda row: cf.keep_row(row, keep_prob, seed))
         if feature_index_list:
             data = data.map(transform)
-        data = data.filter(lambda row: cf.keep_row(row, keep_prob, seed))
         (data.map(lambda row: "\t".join(row))
              .repartition(num_output_partitions)
              .saveAsTextFile(outpath))
@@ -74,12 +107,8 @@ def main(config: Optional[Config] = None) -> None:
         inpath = [os.path.join(conf["input_hdfs_dir"], d)
                   for d in cf.gen_dates(date, 30)]
         outpath = os.path.join(conf["output_hdfs_dir"], date)
-        for p in inpath:
-            if not exist_hdfs_path(p):
-                raise IOError(f"Hdfs path: {p} not exists")
-        if exist_hdfs_path(outpath):
-            subprocess.call(f"hadoop fs -rm -r {outpath}", shell=True)
-            print(f"Removed hdfs path: {outpath}")
+        # validation + clear live in hdfs_data_preprocess (shared with the
+        # tools/data_process.py direct caller)
         hdfs_data_preprocess(inpath, outpath, feature_index_list, keep_prob)
 
 

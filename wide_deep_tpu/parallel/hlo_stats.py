@@ -29,7 +29,8 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
 # -done op carries no payload).  A backend upgrade that switches to async
 # emission must not silently empty the budget (review r4 finding #1).
 COLLECTIVES = ("all-reduce-start(", "all-gather-start(",
-               "collective-permute-start(", "all-reduce(", "all-gather(",
+               "collective-permute-start(", "reduce-scatter-start(",
+               "all-to-all-start(", "all-reduce(", "all-gather(",
                "all-to-all(", "reduce-scatter(", "collective-permute(")
 
 

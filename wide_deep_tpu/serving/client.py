@@ -125,10 +125,18 @@ class TcpPredictorClient:
         sock = socket.create_connection((self._host, self._port),
                                         timeout=self._timeout)
         tls_ca, tls_cert, tls_key = self._tls
-        if tls_ca:
+        # TLS engages when EITHER flag is given (like the gRPC client):
+        # gating on tls_ca alone meant --tls_cert without --tls_ca
+        # silently connected in PLAINTEXT, never presenting the client
+        # cert.  Without an explicit CA the system trust store verifies
+        # the server.
+        if tls_ca or tls_cert:
             import ssl
-            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-            ctx.load_verify_locations(tls_ca)
+            if tls_ca:
+                ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+                ctx.load_verify_locations(tls_ca)
+            else:
+                ctx = ssl.create_default_context()
             if tls_cert:
                 ctx.load_cert_chain(tls_cert, tls_key)
             sock = ctx.wrap_socket(sock, server_hostname=self._host)

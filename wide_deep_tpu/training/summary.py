@@ -24,6 +24,11 @@ from wide_deep_tpu.features.tfrecord import masked_crc
 
 
 def _varint(value: int) -> bytes:
+    # negative ints encode as 64-bit two's complement — Python's
+    # arithmetic right shift never zeroes a negative value, so the raw
+    # loop would hang and grow the buffer unboundedly
+    if value < 0:
+        value &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = value & 0x7F
@@ -63,6 +68,11 @@ def _packed_f64(field: int, values: Iterable[float]) -> bytes:
 def _histogram_proto(values: np.ndarray) -> bytes:
     """HistogramProto with TF's exponential bucket ladder."""
     v = np.asarray(values, np.float64).reshape(-1)
+    # drop non-finite values: a diverged tensor's NaNs would make the
+    # proto's min/max/sum nan and its count-sum inconsistent, and
+    # TensorBoard renders that tag blank for the rest of the run —
+    # exactly when the histogram is most needed
+    v = v[np.isfinite(v)]
     if v.size == 0:
         v = np.zeros(1)
     limits: List[float] = []
