@@ -14,7 +14,16 @@ from wide_deep_tpu.config import Config  # noqa: E402
 
 
 def base_parser(description: str) -> tuple[argparse.ArgumentParser, Config]:
-    conf_dir = os.environ.get("WIDE_DEEP_CONF_DIR")
+    # PRE-SCAN --conf_dir: argparse defaults come from the Config, and
+    # overrides_from() feeds every default back into the Trainer — so the
+    # defaults MUST be read from the conf dir the user named, or a custom
+    # conf's train.yaml is silently clobbered by the builtin one
+    # (review round 5: `--conf_dir /custom` trained with conf/'s
+    # batch_size and data paths)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--conf_dir",
+                     default=os.environ.get("WIDE_DEEP_CONF_DIR"))
+    conf_dir = pre.parse_known_args()[0].conf_dir
     config = Config(conf_dir)
     t = config.train
     p = argparse.ArgumentParser(description=description)
@@ -83,8 +92,16 @@ def maybe_init_distributed(config: Config, force: bool = False):
     if os.environ.get("WDT_COORDINATOR"):
         dist["is_distribution"] = True
         dist["coordinator"] = os.environ["WDT_COORDINATOR"]
-        dist["num_processes"] = int(os.environ.get("WDT_NUM_PROCESSES", 1))
-        dist["process_index"] = int(os.environ.get("WDT_PROCESS_INDEX", 0))
+        # env overrides fall back to the YAML values when only SOME of
+        # the vars are exported — defaulting to 1/0 here silently turned
+        # a 4-process launch into independent single-process jobs when
+        # an operator exported only WDT_COORDINATOR
+        dist["num_processes"] = int(
+            os.environ.get("WDT_NUM_PROCESSES")
+            or dist.get("num_processes") or 1)
+        dist["process_index"] = int(
+            os.environ.get("WDT_PROCESS_INDEX")
+            or dist.get("process_index") or 0)
     if force:
         dist["is_distribution"] = True
     if dist.get("is_distribution") and int(dist.get("num_processes") or 1) > 1:

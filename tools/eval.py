@@ -8,7 +8,12 @@ from common import base_parser, overrides_from, setup
 
 def main():
     parser, _ = base_parser("wide_deep_tpu evaluation")
-    args, _ = parser.parse_known_args()
+    args, unknown = parser.parse_known_args()
+    if unknown:
+        # lenient for forward-compat, but NEVER silent: a typo'd
+        # flag otherwise trains for hours under config defaults
+        print(f"WARNING: ignoring unrecognized arguments: "
+              f"{unknown}", flush=True)
     config = setup(args)
 
     from wide_deep_tpu.training.loop import Trainer

@@ -9,7 +9,12 @@ def main():
     parser, _ = base_parser("wide_deep_tpu prediction")
     parser.add_argument("--data_dir", default=None,
                         help="prediction data (defaults to test_data)")
-    args, _ = parser.parse_known_args()
+    args, unknown = parser.parse_known_args()
+    if unknown:
+        # lenient for forward-compat, but NEVER silent: a typo'd
+        # flag otherwise trains for hours under config defaults
+        print(f"WARNING: ignoring unrecognized arguments: "
+              f"{unknown}", flush=True)
     config = setup(args)
 
     from wide_deep_tpu.training.loop import Trainer

@@ -38,9 +38,9 @@ log = logging.getLogger("wide_deep_tpu.tls_proxy")
 
 def make_client_context(tls_ca: str | None, tls_cert: str | None = None,
                         tls_key: str | None = None) -> ssl.SSLContext:
+    # create_default_context already loads the system store when cafile
+    # is None — no explicit load_default_certs needed
     ctx = ssl.create_default_context(ssl.Purpose.SERVER_AUTH, cafile=tls_ca)
-    if tls_ca is None:
-        ctx.load_default_certs()
     if tls_cert:
         ctx.load_cert_chain(tls_cert, tls_key)
     return ctx
@@ -101,6 +101,13 @@ def _pump_bidirectional(conn: socket.socket, up: ssl.SSLSocket) -> None:
                 data = src.recv(65536)
             except (ssl.SSLWantReadError, ssl.SSLWantWriteError,
                     BlockingIOError):
+                # a recv ATTEMPT happened: even when it yields no app
+                # data (e.g. it consumed a renegotiation/KeyUpdate
+                # record), a send parked on SSLWantReadError may now
+                # proceed — leaving it stalled here deadlocked the
+                # connection when the peer only ever sent handshake
+                # records (review round 5)
+                stalled[src] = False
                 break
             except OSError:
                 data = b""
@@ -118,8 +125,8 @@ def _pump_bidirectional(conn: socket.socket, up: ssl.SSLSocket) -> None:
             # readiness — drain them now or they wait for the NEXT record
             if not (isinstance(src, ssl.SSLSocket) and src.pending()):
                 break
-        _update(src)
-        _update(dst)
+        _update(src)  # clearing stalled[src] re-adds WRITE interest, so
+        _update(dst)  # the next select retries the parked send
 
     def _send_from(s) -> bool:
         """Flush pending[s]; False = fatal error, close everything."""

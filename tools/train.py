@@ -17,7 +17,12 @@ def main():
                         help="force multi-host mode (launcher sets env vars)")
     parser.add_argument("--profile_dir", default=None,
                         help="write a jax.profiler trace of training here")
-    args, _ = parser.parse_known_args()
+    args, unknown = parser.parse_known_args()
+    if unknown:
+        # lenient for forward-compat, but NEVER silent: a typo'd
+        # flag otherwise trains for hours under config defaults
+        print(f"WARNING: ignoring unrecognized arguments: "
+              f"{unknown}", flush=True)
     config = setup(args)
     write_pid_file()
     dist = maybe_init_distributed(config, force=bool(args.distributed))

@@ -95,7 +95,10 @@ def listdir_entries(path: str):
 def open_text(path: str, errors: str = "replace") -> IO[str]:
     fs = _handler(path)
     if fs is None:
-        return open(path, "r", errors=errors)
+        # explicit utf-8: locale-dependent decoding (LANG=C hosts)
+        # would U+FFFD-mangle non-ASCII feature values, hashing
+        # them to different ids than on a utf-8 host
+        return open(path, "r", encoding="utf-8", errors=errors)
     return fs.open_text(path)
 
 
@@ -156,7 +159,8 @@ class HadoopFs:
         return io.BufferedReader(_CatStream(proc, path))
 
     def open_text(self, path: str) -> IO[str]:
-        return io.TextIOWrapper(self.open_bytes(path), errors="replace")
+        return io.TextIOWrapper(self.open_bytes(path), encoding="utf-8",
+                                errors="replace")
 
 
 class _CatStream(io.RawIOBase):

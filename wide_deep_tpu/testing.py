@@ -130,8 +130,12 @@ def generate_ctr_tsv(config, path: str, n: int, seed: int,
         label = (rng.random(n) < p).astype(int)
         achieved = float(label.mean())
     else:
+        # n_classes quantile edges, not a hardcoded tercile: a 4-class
+        # request must actually contain class 3
         noisy = p + rng.normal(0, 0.05, n)
-        label = np.digitize(noisy, np.quantile(noisy, [1 / 3, 2 / 3]))
+        edges = np.quantile(noisy, [i / n_classes
+                                    for i in range(1, n_classes)])
+        label = np.digitize(noisy, edges)
         achieved = float(np.mean(label == 1))
     labels = np.char.mod("%d", label)
 
