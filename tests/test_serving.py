@@ -778,3 +778,53 @@ class TestOpenLoopHarness:
         assert stats["achieved_rows_per_s"] > 0
         assert stats["p50_ms"] > 0
         assert stats["p99_ms"] >= stats["p50_ms"]
+
+
+class TestProtocolRobustness:
+    """Garbage on the wire must never wedge the server: after each abuse
+    the same server must still answer a clean request."""
+
+    def test_tcp_survives_garbage_frames(self, server):
+        import socket as socket_mod
+        import struct
+
+        from wide_deep_tpu.serving import protocol
+        from wide_deep_tpu.serving.client import TcpPredictorClient
+        abuses = [
+            b"",                                   # connect + close
+            b"GET / HTTP/1.1\r\n\r\n",             # wrong protocol
+            b"\x00" * 8,                           # bad magic
+            protocol.MAGIC + struct.pack("<I", 0xFFFFFFFF),  # huge length
+            protocol.MAGIC + struct.pack("<I", 100) + b"short",  # truncated
+            protocol.MAGIC + struct.pack("<I", 4) + b"\xff\xfe\x00\x01",
+        ]
+        for payload in abuses:
+            s = socket_mod.create_connection(("localhost", server.tcp_port),
+                                             timeout=10)
+            try:
+                if payload:
+                    s.sendall(payload)
+                s.settimeout(2.0)
+                try:
+                    s.recv(64)  # whatever the server does is fine
+                except (socket_mod.timeout, OSError):
+                    pass
+            finally:
+                s.close()
+        # the server still serves clean requests
+        c = TcpPredictorClient(port=server.tcp_port, timeout=10)
+        assert len(c.predict(_rows(FIXTURE, 2))["scores"]) == 2
+        c.close()
+
+    def test_tcp_bad_json_payload_gets_error_frame(self, server):
+        import socket as socket_mod
+
+        from wide_deep_tpu.serving import protocol
+        s = socket_mod.create_connection(("localhost", server.tcp_port),
+                                         timeout=10)
+        try:
+            protocol.send_frame(s, b"this is not json{{{")
+            resp = protocol.decode_response(protocol.recv_frame(s))
+            assert "error" in resp
+        finally:
+            s.close()
